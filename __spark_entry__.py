@@ -1,38 +1,44 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship convert pipeline (SURVEY.md §3) on the
+sf0.001 tables; ``queries()``/``oracle_sql()`` expose every
+oracle-checked operator implemented so far (see
+modern_document_converter_for_ai_library_spark/queries.py for the
+implementations and the cross-engine determinism rules).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full convert/clean pipeline over sf0.001 documents.
+
+    Adapts the flat table to the interleaved span shape, runs the single
+    Arrow-kernel convert stage, and returns per-document conversion stats
+    (stable schema, no nested spans, >0 rows).
+    """
+    from modern_document_converter_for_ai_library_spark.queries import (
+        spark_convert_pipeline,
+    )
+
+    return spark_convert_pipeline(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from modern_document_converter_for_ai_library_spark.queries import SPARK_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(SPARK_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from modern_document_converter_for_ai_library_spark.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

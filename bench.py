@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ..., "docs_per_sec": ...}
+
+The flagship number is the end-to-end convert pipeline (docs/sec); the other
+entries time each oracle-checked operator. All timings force full execution
+via a count/collect action; results are not cached between queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main() -> None:
+    from modern_document_converter_for_ai_library_spark.plans import get_spark
+    from modern_document_converter_for_ai_library_spark.queries import SPARK_QUERIES
+
+    spark = get_spark(
+        app_name="mdcal-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(8, CPUS * 2),
+    )
+
+    # warm the JVM + Python worker pool once so per-query numbers measure the
+    # operators, not interpreter startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+
+    for name in sorted(SPARK_QUERIES):
+        df_fn = SPARK_QUERIES[name]
+        t0 = time.perf_counter()
+        df_fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    convert_sec = timings.get("q_convert_pipeline", float("nan"))
+    result = {
+        "metric": "end-to-end conversion throughput + operator suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / convert_sec, 2) if convert_sec else None,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

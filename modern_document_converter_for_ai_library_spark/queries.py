@@ -1,0 +1,706 @@
+"""Driver-contract queries with DuckDB oracle parity.
+
+Each entry here implements one operator family from SURVEY.md §2 (or a
+training-data-pipeline operator the engine adds on top) twice:
+
+  - ``spark_*``: the PySpark DataFrame implementation (JVM-side expressions,
+    whole-stage codegen; Python only where semantics demand kernels)
+  - a matching ANSI-SQL string in ``ORACLE_SQL`` runnable by DuckDB on the
+    same parquet tables
+
+Cross-engine determinism rules used throughout (so the driver's value-hash
+comparison cannot flake):
+
+  - no raw float outputs: ratios/products are quantized as
+    ``floor(x * 1e6) -> bigint`` or computed in integer arithmetic
+  - hashing is ``md5`` hex strings (identical bytes in both engines)
+  - every Spark 32-bit int (size, row_number, ...) is cast to bigint to match
+    DuckDB's int64 defaults
+  - regex pattern strings are shared constants valid in BOTH Java regex and
+    RE2 (no lookaround, no backrefs); only replacement-group syntax differs
+    (``$1`` vs ``\\1``) and is kept engine-local
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .reference_semantics.codes import ALPHABET
+
+# ---------------------------------------------------------------------------
+# shared pattern/weight tables (subset of rules.py that is provably
+# Java-regex/RE2 equivalent; the full Python-re semantics live in the kernels)
+# ---------------------------------------------------------------------------
+
+CASELAW_SCORED = [
+    (r"(?i)\b\w+\s+v\.\s+\w+|\b\w+\s+versus\s+\w+", 40),
+    (r"(?i)\d+\s+[A-Z][a-z]+\.?\s+(?:App\.\s+)?(?:2d|3d)?\s*\d+", 35),
+    (
+        r"(?i)Court of Appeals|Supreme Court|District Court|Circuit Court"
+        r"|Superior Court|Appellate Court",
+        20,
+    ),
+    (r"(?i)\b(?:LEXIS|Westlaw|WL\s+\d+|West\s+Law)\b", 15),
+    (r"(?i)\b(?:Plaintiff|Defendant|Appellant|Appellee|Petitioner|Respondent)\b", 10),
+    (r"(?i)(?:Decided|Filed|Argued).*\d{4}", 10),
+    (r"\b(?:Opinion|Judgment|ORDER|MOTION|Memorandum|Per Curiam)\b", 5),  # case-sensitive
+    (r"(?i)\b(?:affirm|reverse|remand|vacate|dismiss)(?:ed|ing)?\b", 5),
+    (r"(?i)Case\s+No\.|Docket\s+No\.|Civil\s+Action\s+No\.", 5),
+    (r"(?i)\bJ\.,\s+(?:concurring|dissenting|delivering the opinion)", 5),
+    (r"(?i)This case comes before (?:the court|us)", 3),
+    (r"(?i)\b(?:Section|§)\s+\d+|\bU\.S\.C\.|United States Code", -10),
+]
+
+STATUTE_SCORED = [
+    (r"(?i)Official Code of", 100),
+    (r"§", 35),
+    (r"(?i)O\.\s*C\.\s*G\.\s*A\.", 30),
+    (r"(?i)U\.\s*S\.\s*C\.", 30),
+    (r"(?i)C\.\s*F\.\s*R\.", 30),
+    (r"(?i)TITLE\s+\d+", 50),
+    (r"(?i)Chapter\s+\d+", 15),
+    (r"(?i)\bCode of\b", 10),
+    (r"(?i)(?:Section|Sec\.)\s+\d+", 10),
+    (r"(?i)§\s*\d+", 10),
+    (r"(?i)\b(?:enacted|codified|amended)\b", 5),
+    (r"(?i)Public Law|Pub\.\s*L\.", 5),
+    (r"(?i)\b(?:subsection|subdivision|paragraph)\s*\([a-z0-9]+\)", 5),
+    (r"(?i)\b\w+\s+v\.\s+\w+|\b\w+\s+versus\s+\w+", -5),
+    (r"(?i)Court of Appeals|Supreme Court|District Court|Circuit Court", -5),
+    (r"(?i)\b(?:Plaintiff|Defendant|Appellant|Appellee|Petitioner)\b", -5),
+    (r"(?i)(?:Decided|Filed|Argued).*\d{4}", -5),
+    (r"(?i)\b(?:Opinion|affirm|reverse|remand)\b", -5),
+]
+
+STOPWORDS = ["the", "a", "of", "and", "in", "to", "is", "was", "for", "on"]
+
+MICRO = 1_000_000
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _score_col(scored: list[tuple[str, int]]):
+    col = F.lit(0)
+    for pat, w in scored:
+        col = col + F.when(F.col("text").rlike(pat), F.lit(w)).otherwise(F.lit(0))
+    return col.cast("bigint")
+
+
+def _score_sql(scored: list[tuple[str, int]]) -> str:
+    terms = [
+        "CASE WHEN regexp_matches(text, '%s') THEN %d ELSE 0 END" % (pat, w)
+        for pat, w in scored
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# q_classify_scores — A1-A3 columnar (classification scoring + argmax + bucket)
+# ---------------------------------------------------------------------------
+
+def spark_classify_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    df = df.withColumn("caselaw_score", _score_col(CASELAW_SCORED)).withColumn(
+        "statute_score", _score_col(STATUTE_SCORED)
+    )
+    best = F.greatest(F.col("caselaw_score"), F.col("statute_score"))
+    doc_type = (
+        F.when(best < 10, F.lit("unknown"))  # includes <=0 (below low threshold)
+        .when(F.col("caselaw_score") >= F.col("statute_score"), F.lit("caselaw"))
+        .otherwise(F.lit("statute"))
+    )
+    conf = F.floor(
+        F.least(F.greatest(best, F.lit(0)).cast("double") / 100.0, F.lit(1.0)) * MICRO
+    ).cast("bigint")
+    return df.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "caselaw_score",
+        "statute_score",
+        doc_type.alias("document_type"),
+        conf.alias("confidence_micros"),
+    )
+
+
+_CLASSIFY_SQL = """
+WITH scored AS (
+  SELECT doc_id,
+         {case_score} AS caselaw_score,
+         {stat_score} AS statute_score
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       caselaw_score,
+       statute_score,
+       CASE WHEN GREATEST(caselaw_score, statute_score) < 10 THEN 'unknown'
+            WHEN caselaw_score >= statute_score THEN 'caselaw'
+            ELSE 'statute' END AS document_type,
+       CAST(FLOOR(LEAST(CAST(GREATEST(GREATEST(caselaw_score, statute_score), 0) AS DOUBLE) / 100.0, 1.0) * 1000000) AS BIGINT) AS confidence_micros
+FROM scored
+""".format(case_score=_score_sql(CASELAW_SCORED), stat_score=_score_sql(STATUTE_SCORED))
+
+
+# ---------------------------------------------------------------------------
+# q_normalize_chain — N2/N3 columnar whitespace+hyphen normalization, hashed
+# ---------------------------------------------------------------------------
+
+def spark_normalize_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = F.col("text")
+    t = F.regexp_replace(t, r"-\s*\n\s*([a-z])", r"$1")
+    t = F.regexp_replace(t, r"-\s*\n\s*([A-Z])", r"$1")
+    t = F.regexp_replace(t, r"-\s{2,}([a-z])", r" $1")
+    t = F.regexp_replace(t, r"\t", " ")
+    t = F.regexp_replace(t, r"\r\n", "\n")
+    t = F.regexp_replace(t, r"\r", "\n")
+    t = F.regexp_replace(t, r"[ \t]+\n", "\n")
+    t = F.regexp_replace(t, r"[ \t]{2,}", " ")
+    t = F.regexp_replace(t, r"\n{3,}", "\n\n")
+    t = F.trim(t)
+    t = F.regexp_replace(t, r"\.([A-Z])", r". $1")
+    t = F.regexp_replace(t, r",([^ \n])", r", $1")
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.md5(t).alias("normalized_hash"),
+        F.length(t).cast("bigint").alias("normalized_len"),
+    )
+
+
+_NORMALIZE_SQL = r"""
+WITH n AS (
+  SELECT doc_id,
+         TRIM(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(text, '-\s*\n\s*([a-z])', '\1', 'g'),
+                           '-\s*\n\s*([A-Z])', '\1', 'g'),
+                         '-\s{2,}([a-z])', ' \1', 'g'),
+                       '\t', ' ', 'g'),
+                     '\r\n', e'\n', 'g'),
+                   '\r', e'\n', 'g'),
+                 '[ \t]+\n', e'\n', 'g'),
+               '[ \t]{2,}', ' ', 'g'),
+             '\n{3,}', e'\n\n', 'g')
+         ) AS t0
+  FROM documents
+), p AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(t0, '\.([A-Z])', '. \1', 'g'),
+           ',([^ \n])', ', \1', 'g') AS t
+  FROM n
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       md5(t) AS normalized_hash,
+       CAST(length(t) AS BIGINT) AS normalized_len
+FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_token_stats — token counting (training-data op)
+# ---------------------------------------------------------------------------
+
+def spark_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tokens = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    df = _docs(spark, sf_dir).withColumn("tokens", tokens)
+    n = F.size("tokens").cast("bigint")
+    nd = F.size(F.array_distinct("tokens")).cast("bigint")
+    total_len = F.aggregate(
+        "tokens", F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    )
+    return df.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        n.alias("n_tokens"),
+        nd.alias("n_distinct"),
+        ((nd * MICRO) / n).cast("bigint").alias("ttr_micros"),
+        ((total_len * MICRO) / n).cast("bigint").alias("avg_token_len_micros"),
+    )
+
+
+_TOKEN_STATS_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tokens
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(tokens) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(tokens)) AS BIGINT) AS n_distinct,
+       CAST((CAST(len(list_distinct(tokens)) AS BIGINT) * 1000000) // len(tokens) AS BIGINT) AS ttr_micros,
+       CAST((list_sum(list_transform(tokens, x -> len(x))) * 1000000) // len(tokens) AS BIGINT) AS avg_token_len_micros
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_quality_langid — quality scoring + stopword language ID (training-data op)
+# ---------------------------------------------------------------------------
+
+def spark_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tokens = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    df = _docs(spark, sf_dir).withColumn("tokens", tokens)
+    n = F.size("tokens").cast("bigint")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(
+        F.filter("tokens", lambda x: F.array_contains(stop_arr, F.lower(x)))
+    ).cast("bigint")
+    ratio_micros = ((n_stop * MICRO) / n).cast("bigint")
+    lang = F.when(ratio_micros >= 80_000, F.lit("en")).otherwise(F.lit("unknown"))
+    quality = (
+        F.when((n >= 20) & (ratio_micros >= 80_000), F.lit("good"))
+        .when(n >= 5, F.lit("fair"))
+        .otherwise(F.lit("poor"))
+    )
+    return df.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        n.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        ratio_micros.alias("stopword_ratio_micros"),
+        lang.alias("lang_guess"),
+        quality.alias("quality"),
+    )
+
+
+_QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tokens
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(len(tokens) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(tokens, x -> list_contains({stops}, lower(x)))) AS BIGINT) AS n_stopwords
+  FROM t
+)
+SELECT doc_id,
+       n_tokens,
+       n_stopwords,
+       CAST((n_stopwords * 1000000) // n_tokens AS BIGINT) AS stopword_ratio_micros,
+       CASE WHEN (n_stopwords * 1000000) // n_tokens >= 80000 THEN 'en' ELSE 'unknown' END AS lang_guess,
+       CASE WHEN n_tokens >= 20 AND (n_stopwords * 1000000) // n_tokens >= 80000 THEN 'good'
+            WHEN n_tokens >= 5 THEN 'fair'
+            ELSE 'poor' END AS quality
+FROM s
+""".format(stops="[" + ", ".join("'%s'" % s for s in STOPWORDS) + "]")
+
+
+# ---------------------------------------------------------------------------
+# q_exact_dedup — exact duplicate grouping by content hash (training-data op)
+# ---------------------------------------------------------------------------
+
+def spark_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min(F.col("doc_id").cast("bigint")).alias("canonical_doc_id"),
+        )
+    )
+
+
+_EXACT_DEDUP_SQL = """
+SELECT md5(text) AS text_hash,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS canonical_doc_id
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_fingerprint — document fingerprint (lowercased, ws-collapsed content hash)
+# ---------------------------------------------------------------------------
+
+def spark_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    canon = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.md5(canon).alias("fingerprint"),
+    )
+
+
+_FINGERPRINT_SQL = r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       md5(TRIM(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_minhash — MinHash over word 3-shingles, 4 md5-seeded permutations
+# (near-dup detection scale path; bands join on the combined signature)
+# ---------------------------------------------------------------------------
+
+_MINHASH_SEEDS = ["s0|", "s1|", "s2|", "s3|"]
+
+
+def spark_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tokens = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    df = _docs(spark, sf_dir).withColumn("tokens", tokens)
+    df = df.filter(F.size("tokens") >= 3)
+    n = F.size("tokens")
+    shingles = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("tokens", i),
+            F.element_at("tokens", i + 1),
+            F.element_at("tokens", i + 2),
+        ),
+    )
+    df = df.withColumn("shingles", shingles)
+    def _seeded_min(seed: str):
+        # single-arg lambda: a 2-arg callable would be treated by pyspark as
+        # an (element, index) lambda and receive the index as its 2nd param
+        return F.array_min(
+            F.transform("shingles", lambda s: F.md5(F.concat(F.lit(seed), s)))
+        )
+
+    mins = [
+        _seeded_min(seed).alias("minhash_%d" % k)
+        for k, seed in enumerate(_MINHASH_SEEDS)
+    ]
+    out = df.select(F.col("doc_id").cast("bigint").alias("doc_id"), *mins)
+    return out.withColumn(
+        "signature",
+        F.md5(F.concat(*[F.col("minhash_%d" % k) for k in range(len(_MINHASH_SEEDS))])),
+    )
+
+
+_MINHASH_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tokens
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         list_transform(range(1, len(tokens) - 1),
+                        i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]) AS shingles
+  FROM t
+  WHERE len(tokens) >= 3
+), m AS (
+  SELECT doc_id,
+         {mins}
+  FROM s
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {mincols},
+       md5({concat}) AS signature
+FROM m
+""".format(
+    mins=",\n         ".join(
+        "list_aggregate(list_transform(shingles, x -> md5('%s' || x)), 'min') AS minhash_%d"
+        % (seed, k)
+        for k, seed in enumerate(_MINHASH_SEEDS)
+    ),
+    mincols=", ".join("minhash_%d" % k for k in range(len(_MINHASH_SEEDS))),
+    concat=" || ".join("minhash_%d" % k for k in range(len(_MINHASH_SEEDS))),
+)
+
+
+# ---------------------------------------------------------------------------
+# q_simhash — 16-bit SimHash from token-hash nibble parity (near-dup sketch)
+# ---------------------------------------------------------------------------
+
+_ODD_NIBBLES = ["1", "3", "5", "7", "9", "b", "d", "f"]
+
+
+def spark_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tokens = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    ex = (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), tokens.alias("tokens"))
+        .select("doc_id", F.explode("tokens").alias("tok"))
+        .withColumn("h", F.md5("tok"))
+    )
+    odd = F.array(*[F.lit(c) for c in _ODD_NIBBLES])
+    aggs = [
+        F.sum(
+            F.when(F.array_contains(odd, F.substring("h", b + 1, 1)), 1).otherwise(-1)
+        ).alias("s%d" % b)
+        for b in range(16)
+    ]
+    g = ex.groupBy("doc_id").agg(*aggs)
+    bits = F.concat(
+        *[
+            F.when(F.col("s%d" % b) > 0, F.lit("1")).otherwise(F.lit("0"))
+            for b in range(16)
+        ]
+    )
+    return g.select("doc_id", bits.alias("simhash_bits"))
+
+
+_SIMHASH_SQL = """
+WITH ex AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         md5(tok) AS h
+  FROM documents,
+       UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS u(tok)
+), g AS (
+  SELECT doc_id, {aggs}
+  FROM ex
+  GROUP BY doc_id
+)
+SELECT doc_id, {bits} AS simhash_bits
+FROM g
+""".format(
+    aggs=", ".join(
+        "SUM(CASE WHEN substring(h, %d, 1) IN (%s) THEN 1 ELSE -1 END) AS s%d"
+        % (b + 1, ", ".join("'%s'" % c for c in _ODD_NIBBLES), b)
+        for b in range(16)
+    ),
+    bits=" || ".join(
+        "CASE WHEN s%d > 0 THEN '1' ELSE '0' END" % b for b in range(16)
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
+# q_ann_topk — brute-force cosine/dot top-k against the min(vec_id) query
+# vector, integer-quantized so both engines agree bit-for-bit
+# ---------------------------------------------------------------------------
+
+_QSCALE = 1 << 20  # 1048576
+
+
+def spark_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    qvec = emb.orderBy("vec_id").limit(1).select(
+        F.col("embedding").alias("qe")
+    )
+    joined = emb.crossJoin(F.broadcast(qvec))
+    dot = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.size("embedding")),
+            lambda i: F.floor(F.element_at("embedding", i).cast("double") * _QSCALE)
+            * F.floor(F.element_at("qe", i).cast("double") * _QSCALE),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = joined.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), dot.alias("qdot")
+    )
+    return scored.orderBy(F.desc("qdot"), F.asc("vec_id")).limit(10)
+
+
+_ANN_SQL = """
+WITH q AS (
+  SELECT embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 1
+)
+SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+       list_sum(list_transform(range(1, len(e.embedding) + 1),
+                i -> CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1048576) AS BIGINT)
+                   * CAST(FLOOR(CAST(q.qe[i] AS DOUBLE) * 1048576) AS BIGINT)))::BIGINT AS qdot
+FROM embeddings e, q
+ORDER BY qdot DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_events_sessionize — lag/lead windowed sessionization (W1 analogue on the
+# events stream table; 30-min inactivity gap)
+# ---------------------------------------------------------------------------
+
+def spark_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ts is TIMESTAMP_NTZ in the parquet; session tz is pinned to UTC so the
+    # NTZ->TZ cast is identity and unix_micros == DuckDB's naive epoch_us.
+    ev = _events(spark, sf_dir).withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > SESSION_GAP_US), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return (
+        flagged.groupBy(F.col("user_id").cast("bigint").alias("user_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("new_session").cast("bigint").alias("n_sessions"),
+        )
+    )
+
+
+_SESSIONIZE_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+), f AS (
+  SELECT user_id,
+         CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+                   OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > {gap}
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(new_session) AS BIGINT) AS n_sessions
+FROM f
+GROUP BY user_id
+""".format(gap=SESSION_GAP_US)
+
+
+# ---------------------------------------------------------------------------
+# q_events_type_agg — grouped aggregation with quantized value sums
+# ---------------------------------------------------------------------------
+
+def spark_events_type_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.floor(F.col("value") * MICRO)).cast("bigint").alias("sum_value_micros"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
+_EVENTS_AGG_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_micros,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_code_assign — C1+C4: deterministic sequential base-25 codes by doc order
+# ---------------------------------------------------------------------------
+
+def spark_code_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir).select(F.col("doc_id").cast("bigint").alias("doc_id"))
+    w = Window.orderBy("doc_id")
+    idx = (F.row_number().over(w) - 1).cast("bigint")
+    df = df.withColumn("code_index", idx)
+    digits = [
+        F.expr(
+            "substring('%s', CAST((code_index div %d) %% 25 AS INT) + 1, 1)"
+            % (ALPHABET, 25**p)
+        )
+        for p in (4, 3, 2, 1, 0)
+    ]
+    return df.select("doc_id", "code_index", F.concat(*digits).alias("unique_code"))
+
+
+_CODE_ASSIGN_SQL = """
+WITH r AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS code_index
+  FROM documents
+)
+SELECT doc_id, code_index,
+       substring('{a}', CAST((code_index // 390625) % 25 AS INT) + 1, 1) ||
+       substring('{a}', CAST((code_index // 15625) % 25 AS INT) + 1, 1) ||
+       substring('{a}', CAST((code_index // 625) % 25 AS INT) + 1, 1) ||
+       substring('{a}', CAST((code_index // 25) % 25 AS INT) + 1, 1) ||
+       substring('{a}', CAST(code_index % 25 AS INT) + 1, 1) AS unique_code
+FROM r
+""".format(a=ALPHABET)
+
+
+# ---------------------------------------------------------------------------
+# q_source_stats — per-source corpus statistics (A6/A7 analogue)
+# ---------------------------------------------------------------------------
+
+def spark_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("bigint")).cast("bigint").alias("total_chars"),
+            F.min(F.col("doc_id").cast("bigint")).alias("first_doc_id"),
+        )
+    )
+
+
+_SOURCE_STATS_SQL = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(min(doc_id) AS BIGINT) AS first_doc_id
+FROM documents
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_convert_pipeline — the full kernel pipeline over the flat table adapted
+# to spans. Not SQL-expressible (yaml frontmatter + Python-re semantics), so
+# no oracle: the driver records a rows-only check.
+# ---------------------------------------------------------------------------
+
+def spark_convert_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import convert_documents
+    from .sources import flat_to_spans
+
+    df = flat_to_spans(_docs(spark, sf_dir))
+    out = convert_documents(df.withColumn("source_file", F.concat("doc_id", F.lit(".txt"))))
+    return out.select(
+        "doc_id",
+        "document_type",
+        "confidence",
+        "lines_removed",
+        "headings_added",
+        "character_count",
+        "success",
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+SPARK_QUERIES = {
+    "q_classify_scores": spark_classify_scores,
+    "q_normalize_chain": spark_normalize_chain,
+    "q_token_stats": spark_token_stats,
+    "q_quality_langid": spark_quality_langid,
+    "q_exact_dedup": spark_exact_dedup,
+    "q_fingerprint": spark_fingerprint,
+    "q_minhash": spark_minhash,
+    "q_simhash": spark_simhash,
+    "q_ann_topk": spark_ann_topk,
+    "q_events_sessionize": spark_events_sessionize,
+    "q_events_type_agg": spark_events_type_agg,
+    "q_code_assign": spark_code_assign,
+    "q_source_stats": spark_source_stats,
+    "q_convert_pipeline": spark_convert_pipeline,
+}
+
+ORACLE_SQL = {
+    "q_classify_scores": _CLASSIFY_SQL,
+    "q_normalize_chain": _NORMALIZE_SQL,
+    "q_token_stats": _TOKEN_STATS_SQL,
+    "q_quality_langid": _QUALITY_SQL,
+    "q_exact_dedup": _EXACT_DEDUP_SQL,
+    "q_fingerprint": _FINGERPRINT_SQL,
+    "q_minhash": _MINHASH_SQL,
+    "q_simhash": _SIMHASH_SQL,
+    "q_ann_topk": _ANN_SQL,
+    "q_events_sessionize": _SESSIONIZE_SQL,
+    "q_events_type_agg": _EVENTS_AGG_SQL,
+    "q_code_assign": _CODE_ASSIGN_SQL,
+    "q_source_stats": _SOURCE_STATS_SQL,
+    # q_convert_pipeline intentionally has no oracle (kernel semantics)
+}
