@@ -345,11 +345,13 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
-# q_minhash — MinHash over word 3-shingles, 4 md5-seeded permutations
-# (near-dup detection scale path; bands join on the combined signature)
+# q_minhash — MinHash over word 3-shingles, 4 permutations.
+# One md5 digest per shingle; the 4 "permutations" are its 4 disjoint
+# 8-hex-char slices (md5 bits are independent), so hashing cost — the
+# dominant term at corpus scale — is 1x, not 4x.
 # ---------------------------------------------------------------------------
 
-_MINHASH_SEEDS = ["s0|", "s1|", "s2|", "s3|"]
+_MINHASH_K = 4
 
 
 def spark_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -366,22 +368,20 @@ def spark_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("tokens", i + 2),
         ),
     )
-    df = df.withColumn("shingles", shingles)
-    def _seeded_min(seed: str):
-        # single-arg lambda: a 2-arg callable would be treated by pyspark as
-        # an (element, index) lambda and receive the index as its 2nd param
+    df = df.withColumn("hashes", F.transform(shingles, lambda s: F.md5(s)))
+    def _slice_min(k: int):
+        # closure factory: the transform lambda must stay single-arg
+        # (a 2-arg callable is treated by pyspark as an (element, index)
+        # lambda and would receive the array index as its 2nd param)
         return F.array_min(
-            F.transform("shingles", lambda s: F.md5(F.concat(F.lit(seed), s)))
+            F.transform("hashes", lambda h: F.substring(h, 1 + 8 * k, 8))
         )
 
-    mins = [
-        _seeded_min(seed).alias("minhash_%d" % k)
-        for k, seed in enumerate(_MINHASH_SEEDS)
-    ]
+    mins = [_slice_min(k).alias("minhash_%d" % k) for k in range(_MINHASH_K)]
     out = df.select(F.col("doc_id").cast("bigint").alias("doc_id"), *mins)
     return out.withColumn(
         "signature",
-        F.md5(F.concat(*[F.col("minhash_%d" % k) for k in range(len(_MINHASH_SEEDS))])),
+        F.md5(F.concat(*[F.col("minhash_%d" % k) for k in range(_MINHASH_K)])),
     )
 
 
@@ -392,8 +392,10 @@ WITH t AS (
   FROM documents
 ), s AS (
   SELECT doc_id,
-         list_transform(range(1, len(tokens) - 1),
-                        i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]) AS shingles
+         list_transform(
+           list_transform(range(1, len(tokens) - 1),
+                          i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]),
+           x -> md5(x)) AS hashes
   FROM t
   WHERE len(tokens) >= 3
 ), m AS (
@@ -407,12 +409,12 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM m
 """.format(
     mins=",\n         ".join(
-        "list_aggregate(list_transform(shingles, x -> md5('%s' || x)), 'min') AS minhash_%d"
-        % (seed, k)
-        for k, seed in enumerate(_MINHASH_SEEDS)
+        "list_aggregate(list_transform(hashes, h -> substring(h, %d, 8)), 'min') AS minhash_%d"
+        % (1 + 8 * k, k)
+        for k in range(_MINHASH_K)
     ),
-    mincols=", ".join("minhash_%d" % k for k in range(len(_MINHASH_SEEDS))),
-    concat=" || ".join("minhash_%d" % k for k in range(len(_MINHASH_SEEDS))),
+    mincols=", ".join("minhash_%d" % k for k in range(_MINHASH_K)),
+    concat=" || ".join("minhash_%d" % k for k in range(_MINHASH_K)),
 )
 
 
