@@ -63,11 +63,14 @@ def _as_span_dicts(spans) -> list[dict]:
 def _convert_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         has_source = "source_file" in pdf.columns
+        has_hash = "input_hash" in pdf.columns
         out_rows = []
-        for doc_id, spans, source_file in zip(
-            pdf["doc_id"],
-            pdf["spans"],
-            pdf["source_file"] if has_source else pdf["doc_id"],
+        for i, (doc_id, spans, source_file) in enumerate(
+            zip(
+                pdf["doc_id"],
+                pdf["spans"],
+                pdf["source_file"] if has_source else pdf["doc_id"],
+            )
         ):
             res = convert_spans_doc(
                 str(doc_id),
@@ -75,11 +78,13 @@ def _convert_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 source_file=str(source_file) if has_source else None,
             )
             res["source_file"] = str(source_file) if has_source else f"{doc_id}.pdf"
+            if has_hash:
+                res["input_hash"] = pdf["input_hash"].iloc[i]
             out_rows.append(res)
-        yield pd.DataFrame(
-            out_rows,
-            columns=[f.name for f in CONVERT_OUTPUT_SCHEMA.fields],
-        )
+        cols = [f.name for f in CONVERT_OUTPUT_SCHEMA.fields]
+        if has_hash:
+            cols = cols + ["input_hash"]
+        yield pd.DataFrame(out_rows, columns=cols)
 
 
 def convert_documents(
@@ -93,12 +98,17 @@ def convert_documents(
     size-aware placement from plans/salting before the kernel stage (worth it
     when the corpus has a heavy size tail; costs one shuffle).
     """
-    cols = ["doc_id", "spans"] + (
-        ["source_file"] if "source_file" in df.columns else []
-    )
-    pruned = df.select(*cols)  # explicit projection -> parquet reads 2-3 cols
+    cols = ["doc_id", "spans"] + [
+        c for c in ("source_file", "input_hash") if c in df.columns
+    ]
+    pruned = df.select(*cols)  # explicit projection -> parquet reads few cols
     if balance_partitions:
         from ..plans.salting import balance_by_size
 
         pruned = balance_by_size(pruned, balance_partitions)
-    return pruned.mapInPandas(_convert_batches, schema=CONVERT_OUTPUT_SCHEMA)
+    schema = CONVERT_OUTPUT_SCHEMA
+    if "input_hash" in df.columns:
+        schema = T.StructType(
+            schema.fields + [T.StructField("input_hash", T.StringType())]
+        )
+    return pruned.mapInPandas(_convert_batches, schema=schema)

@@ -1,0 +1,141 @@
+"""Checkpoint manifests + idempotent resume (SURVEY.md §2.8 C7, §2.2 F10).
+
+The reference tracks conversions in SQLite — (source_path, mtime, size,
+sha256, status) — and skips UNCHANGED files on re-run
+(zOld-Code/step3a…/doc_to_markdown/tracking.py:44-70, file_status.py:36-78).
+The distributed re-expression:
+
+  - every output row carries ``input_hash`` = sha2 over the full input span
+    sequence (kind, text, media_ref, order) — computed JVM-side before the
+    kernel, so a changed input changes identity (the MODIFIED case);
+  - completed work is the output table itself; ``resume_pending`` left-anti
+    joins the input against it on (doc_id, input_hash) — NEW and MODIFIED
+    docs fall through, UNCHANGED docs are skipped;
+  - a manifest table accumulates one row per (run, partition) with lineage
+    and metrics: run_id, input snapshot id, partition id, doc/span/byte
+    counts, success counts — the per-partition checkpoint record the north
+    rule requires. Failed runs leave partial output; a re-run converts only
+    what is missing and appends, so the final table is byte-identical to a
+    single clean run (tested in tests/test_manifest_resume.py).
+
+On a cluster both tables are Iceberg and the output append + manifest append
+commit under write-audit-publish; with plain parquet in this sandbox the
+append is directory-level and idempotence comes from the anti-join.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_COLS = [
+    "run_id",
+    "input_snapshot",
+    "partition_id",
+    "n_docs",
+    "n_success",
+    "n_spans",
+    "n_bytes",
+]
+
+
+def with_input_hash(df: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """Content identity of the input span sequence — pure column expr."""
+    canon = F.concat_ws(
+        "",
+        F.transform(
+            F.col(spans_col),
+            lambda s: F.concat_ws(
+                "",
+                F.coalesce(s["kind"], F.lit("")),
+                F.coalesce(s["text"], F.lit("")),
+                F.coalesce(s["media_ref"], F.lit("")),
+            ),
+        ),
+    )
+    return df.withColumn("input_hash", F.sha2(canon, 256))
+
+
+def resume_pending(input_df: DataFrame, output_path: str) -> DataFrame:
+    """Rows of ``input_df`` not yet present in the output (NEW or MODIFIED).
+
+    ``input_df`` must already carry ``input_hash`` (see with_input_hash).
+    """
+    spark = input_df.sparkSession
+    try:
+        done = spark.read.parquet(output_path).select("doc_id", "input_hash")
+    except Exception:
+        return input_df  # no output yet -> everything pending
+    return input_df.join(done, on=["doc_id", "input_hash"], how="left_anti")
+
+
+def partition_metrics(out_df: DataFrame) -> DataFrame:
+    """Per-partition doc/span/byte metrics of an output DataFrame."""
+    return (
+        out_df.withColumn("_pid", F.spark_partition_id())
+        .groupBy(F.col("_pid").alias("partition_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("success"), 1).otherwise(0)).alias("n_success"),
+            F.sum(F.size("spans")).alias("n_spans"),
+            F.sum(F.col("character_count").cast("bigint")).alias("n_bytes"),
+        )
+    )
+
+
+def commit_with_manifest(
+    out_df: DataFrame,
+    output_path: str,
+    manifest_path: str,
+    run_id: str | None = None,
+    input_snapshot: str = "",
+) -> str:
+    """Append output rows + one manifest row per partition; returns run_id.
+
+    The output is materialized once (cached) so the data write and the
+    metrics aggregation see identical rows.
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    out_df = out_df.persist()
+    try:
+        out_df.write.mode("append").parquet(output_path)
+        metrics = (
+            partition_metrics(out_df)
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("input_snapshot", F.lit(input_snapshot))
+            .select(*MANIFEST_COLS)
+        )
+        metrics.coalesce(1).write.mode("append").parquet(manifest_path)
+    finally:
+        out_df.unpersist()
+    return run_id
+
+
+def run_resumable_convert(
+    spark: SparkSession,
+    input_df: DataFrame,
+    output_path: str,
+    manifest_path: str | None = None,
+    input_snapshot: str = "",
+    balance_partitions: int | None = None,
+) -> dict:
+    """Full idempotent convert job: hash -> anti-join resume -> convert ->
+    append with manifest. Returns {run_id, n_pending, n_written}."""
+    from .convert import convert_documents
+
+    manifest_path = manifest_path or os.path.join(output_path + "_manifest")
+    hashed = with_input_hash(input_df)
+    pending = resume_pending(hashed, output_path)
+    n_pending = pending.count()
+    if n_pending == 0:
+        return {"run_id": None, "n_pending": 0, "n_written": 0}
+    # input_hash flows through the kernel, so every output row carries its
+    # resume key without a re-join shuffle
+    out = convert_documents(pending, balance_partitions=balance_partitions)
+    run_id = commit_with_manifest(
+        out, output_path, manifest_path, input_snapshot=input_snapshot
+    )
+    return {"run_id": run_id, "n_pending": n_pending, "n_written": n_pending}
