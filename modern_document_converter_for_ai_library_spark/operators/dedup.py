@@ -1,0 +1,133 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, cheapest to richest (all engine-deterministic, see
+functions/hashing.py):
+
+  exact_dedup          md5 content grouping; one shuffle on the hash
+  minhash signatures   k=4 sliced-md5 minhashes over word 3-shingles
+  lsh_candidate_pairs  banded self-join: pairs colliding on ANY band —
+                       the 100 TB scale path (join fan-out is per-band
+                       bucket, never all-pairs)
+  jaccard_verify       exact shingle-set Jaccard on the candidates only
+
+``near_dedup`` composes them: candidates -> verified pairs -> canonical =
+min(doc_id) among verified neighbors (single-pass union-find approximation;
+full connected components would iterate — documented tradeoff).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import minhash_col, shingle_hashes_col, tokens_col
+
+MICRO = 1_000_000
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Adds ``canonical_doc_id`` + ``is_duplicate`` via content-hash grouping."""
+    hashed = df.withColumn("_text_hash", F.md5(F.col(text_col)))
+    canon = hashed.groupBy("_text_hash").agg(F.min(id_col).alias("canonical_doc_id"))
+    return (
+        hashed.join(canon, on="_text_hash", how="inner")
+        .withColumn("is_duplicate", F.col(id_col) != F.col("canonical_doc_id"))
+        .drop("_text_hash")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+    shingle_width: int = 3,
+) -> DataFrame:
+    """(id, band_0..band_{k-1}, shingle_hashes) for docs with enough tokens."""
+    toks = tokens_col(text_col)
+    with_tokens = df.withColumn("_tokens", toks).filter(
+        F.size("_tokens") >= shingle_width
+    )
+    hashed = with_tokens.withColumn(
+        "shingle_hashes", shingle_hashes_col(F.col("_tokens"), shingle_width)
+    )
+    bands = [
+        minhash_col(F.col("shingle_hashes"), k).alias(f"band_{k}")
+        for k in range(n_bands)
+    ]
+    return hashed.select(F.col(id_col), *bands, "shingle_hashes")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", n_bands: int = 4
+) -> DataFrame:
+    """Distinct (a, b) pairs (a < b) sharing at least one band value.
+
+    One equi-join per band: each is a hash join keyed on that band — at
+    scale the shuffle is by band value, so cost tracks bucket sizes, not
+    the quadratic all-pairs space.
+    """
+    pairs = None
+    left = sigs.select(F.col(id_col).alias("a"), *[f"band_{k}" for k in range(n_bands)])
+    right = sigs.select(F.col(id_col).alias("b"), *[
+        F.col(f"band_{k}").alias(f"rband_{k}") for k in range(n_bands)
+    ])
+    for k in range(n_bands):
+        p = left.join(
+            right,
+            (F.col(f"band_{k}") == F.col(f"rband_{k}")) & (F.col("a") < F.col("b")),
+        ).select("a", "b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def jaccard_verify(
+    sigs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    threshold_micros: int = 500_000,
+) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs; integer-quantized.
+
+    intersection/union computed over DISTINCT shingle hashes with explicit
+    filter+contains so any SQL engine reproduces the same counts.
+    """
+    sets_df = sigs.select(
+        F.col(id_col).alias("_sid"),
+        F.array_distinct("shingle_hashes").alias("_sset"),
+    )
+    a = pairs.join(sets_df.withColumnRenamed("_sid", "a").withColumnRenamed("_sset", "set_a"), on="a")
+    ab = a.join(sets_df.withColumnRenamed("_sid", "b").withColumnRenamed("_sset", "set_b"), on="b")
+    inter = F.size(
+        F.filter("set_a", lambda x: F.array_contains(F.col("set_b"), x))
+    ).cast("bigint")
+    union = (F.size("set_a") + F.size("set_b")).cast("bigint") - inter
+    out = ab.select(
+        "a",
+        "b",
+        ((inter * MICRO) / union).cast("bigint").alias("jaccard_micros"),
+    )
+    return out.filter(F.col("jaccard_micros") >= threshold_micros)
+
+
+def near_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_micros: int = 500_000,
+) -> DataFrame:
+    """End-to-end near-dup marking: docs keep ``canonical_doc_id`` =
+    min(doc_id) over themselves and their verified near-duplicates."""
+    sigs = minhash_signatures(df, text_col, id_col)
+    pairs = lsh_candidate_pairs(sigs, id_col)
+    verified = jaccard_verify(sigs, pairs, id_col, threshold_micros)
+    # neighbor edges in both directions + self so every doc has a row
+    edges = (
+        verified.select(F.col("a").alias(id_col), F.col("b").alias("nbr"))
+        .unionByName(verified.select(F.col("b").alias(id_col), F.col("a").alias("nbr")))
+        .unionByName(df.select(F.col(id_col), F.col(id_col).alias("nbr")))
+    )
+    canon = edges.groupBy(id_col).agg(F.min("nbr").alias("canonical_doc_id"))
+    return df.join(canon, on=id_col, how="left").withColumn(
+        "is_near_duplicate", F.col(id_col) != F.col("canonical_doc_id")
+    )

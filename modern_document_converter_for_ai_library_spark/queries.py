@@ -519,6 +519,104 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# q_lsh_jaccard_pairs — near-dup scale path: band-0 LSH collisions verified
+# with exact shingle-set Jaccard (integer-quantized)
+# ---------------------------------------------------------------------------
+
+def spark_lsh_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import jaccard_verify, lsh_candidate_pairs, minhash_signatures
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    sigs = minhash_signatures(docs, n_bands=1)
+    pairs = lsh_candidate_pairs(sigs, n_bands=1)
+    return jaccard_verify(sigs, pairs, threshold_micros=0).select(
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        "jaccard_micros",
+    )
+
+
+_LSH_PAIRS_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tokens
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(range(1, len(tokens) - 1),
+                          i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]),
+           x -> md5(x)) AS hashes
+  FROM t
+  WHERE len(tokens) >= 3
+), m AS (
+  SELECT doc_id,
+         list_aggregate(list_transform(hashes, h -> substring(h, 1, 8)), 'min') AS band_0,
+         list_distinct(hashes) AS sset
+  FROM s
+)
+SELECT CAST(x.doc_id AS BIGINT) AS a,
+       CAST(y.doc_id AS BIGINT) AS b,
+       CAST((CAST(len(list_filter(x.sset, e -> list_contains(y.sset, e))) AS BIGINT) * 1000000)
+            // (len(x.sset) + len(y.sset) - len(list_filter(x.sset, e -> list_contains(y.sset, e))))
+            AS BIGINT) AS jaccard_micros
+FROM m x JOIN m y ON x.band_0 = y.band_0 AND x.doc_id < y.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_ann_lsh_buckets — random-hyperplane LSH bucket histogram over embeddings
+# (sign planes derived from md5, inlined as literals in both engines)
+# ---------------------------------------------------------------------------
+
+_LSH_PLANES = 8
+_LSH_DIM = 64
+
+
+def spark_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import lsh_bucket_col
+
+    emb = _embeddings(spark, sf_dir)
+    return (
+        emb.withColumn("bucket", lsh_bucket_col("embedding", _LSH_PLANES, _LSH_DIM))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.min(F.col("vec_id").cast("bigint")).alias("first_vec_id"),
+        )
+    )
+
+
+def _ann_lsh_sql() -> str:
+    from .functions.hashing import lsh_plane_signs
+
+    planes = lsh_plane_signs(_LSH_PLANES, _LSH_DIM)
+    bits = []
+    for row in planes:
+        lit = "[" + ", ".join(str(s) for s in row) + "]"
+        bits.append(
+            "CASE WHEN list_sum(list_transform(range(1, %d), "
+            "i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT) * (%s)[i])) > 0 "
+            "THEN '1' ELSE '0' END" % (_LSH_DIM + 1, lit)
+        )
+    bucket = " || ".join(bits)
+    return """
+WITH b AS (
+  SELECT vec_id, {bucket} AS bucket FROM embeddings
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(min(vec_id) AS BIGINT) AS first_vec_id
+FROM b
+GROUP BY bucket
+""".format(bucket=bucket)
+
+
+_ANN_LSH_SQL = _ann_lsh_sql()
+
+
+# ---------------------------------------------------------------------------
 # q_events_sessionize — lag/lead windowed sessionization (W1 analogue on the
 # events stream table; 30-min inactivity gap)
 # ---------------------------------------------------------------------------
@@ -682,6 +780,8 @@ SPARK_QUERIES = {
     "q_fingerprint": spark_fingerprint,
     "q_minhash": spark_minhash,
     "q_simhash": spark_simhash,
+    "q_lsh_jaccard_pairs": spark_lsh_jaccard_pairs,
+    "q_ann_lsh_buckets": spark_ann_lsh_buckets,
     "q_ann_topk": spark_ann_topk,
     "q_events_sessionize": spark_events_sessionize,
     "q_events_type_agg": spark_events_type_agg,
@@ -699,6 +799,8 @@ ORACLE_SQL = {
     "q_fingerprint": _FINGERPRINT_SQL,
     "q_minhash": _MINHASH_SQL,
     "q_simhash": _SIMHASH_SQL,
+    "q_lsh_jaccard_pairs": _LSH_PAIRS_SQL,
+    "q_ann_lsh_buckets": _ANN_LSH_SQL,
     "q_ann_topk": _ANN_SQL,
     "q_events_sessionize": _SESSIONIZE_SQL,
     "q_events_type_agg": _EVENTS_AGG_SQL,

@@ -1,0 +1,108 @@
+"""Dedup + similarity operators on planted data."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from modern_document_converter_for_ai_library_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_verify,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    near_dedup,
+)
+from modern_document_converter_for_ai_library_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucketed_ann,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the court reviews "
+    "the motion for summary judgment in the underlying case record"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact duplicate of 1
+        (3, BASE + " with a tiny suffix appended"),  # near-dup of 1
+        (4, "completely different content about gardening and recipes for bread"),
+        (5, "another unrelated text mentioning sailing ships and harbor towns"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["doc_id"]: r for r in exact_dedup(docs).collect()}
+    assert out[1]["canonical_doc_id"] == 1 and not out[1]["is_duplicate"]
+    assert out[2]["canonical_doc_id"] == 1 and out[2]["is_duplicate"]
+    assert not out[3]["is_duplicate"]
+    assert not out[4]["is_duplicate"]
+
+
+def test_lsh_finds_planted_near_dup(spark, docs):
+    sigs = minhash_signatures(docs)
+    pairs = {(r["a"], r["b"]) for r in lsh_candidate_pairs(sigs).collect()}
+    assert (1, 2) in pairs  # identical docs always collide
+    assert (1, 3) in pairs or (2, 3) in pairs  # near-dup shares most shingles
+    assert (4, 5) not in pairs  # unrelated docs must not pair
+
+
+def test_jaccard_verify_scores(spark, docs):
+    sigs = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sigs)
+    verified = {(r["a"], r["b"]): r["jaccard_micros"] for r in
+                jaccard_verify(sigs, pairs, threshold_micros=0).collect()}
+    assert verified[(1, 2)] == 1_000_000  # identical -> jaccard 1.0
+    if (1, 3) in verified:
+        assert 500_000 < verified[(1, 3)] < 1_000_000
+
+
+def test_near_dedup_end_to_end(spark, docs):
+    out = {r["doc_id"]: r for r in near_dedup(docs, threshold_micros=500_000).collect()}
+    assert out[1]["canonical_doc_id"] == 1
+    assert out[2]["canonical_doc_id"] == 1 and out[2]["is_near_duplicate"]
+    assert out[3]["canonical_doc_id"] == 1 and out[3]["is_near_duplicate"]
+    assert out[4]["canonical_doc_id"] == 4 and not out[4]["is_near_duplicate"]
+    assert out[5]["canonical_doc_id"] == 5
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(64).astype("float32")
+    rows = [(0, [float(x) for x in base])]
+    # 1..3: tiny perturbations of base (should be its top neighbors)
+    for i in range(1, 4):
+        rows.append((i, [float(x) for x in base + rng.randn(64).astype("float32") * 0.01]))
+    # 4..20: random vectors
+    for i in range(4, 21):
+        rows.append((i, [float(x) for x in rng.randn(64).astype("float32")]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_brute_force_topk(spark, vectors):
+    q = vectors.filter(F.col("vec_id") == 0)
+    out = brute_force_topk(vectors, q, k=4).collect()
+    ids = {r["vec_id"] for r in out}
+    # dot product: self and its tiny perturbations form the top-4 (a
+    # perturbed copy may legitimately outscore self, so order-free check)
+    assert ids == {0, 1, 2, 3}
+
+
+def test_lsh_ann_recalls_planted_neighbors(spark, vectors):
+    q = vectors.filter(F.col("vec_id") == 0)
+    out = lsh_bucketed_ann(vectors, q, k=4).collect()
+    ids = {r["vec_id"] for r in out}
+    # near-identical vectors share the sign bucket with the query
+    assert {0, 1, 2, 3} <= ids
+
+
+def test_lsh_ann_subset_of_exact(spark, vectors):
+    q = vectors.filter(F.col("vec_id") == 0)
+    exact = {(r["vec_id"], r["qdot"]) for r in brute_force_topk(vectors, q, k=21).collect()}
+    approx = {(r["vec_id"], r["qdot"]) for r in lsh_bucketed_ann(vectors, q, k=21).collect()}
+    assert approx <= exact  # same scores, candidate set restricted by bucket
