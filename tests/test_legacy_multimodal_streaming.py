@@ -1,0 +1,118 @@
+"""Legacy-clean operator, multimodal plumbing, and the streaming variant."""
+
+import hashlib
+
+import pytest
+
+from modern_document_converter_for_ai_library_spark.operators.legacy_clean import (
+    clean_doc_lines,
+    legacy_clean_documents,
+)
+from modern_document_converter_for_ai_library_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    decode_media,
+    media_features_join,
+)
+from modern_document_converter_for_ai_library_spark.sources import (
+    DOCS_SCHEMA,
+    synth_documents_pandas,
+)
+from modern_document_converter_for_ai_library_spark.streaming import convert_stream
+
+
+# ---------------------------------------------------------------------------
+# legacy clean
+# ---------------------------------------------------------------------------
+
+LEGACY_TEXT = "\n".join(
+    ["SUPREME COURT REPORTS"] * 3
+    + ["", "INTRODUCTION", "", "The defend-", "ant argued the case", "17", "xiv"]
+)
+
+
+def test_legacy_clean_matches_kernel(spark):
+    df = spark.createDataFrame([("d1", LEGACY_TEXT)], ["doc_id", "text"])
+    out = legacy_clean_documents(df).collect()[0]
+    golden_paras, n_headers = clean_doc_lines(LEGACY_TEXT.split("\n"))
+    assert out["cleaned_text"] == "\n".join(golden_paras)
+    assert out["n_running_headers"] == 1
+    assert "SUPREME COURT REPORTS" not in out["cleaned_text"]
+    assert "The defendant argued the case" in out["cleaned_text"]
+    assert "# INTRODUCTION" in out["cleaned_text"]
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        ("d1", "media://d1/0", "image", b"\x89PNG fake bytes 0"),
+        ("d1", "media://d1/1", "video", b"\x00\x00ftyp fake bytes"),
+        ("d2", "media://d2/0", "image", b""),
+    ]
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def test_fake_decode_deterministic(spark, media_df):
+    out = {r["media_ref"]: r for r in decode_media(media_df, decoder="fake").collect()}
+    r = out["media://d1/0"]
+    expected_hash = hashlib.md5(b"\x89PNG fake bytes 0").hexdigest()
+    assert r["content_hash"] == expected_hash
+    assert r["decode_ok"] and len(r["features"]) == 8
+    assert out["media://d1/1"]["n_frames"] > 1  # video gets frames
+    assert out["media://d2/0"]["n_bytes"] == 0
+    # rerun -> identical features (determinism)
+    again = {r["media_ref"]: r for r in decode_media(media_df, decoder="fake").collect()}
+    assert again["media://d1/0"]["features"] == r["features"]
+
+
+def test_real_decoder_is_marked_stub(spark, media_df):
+    with pytest.raises(Exception) as exc_info:
+        decode_media(media_df, decoder="pillow").collect()
+    assert "STUB" in str(exc_info.value)
+
+
+def test_media_features_join(spark, media_df):
+    docs = spark.createDataFrame([("d1",), ("d2",), ("d3",)], ["doc_id"])
+    decoded = decode_media(media_df, decoder="fake")
+    out = {r["doc_id"]: r for r in media_features_join(docs, decoded).collect()}
+    assert out["d1"]["n_media"] == 2
+    assert out["d2"]["n_media"] == 1
+    assert out["d3"]["n_media"] is None  # doc without media
+
+
+# ---------------------------------------------------------------------------
+# streaming variant
+# ---------------------------------------------------------------------------
+
+def test_streaming_convert_matches_batch(spark, tmp_path):
+    from modern_document_converter_for_ai_library_spark.operators import (
+        convert_documents,
+    )
+
+    pdf = synth_documents_pandas(40, seed=5)
+    inp = str(tmp_path / "stream_in")
+    outp = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    df = spark.createDataFrame(pdf, schema=DOCS_SCHEMA)
+    df.write.mode("overwrite").parquet(inp)
+
+    q = convert_stream(spark, inp, outp, ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"]) for s in r["spans"]]
+        for r in spark.read.parquet(outp).collect()
+    }
+    want = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"]) for s in r["spans"]]
+        for r in convert_documents(df).collect()
+    }
+    assert got == want
+
+    # restart with no new files -> no duplicates (checkpointed offsets)
+    q2 = convert_stream(spark, inp, outp, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(outp).count() == len(want)
