@@ -1,0 +1,178 @@
+#!/usr/bin/env python3
+"""Two-parallelism scaling study (BASELINE.md target: efficiency >= 0.8).
+
+Runs the identical end-to-end convert job on the identical synthetic
+interleaved corpus at local[N] and local[4N] (the sandbox stand-in for N vs
+4N executors, per BASELINE.md) and reports throughput at both plus
+
+    efficiency = (docs_per_sec_4N / docs_per_sec_N) / 4
+
+Usage:
+    python scripts/scaling_bench.py [--docs 100000] [--n 8] \
+        [--corpus /tmp/mdcal_bench_corpus] [--md BENCH/BASELINE.md]
+
+The corpus is generated once (deterministic, seed=42) with pyarrow directly —
+no Spark involvement in data generation, so both measured runs do identical
+work: scan parquet -> size-balanced placement -> Arrow convert kernel ->
+noop sink.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def generate_corpus(path: str, n_docs: int, seed: int = 42) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from modern_document_converter_for_ai_library_spark.sources.synth import _make_doc
+
+    span_type = pa.struct(
+        [
+            ("kind", pa.string()),
+            ("text", pa.string()),
+            ("media_ref", pa.string()),
+            ("offset", pa.int32()),
+        ]
+    )
+    schema = pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("source_file", pa.string()),
+            ("spans", pa.list_(span_type)),
+        ]
+    )
+    rng = np.random.RandomState(seed)
+    os.makedirs(path, exist_ok=True)
+    # many small files: scan parallelism must come from the source, not from
+    # a pre-shuffle (one giant file = one scan task = serial first stage)
+    chunk, rows = max(500, n_docs // 128), []
+    writer_idx = 0
+    for i in range(n_docs):
+        rows.append(_make_doc(rng, i))
+        if len(rows) == chunk or i == n_docs - 1:
+            table = pa.Table.from_pydict(
+                {
+                    "doc_id": [r[0] for r in rows],
+                    "source_file": [r[1] for r in rows],
+                    "spans": [r[2] for r in rows],
+                },
+                schema=schema,
+            )
+            pq.write_table(table, os.path.join(path, f"part-{writer_idx:04d}.parquet"))
+            writer_idx += 1
+            rows = []
+
+
+def timed_run(corpus: str, cpus: int) -> dict:
+    """One measured job in a fresh JVM (subprocess) so no warm state leaks
+    between the two parallelism levels. Reports the best of 3 steady-state
+    runs (the sandbox microVM shows significant host-side noise)."""
+    code = f"""
+import json, time, sys
+sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+from modern_document_converter_for_ai_library_spark.plans import get_spark
+from modern_document_converter_for_ai_library_spark.operators import convert_documents
+
+import os
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
+spark = get_spark(app_name="scaling-{cpus}", master="local[{cpus}]",
+                  shuffle_partitions={max(8, cpus * 2)},
+                  extra_conf={{
+                      # small-file corpus: split fine enough for ~4 tasks/core
+                      # (the defaults pack 0.5 MB files 25-to-a-partition)
+                      "spark.sql.files.maxPartitionBytes": "2097152",
+                      "spark.sql.files.openCostInBytes": "262144",
+                      # pre-commit the heap: lazy heap growth showed up as
+                      # 30-50% sys-time (mmap+zero) inside the measured region
+                      "spark.driver.extraJavaOptions": "-Xms16g -XX:+AlwaysPreTouch",
+                  }})
+spark.range(1000).selectExpr("sum(id)").collect()  # JVM warmup
+df = spark.read.parquet({corpus!r})
+n = df.count()
+# Python-worker pool warmup: a sample convert forks and imports the
+# kernel on every core so the measured region is steady-state throughput
+convert_documents(df.sample(0.02, seed=1)).write.format("noop").mode("overwrite").save()
+times = []
+for _ in range(3):  # best-of-3: the sandbox VM shows 20-30% host noise
+    t0 = time.perf_counter()
+    convert_documents(df).write.format("noop").mode("overwrite").save()
+    times.append(time.perf_counter() - t0)
+dt = min(times)
+print(json.dumps({{"cpus": {cpus}, "n_docs": n, "sec": round(dt, 3),
+                   "docs_per_sec": round(n / dt, 2),
+                   "all_runs_sec": [round(t, 2) for t in times]}}))
+spark.stop()
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=100_000)
+    ap.add_argument("--n", type=int, default=8, help="small parallelism (big = 4N)")
+    ap.add_argument("--corpus", default="/tmp/mdcal_bench_corpus")
+    ap.add_argument("--md", default=None, help="write/refresh this markdown report")
+    args = ap.parse_args()
+
+    marker = os.path.join(args.corpus, f".complete_{args.docs}")
+    if not os.path.exists(marker):
+        print(f"generating {args.docs}-doc corpus at {args.corpus} ...", file=sys.stderr)
+        import shutil
+
+        shutil.rmtree(args.corpus, ignore_errors=True)
+        generate_corpus(args.corpus, args.docs)
+        open(marker, "w").close()
+
+    small = timed_run(args.corpus, args.n)
+    big = timed_run(args.corpus, args.n * 4)
+    efficiency = round((big["docs_per_sec"] / small["docs_per_sec"]) / 4, 4)
+    report = {
+        "n_docs": small["n_docs"],
+        "small": small,
+        "big": big,
+        "scaling_efficiency": efficiency,
+        "target": 0.8,
+        "pass": efficiency >= 0.8,
+    }
+    print(json.dumps(report))
+
+    if args.md:
+        md = f"""# BENCH/BASELINE — measured numbers
+
+End-to-end convert job (scan -> size-balanced placement -> Arrow convert
+kernel -> noop sink) on the deterministic synthetic interleaved corpus
+(seed=42, {small['n_docs']:,} docs), identical input and job at both
+parallelism levels. local[{args.n}] vs local[{args.n * 4}] is the sandbox
+stand-in for N vs 4N executors (BASELINE.md).
+
+| parallelism | wall sec | docs/sec |
+|---|---|---|
+| local[{args.n}] (N) | {small['sec']} | {small['docs_per_sec']} |
+| local[{args.n * 4}] (4N) | {big['sec']} | {big['docs_per_sec']} |
+
+**Scaling efficiency = (thr_4N / thr_N) / 4 = {efficiency}**
+(target >= 0.8: {"PASS" if efficiency >= 0.8 else "FAIL"})
+
+Reproduce: `python scripts/scaling_bench.py --docs {args.docs} --n {args.n} --md BENCH/BASELINE.md`
+"""
+        os.makedirs(os.path.dirname(args.md) or ".", exist_ok=True)
+        with open(args.md, "w") as f:
+            f.write(md)
+
+
+if __name__ == "__main__":
+    main()
