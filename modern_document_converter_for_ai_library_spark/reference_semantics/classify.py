@@ -23,12 +23,91 @@ class ClassifyResult(NamedTuple):
     confidence_level: str | None  # HIGH / MEDIUM / LOW / None
 
 
-# Pre-compile every scoring pattern once per process.
-_COMPILED: list[tuple[str, list[tuple[re.Pattern, float, str]]]] = [
+# --------------------------------------------------------------------------
+# Literal prescan (performance only — semantics untouched).
+#
+# Each scoring regex has a set of substrings of which AT LEAST ONE must occur
+# for the regex to possibly match (a necessary condition derived from its
+# alternation structure). When none occurs, re.search is provably False and
+# is skipped; when one occurs, re.search still decides. ``pure=True`` marks
+# patterns that are plain literal alternations with no anchors/boundaries —
+# there, presence of a literal IS a match and re.search is skipped entirely.
+# Keyed by regex source string; patterns without an entry always run the
+# regex. Equivalence against the naive full-scan path is asserted in
+# tests/test_reference_semantics.py::test_prefilter_equivalence.
+# --------------------------------------------------------------------------
+
+_PRESCAN: dict[str, tuple[tuple[str, ...], bool]] = {
+    # caselaw (rules.CASELAW_PATTERNS order)
+    r"\b\w+\s+v\.\s+\w+|\b\w+\s+versus\s+\w+": (("v.", "versus"), False),
+    (
+        r"Court of Appeals|Supreme Court|District Court|Circuit Court"
+        r"|Superior Court|Appellate Court"
+    ): (
+        (
+            "court of appeals", "supreme court", "district court",
+            "circuit court", "superior court", "appellate court",
+        ),
+        True,
+    ),
+    r"\b(?:LEXIS|Westlaw|WL\s+\d+|West\s+Law)\b": (("lexis", "westlaw", "wl", "west"), False),
+    r"\b(?:Plaintiff|Defendant|Appellant|Appellee|Petitioner|Respondent)\b": (
+        ("plaintiff", "defendant", "appellant", "appellee", "petitioner", "respondent"),
+        False,
+    ),
+    r"(?:Decided|Filed|Argued).*\d{4}": (("decided", "filed", "argued"), False),
+    r"\b(?:Opinion|Judgment|ORDER|MOTION|Memorandum|Per Curiam)\b": (
+        # case-sensitive pattern -> exact-case literals, checked on raw text
+        ("Opinion", "Judgment", "ORDER", "MOTION", "Memorandum", "Per Curiam"),
+        False,
+    ),
+    r"\b(?:affirm|reverse|remand|vacate|dismiss)(?:ed|ing)?\b": (
+        ("affirm", "reverse", "remand", "vacate", "dismiss"),
+        False,
+    ),
+    r"Case\s+No\.|Docket\s+No\.|Civil\s+Action\s+No\.": (("case", "docket", "civil"), False),
+    r"\bJ\.,\s+(?:concurring|dissenting|delivering the opinion)": (("j.,",), False),
+    r"This case comes before (the court|us)": (("this case comes before",), False),
+    r"\b(?:Section|§)\s+\d+|\bU\.S\.C\.|United States Code": (("section", "§", "u.s"), False),
+    # statute (rules.STATUTE_PATTERNS order; shared strings reuse entries)
+    r"Official Code of": (("official code of",), True),
+    r"TITLE\s+\d+": (("title",), False),
+    r"Chapter\s+\d+": (("chapter",), False),
+    r"\bCode of\b": (("code of",), False),
+    r"(?:Section|Sec\.)\s+\d+": (("sec",), False),
+    "§" + r"\s*\d+": (("§",), False),
+    r"\b(?:enacted|codified|amended)\b": (("enacted", "codified", "amended"), False),
+    r"Public Law|Pub\.\s*L\.": (("public law", "pub"), False),
+    r"\b(?:subsection|subdivision|paragraph)\s*\([a-z0-9]+\)": (
+        ("subsection", "subdivision", "paragraph"),
+        False,
+    ),
+    r"Court of Appeals|Supreme Court|District Court|Circuit Court": (
+        ("court of appeals", "supreme court", "district court", "circuit court"),
+        True,
+    ),
+    r"\b(?:Plaintiff|Defendant|Appellant|Appellee|Petitioner)\b": (
+        ("plaintiff", "defendant", "appellant", "appellee", "petitioner"),
+        False,
+    ),
+    r"\b(?:Opinion|affirm|reverse|remand)\b": (("opinion", "affirm", "reverse", "remand"), False),
+}
+
+# Pre-compile every scoring pattern once per process; attach its prescan.
+_COMPILED: list[
+    tuple[str, list[tuple[re.Pattern, float, str, tuple[str, ...] | None, bool, bool]]]
+] = [
     (
         name,
         [
-            (re.compile(pat, 0 if cs else re.IGNORECASE), weight, desc)
+            (
+                re.compile(pat, 0 if cs else re.IGNORECASE),
+                weight,
+                desc,
+                _PRESCAN.get(pat, (None, False))[0],
+                _PRESCAN.get(pat, (None, False))[1],
+                cs,
+            )
             for (pat, weight, cs), desc in zip(patterns, descriptions)
         ],
     )
@@ -36,17 +115,29 @@ _COMPILED: list[tuple[str, list[tuple[re.Pattern, float, str]]]] = [
 ]
 
 
-def score_type(text: str, type_name: str) -> tuple[float, list[str]]:
+def score_type(
+    text: str, type_name: str, use_prescan: bool = True
+) -> tuple[float, list[str]]:
     """Score one document type; returns (score, matched indicator texts)."""
+    lower = text.lower() if use_prescan else ""
     for name, compiled in _COMPILED:
-        if name == type_name:
-            score = 0.0
-            hits: list[str] = []
-            for rx, weight, desc in compiled:
-                if rx.search(text):
-                    score += weight
-                    hits.append(desc)
-            return score, hits
+        if name != type_name:
+            continue
+        score = 0.0
+        hits: list[str] = []
+        for rx, weight, desc, literals, pure, cs in compiled:
+            if use_prescan and literals is not None:
+                haystack = text if cs else lower
+                present = any(lit in haystack for lit in literals)
+                if not present:
+                    continue
+                matched = True if pure else bool(rx.search(text))
+            else:
+                matched = bool(rx.search(text))
+            if matched:
+                score += weight
+                hits.append(desc)
+        return score, hits
     raise KeyError(type_name)
 
 

@@ -163,6 +163,51 @@ def test_classify_below_threshold_keeps_confidence():
     assert r.confidence == pytest.approx(0.05)
 
 
+def test_prefilter_equivalence_on_corpus():
+    """The literal-prescan optimization must be score-identical to the naive
+    full re.search path on every synthetic doc and on adversarial snippets."""
+    from modern_document_converter_for_ai_library_spark.reference_semantics.classify import (
+        score_type,
+    )
+    from modern_document_converter_for_ai_library_spark.reference_semantics.convert import (
+        reassemble_text,
+    )
+    from modern_document_converter_for_ai_library_spark.sources.synth import (
+        synth_documents_pandas,
+    )
+
+    texts = [
+        reassemble_text(list(r.spans))
+        for r in synth_documents_pandas(300, seed=42).itertuples()
+    ]
+    texts += [
+        "",  # empty
+        "opinion",  # lowercase vs case-sensitive 'Opinion'
+        "Defendants moved",  # boundary: 'Defendants' must NOT match \bDefendant\b
+        "wl 123",  # prescan hit, regex needs 'WL\\s+\\d+' (ci) -> matches
+        "vs. something",  # 'v.' absent ('vs.' contains 'v' not 'v.')... contains 's.'
+        "averse to remandX",  # 'reverse'? 'averse' contains 'verse' not 'reverse'
+        "Sections 12",  # 'section' present; '(?:Section|Sec.)\\s+\\d+' vs 'Sections 12'
+        "SUPREME COURT",  # pure-literal ci
+        "u.s advisory",  # prescan 'u.s' present but regex U\\.S\\.C\\. absent
+    ]
+    for t in texts:
+        for tn in ("caselaw", "statute"):
+            fast_score, fast_hits = score_type(t, tn, use_prescan=True)
+            slow_score, slow_hits = score_type(t, tn, use_prescan=False)
+            assert (fast_score, fast_hits) == (slow_score, slow_hits), (tn, t[:80])
+
+
+@given(st.text(alphabet=" .\nvVwWcC0123456789abdefgilmnoprstuJ§", max_size=80))
+def test_prefilter_equivalence_property(text):
+    from modern_document_converter_for_ai_library_spark.reference_semantics.classify import (
+        score_type,
+    )
+
+    for tn in ("caselaw", "statute"):
+        assert score_type(text, tn, True) == score_type(text, tn, False)
+
+
 # ---------------------------------------------------------------------------
 # Cleaning rules (caselaw.yaml:386-431; convert_step.py:242-309)
 # ---------------------------------------------------------------------------
@@ -322,6 +367,33 @@ def test_truncation_keeps_extension():
 def test_frontmatter_minimal():
     fm = generate_frontmatter("caselaw", "case.pdf")
     assert fm == "---\ntype: caselaw\nsource_file: case.pdf\n---"
+
+
+@given(
+    st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789._- ()'é",
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_frontmatter_fast_path_equals_yaml_dump(source_file):
+    """The plain-scalar fast path must be byte-identical to yaml.dump for
+    every input (falls back to yaml.dump when unsure)."""
+    import yaml as _yaml
+
+    got = generate_frontmatter("caselaw", source_file)
+    body = _yaml.dump(
+        {"type": "caselaw", "source_file": source_file},
+        default_flow_style=False,
+        allow_unicode=True,
+        sort_keys=False,
+    )
+    assert got == f"---\n{body}---"
+
+
+def test_frontmatter_yaml_special_words_still_quoted():
+    # 'no' would be resolved as a YAML 1.1 bool -> must take the yaml path
+    assert generate_frontmatter("caselaw", "no") == "---\ntype: caselaw\nsource_file: 'no'\n---"
 
 
 def test_frontmatter_with_metadata():
