@@ -1,0 +1,120 @@
+"""Broadcast dimension joins for legal reference data (SURVEY.md §2.3 J1/J2).
+
+The reference scans its courts/reporters JSON dictionaries per document
+(src/plugins/caselaw.py:362-391, zOld-Code court_extractor.py). Distributed,
+these become small broadcast dimension DataFrames:
+
+  - the non-equi part (does any court pattern occur in the text?) is compiled
+    driver-side into ONE combined case-insensitive regex whose first match is
+    extracted columnar (regexp_extract) — the reference's first-match-wins
+    ordering becomes alternation order;
+  - the equi part (matched pattern -> bluebook abbreviation / filename code)
+    is a broadcast hash join on the lowercased matched literal.
+
+The dim data lives in data/legal_dims.json: the reference's public Bluebook
+courts mapping + reporters database flattened row-oriented (copied-as-data,
+FIXTURES.md §5; 202 courts, 51 reporters).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_DATA_PATH = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                          "modern_document_converter_for_ai_library_spark")
+_DIMS_FILE = os.path.join(os.path.dirname(__file__), "..", "data", "legal_dims.json")
+
+
+def _load_dims() -> dict:
+    with open(os.path.abspath(_DIMS_FILE), encoding="utf-8") as f:
+        return json.load(f)
+
+
+def courts_dim(spark: SparkSession) -> DataFrame:
+    """One row per (court, pattern): pattern_lc is the join key."""
+    rows = []
+    for c in _load_dims()["courts"]:
+        for pat in c["patterns"]:
+            # patterns are literal-ish with occasional \\.? escapes; the join
+            # key is the literal form (escapes resolved) lowercased
+            literal = re.sub(r"\\\.\??", ".", pat).replace("\\", "")
+            rows.append(
+                (c["court_key"], literal.lower(), c["bluebook"], c["filename_code"])
+            )
+    return spark.createDataFrame(
+        rows, ["court_key", "pattern_lc", "bluebook", "filename_code"]
+    )
+
+
+def reporters_dim(spark: SparkSession) -> DataFrame:
+    rows = [
+        (
+            r["reporter_key"],
+            r["abbreviation"],
+            r["pattern"],
+            int(r["priority"] or 99),
+            bool(r["official"]),
+        )
+        for r in _load_dims()["reporters"]
+    ]
+    return spark.createDataFrame(
+        rows, ["reporter_key", "abbreviation", "pattern", "priority", "official"]
+    )
+
+
+def resolve_courts(
+    df: DataFrame, text_col: str = "text", spark: SparkSession | None = None
+) -> DataFrame:
+    """Attach bluebook/filename_code for the first court mentioned in text.
+
+    Plan: one combined regexp_extract (JVM, codegen) + one broadcast hash
+    join on the matched literal — no per-row Python, no shuffle of ``df``.
+    """
+    spark = spark or df.sparkSession
+    dim = courts_dim(spark)
+    literals = [r["pattern_lc"] for r in dim.select("pattern_lc").distinct().collect()]
+    # longest-first so overlapping literals ('supreme court of georgia' vs
+    # 'supreme court') resolve to the most specific court
+    literals.sort(key=len, reverse=True)
+    combined = "(?i)(" + "|".join(re.escape(l) for l in literals) + ")"
+    matched = df.withColumn(
+        "court_match_lc", F.lower(F.regexp_extract(F.col(text_col), combined, 1))
+    )
+    dedup_dim = dim.dropDuplicates(["pattern_lc"])
+    return matched.join(
+        F.broadcast(dedup_dim),
+        matched["court_match_lc"] == dedup_dim["pattern_lc"],
+        how="left",
+    ).drop("pattern_lc")
+
+
+def resolve_reporters(
+    df: DataFrame, text_col: str = "text", spark: SparkSession | None = None
+) -> DataFrame:
+    """First-match reporter citation by priority order (official reporters
+    first) — a coalesce over priority-ordered regexp_extract columns, then a
+    broadcast join for reporter metadata."""
+    spark = spark or df.sparkSession
+    dim = reporters_dim(spark)
+    ordered = sorted(
+        dim.collect(), key=lambda r: (r["priority"], not r["official"])
+    )
+    extracts = [
+        F.when(
+            F.col(text_col).rlike(r["pattern"]), F.lit(r["abbreviation"])
+        ).otherwise(F.lit(None))
+        for r in ordered
+    ]
+    first = F.coalesce(*extracts) if extracts else F.lit(None)
+    matched = df.withColumn("reporter_abbrev", first)
+    dedup_dim = dim.dropDuplicates(["abbreviation"]).select(
+        F.col("abbreviation").alias("reporter_abbrev"),
+        "reporter_key",
+        F.col("official").alias("reporter_official"),
+    )
+    return matched.join(F.broadcast(dedup_dim), on="reporter_abbrev", how="left")
