@@ -684,6 +684,78 @@ GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# q_events_topk — ranking window per group (O2 analogue: ORDER BY ... LIMIT
+# per event_type, deterministic tie-break on event_id)
+# ---------------------------------------------------------------------------
+
+def spark_events_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn(
+        "value_micros", F.floor(F.col("value") * MICRO).cast("bigint")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value_micros"), F.asc("event_id")
+    )
+    return (
+        ev.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "event_type",
+            F.col("event_id").cast("bigint").alias("event_id"),
+            "value_micros",
+            "rank",
+        )
+    )
+
+
+_EVENTS_TOPK_SQL = """
+WITH v AS (
+  SELECT event_type, event_id,
+         CAST(FLOOR(value * 1000000) AS BIGINT) AS value_micros,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY CAST(FLOOR(value * 1000000) AS BIGINT) DESC,
+                                          event_id ASC) AS BIGINT) AS rank
+  FROM events
+)
+SELECT event_type, CAST(event_id AS BIGINT) AS event_id, value_micros, rank
+FROM v WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_docs_events_join — broadcast equi-join + grouped agg across tables
+# ---------------------------------------------------------------------------
+
+def spark_docs_events_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+    e = _events(spark, sf_dir).select(
+        F.col("user_id").cast("bigint").alias("doc_id"),
+        F.col("event_id"),
+        F.floor(F.col("value") * MICRO).cast("bigint").alias("value_micros"),
+    )
+    return (
+        e.join(F.broadcast(d), on="doc_id", how="inner")
+        .groupBy("doc_id", "n_chars")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("value_micros").cast("bigint").alias("sum_value_micros"),
+        )
+    )
+
+
+_DOCS_EVENTS_JOIN_SQL = """
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(d.n_chars AS BIGINT) AS n_chars,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(FLOOR(e.value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_micros
+FROM events e JOIN documents d ON e.user_id = d.doc_id
+GROUP BY d.doc_id, d.n_chars
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_code_assign — C1+C4: deterministic sequential base-25 codes by doc order
 # ---------------------------------------------------------------------------
 
@@ -785,6 +857,8 @@ SPARK_QUERIES = {
     "q_ann_topk": spark_ann_topk,
     "q_events_sessionize": spark_events_sessionize,
     "q_events_type_agg": spark_events_type_agg,
+    "q_events_topk": spark_events_topk,
+    "q_docs_events_join": spark_docs_events_join,
     "q_code_assign": spark_code_assign,
     "q_source_stats": spark_source_stats,
     "q_convert_pipeline": spark_convert_pipeline,
@@ -804,6 +878,8 @@ ORACLE_SQL = {
     "q_ann_topk": _ANN_SQL,
     "q_events_sessionize": _SESSIONIZE_SQL,
     "q_events_type_agg": _EVENTS_AGG_SQL,
+    "q_events_topk": _EVENTS_TOPK_SQL,
+    "q_docs_events_join": _DOCS_EVENTS_JOIN_SQL,
     "q_code_assign": _CODE_ASSIGN_SQL,
     "q_source_stats": _SOURCE_STATS_SQL,
     # q_convert_pipeline intentionally has no oracle (kernel semantics)
