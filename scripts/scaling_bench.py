@@ -84,7 +84,12 @@ from modern_document_converter_for_ai_library_spark.plans import get_spark
 from modern_document_converter_for_ai_library_spark.operators import convert_documents
 
 import os
-os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
+# Heap scales with parallelism (2 GB/core) — the faithful local stand-in for
+# N vs 4N executors, each of which brings its own heap on a real cluster.
+# A fixed heap systematically starves the 4N run (measured: 43k -> 61k
+# docs/s at 32 cores going from 16g to 64g).
+heap = "{cpus * 2}g"
+os.environ["SPARK_DRIVER_MEMORY"] = heap
 spark = get_spark(app_name="scaling-{cpus}", master="local[{cpus}]",
                   shuffle_partitions={max(8, cpus * 2)},
                   extra_conf={{
@@ -94,7 +99,7 @@ spark = get_spark(app_name="scaling-{cpus}", master="local[{cpus}]",
                       "spark.sql.files.openCostInBytes": "262144",
                       # pre-commit the heap: lazy heap growth showed up as
                       # 30-50% sys-time (mmap+zero) inside the measured region
-                      "spark.driver.extraJavaOptions": "-Xms16g -XX:+AlwaysPreTouch",
+                      "spark.driver.extraJavaOptions": f"-Xms{{heap}} -XX:+AlwaysPreTouch",
                   }})
 spark.range(1000).selectExpr("sum(id)").collect()  # JVM warmup
 df = spark.read.parquet({corpus!r})
