@@ -70,3 +70,34 @@ def legacy_clean_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.col(text_col).alias("text"),
     )
     return pruned.mapInPandas(_legacy_batches, schema=LEGACY_OUTPUT_SCHEMA)
+
+
+MARKDOWN_NORM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("markdown", T.StringType()),
+    ]
+)
+
+
+def markdown_normalize_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """RAG markdown normal form (N7) as one Arrow stage — the heading pass
+    inserts blank lines (order-sensitive), so it stays in the kernel."""
+    from pyspark.sql import functions as F
+
+    from ..reference_semantics.markdown_norm import clean_markdown
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": [str(d) for d in pdf["doc_id"]],
+                    "markdown": [clean_markdown(t or "") for t in pdf["text"]],
+                }
+            )
+
+    pruned = df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col(text_col).alias("text"),
+    )
+    return pruned.mapInPandas(_batches, schema=MARKDOWN_NORM_SCHEMA)
