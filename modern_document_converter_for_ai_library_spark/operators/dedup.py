@@ -89,8 +89,10 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact shingle-set Jaccard on candidate pairs; integer-quantized.
 
-    intersection/union computed over DISTINCT shingle hashes with explicit
-    filter+contains so any SQL engine reproduces the same counts.
+    intersection/union computed over DISTINCT shingle hashes via the
+    hash-based array_intersect (O(n+m); the naive filter+contains variant is
+    O(n*m) and dominated the bench at corpus scale). DuckDB's list_intersect
+    has the same distinct-count semantics (verified in the parity test).
     """
     sets_df = sigs.select(
         F.col(id_col).alias("_sid"),
@@ -98,9 +100,7 @@ def jaccard_verify(
     )
     a = pairs.join(sets_df.withColumnRenamed("_sid", "a").withColumnRenamed("_sset", "set_a"), on="a")
     ab = a.join(sets_df.withColumnRenamed("_sid", "b").withColumnRenamed("_sset", "set_b"), on="b")
-    inter = F.size(
-        F.filter("set_a", lambda x: F.array_contains(F.col("set_b"), x))
-    ).cast("bigint")
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("bigint")
     union = (F.size("set_a") + F.size("set_b")).cast("bigint") - inter
     out = ab.select(
         "a",

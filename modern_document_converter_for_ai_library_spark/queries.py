@@ -558,8 +558,8 @@ WITH t AS (
 )
 SELECT CAST(x.doc_id AS BIGINT) AS a,
        CAST(y.doc_id AS BIGINT) AS b,
-       CAST((CAST(len(list_filter(x.sset, e -> list_contains(y.sset, e))) AS BIGINT) * 1000000)
-            // (len(x.sset) + len(y.sset) - len(list_filter(x.sset, e -> list_contains(y.sset, e))))
+       CAST((CAST(len(list_intersect(x.sset, y.sset)) AS BIGINT) * 1000000)
+            // (len(x.sset) + len(y.sset) - len(list_intersect(x.sset, y.sset)))
             AS BIGINT) AS jaccard_micros
 FROM m x JOIN m y ON x.band_0 = y.band_0 AND x.doc_id < y.doc_id
 """
