@@ -840,6 +840,441 @@ def spark_convert_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_line_ops — F1/F2/A5 distributed line operations: noise-line delete then
+# first-match-wins heading markup, with cleaning statistics. The testdata
+# documents are single-line synthetic text, so lines are derived
+# deterministically (8-token chunks) and the noise/heading rules are
+# vocabulary-adapted; the reference's literal YAML rules (caselaw.yaml:386-431)
+# run byte-exact inside the convert kernel (reference_semantics/cleanrules.py)
+# and are covered by the span-equality tests. This query checks the
+# *distributed shape*: array filter -> ordered CASE transform -> size deltas.
+# ---------------------------------------------------------------------------
+
+_LINES_EXPR = (
+    "case when size(tokens) = 0 then array() else "
+    "transform(sequence(0, cast(ceil(size(tokens)/{w}.0) as int) - 1), "
+    "i -> array_join(slice(tokens, i*{w}+1, {w}), ' ')) end"
+)
+
+_NOISE_RE = "^(table|row)( |$)"
+_H2_RE = "^(spark|window)( |$)"
+_H3_RE = "^(sort|merge)( |$)"
+_HEAD_RE = "^(spark|window|sort|merge)( |$)"
+
+
+def spark_line_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir).withColumn(
+        "tokens", F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    )
+    df = df.withColumn("lines", F.expr(_LINES_EXPR.format(w=8)))
+    kept = F.expr("filter(lines, l -> not l rlike '%s')" % _NOISE_RE)
+    df = df.withColumn("kept", kept)
+    marked = F.expr(
+        "transform(kept, l -> case when l rlike '{h2}' then concat('## ', l) "
+        "when l rlike '{h3}' then concat('### ', l) else l end)".format(
+            h2=_H2_RE, h3=_H3_RE
+        )
+    )
+    return df.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        (F.size("lines") - F.size("kept")).cast("bigint").alias("lines_removed"),
+        F.expr("size(filter(kept, l -> l rlike '%s'))" % _HEAD_RE)
+        .cast("bigint")
+        .alias("headings_added"),
+        F.md5(F.array_join(marked, "<ln>")).alias("cleaned_hash"),
+    )
+
+
+_LINE_OPS_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tokens
+  FROM documents
+), l AS (
+  SELECT doc_id,
+         list_transform(range(0, CAST(ceil(len(tokens)/8.0) AS INT)),
+                        i -> array_to_string(list_slice(tokens, i*8+1, i*8+8), ' ')) AS lines
+  FROM t
+), k AS (
+  SELECT doc_id, lines,
+         list_filter(lines, x -> NOT regexp_matches(x, '{noise}')) AS kept
+  FROM l
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(lines) - len(kept) AS BIGINT) AS lines_removed,
+       CAST(len(list_filter(kept, x -> regexp_matches(x, '{head}'))) AS BIGINT) AS headings_added,
+       md5(coalesce(array_to_string(
+         list_transform(kept, x -> CASE WHEN regexp_matches(x, '{h2}') THEN '## ' || x
+                                        WHEN regexp_matches(x, '{h3}') THEN '### ' || x
+                                        ELSE x END), '<ln>'), '')) AS cleaned_hash
+FROM k
+""".format(noise=_NOISE_RE, head=_HEAD_RE, h2=_H2_RE, h3=_H3_RE)
+
+
+# ---------------------------------------------------------------------------
+# q_running_tokens — F3/A4 within-document frequency boilerplate removal
+# (Boilerpipe-style running-header heuristic, clean_txt.py:195-230): any unit
+# repeating >= 3x inside one document is boilerplate and is removed,
+# order-preserved. Distributed shape: posexplode -> count over
+# Window(doc, unit) -> filter -> ordered re-assembly.
+# ---------------------------------------------------------------------------
+
+def spark_running_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.posexplode(F.filter(F.split(F.col("text"), " "), lambda x: x != "")).alias(
+            "pos", "tok"
+        ),
+    )
+    w = Window.partitionBy("doc_id", "tok")
+    df = df.withColumn("cnt", F.count("*").over(w))
+    kept_struct = F.when(
+        F.col("cnt") < 3, F.struct(F.col("pos"), F.col("tok"))
+    )  # null (dropped by collect_list) when the token is running boilerplate
+    return df.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("cnt") >= 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["tok"]
+                ),
+                " ",
+            )
+        ).alias("kept_hash"),
+    )
+
+
+_RUNNING_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tokens
+  FROM documents
+), ex AS (
+  SELECT doc_id,
+         unnest(range(1, len(tokens) + 1)) AS ord,
+         unnest(tokens) AS tok
+  FROM t
+), c AS (
+  SELECT doc_id, tok, ord,
+         count(*) OVER (PARTITION BY doc_id, tok) AS cnt
+  FROM ex
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       md5(coalesce(string_agg(tok, ' ' ORDER BY ord) FILTER (WHERE cnt < 3), '')) AS kept_hash
+FROM c
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_multizone — S8/S9/S10: first-5 + last-2 page slices with an explicit
+# "[DOCUMENT MIDDLE OMITTED: N pages]" marker (text_extractor.py:475-553) and
+# the image-based-PDF probe (< 50 chars, text_extractor.py:560-588). Pages are
+# 10-token chunks of the synthetic text. Pure array ops — no shuffle.
+# ---------------------------------------------------------------------------
+
+def spark_multizone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir).withColumn(
+        "tokens", F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    )
+    df = df.withColumn("pages", F.expr(_LINES_EXPR.format(w=10)))
+    n_pages = F.size("pages")
+    df = df.withColumn(
+        "kept",
+        F.expr(
+            "case when size(pages) > 7 then concat(slice(pages, 1, 5), "
+            "array(concat('...[DOCUMENT MIDDLE OMITTED: ', "
+            "cast(size(pages) - 7 as string), ' pages]...')), "
+            "slice(pages, -2, 2)) else pages end"
+        ),
+    )
+    return df.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        n_pages.cast("bigint").alias("n_pages"),
+        F.when(n_pages > 7, n_pages - 7).otherwise(0).cast("bigint").alias("n_omitted"),
+        (F.col("n_chars") < 50).alias("is_image_like"),
+        F.md5(F.array_join(F.col("kept"), "<pg>")).alias("multizone_hash"),
+    )
+
+
+_MULTIZONE_SQL = """
+WITH t AS (
+  SELECT doc_id, n_chars,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tokens
+  FROM documents
+), p AS (
+  SELECT doc_id, n_chars,
+         list_transform(range(0, CAST(ceil(len(tokens)/10.0) AS INT)),
+                        i -> array_to_string(list_slice(tokens, i*10+1, i*10+10), ' ')) AS pages
+  FROM t
+), k AS (
+  SELECT doc_id, n_chars, pages,
+         CASE WHEN len(pages) > 7
+              THEN list_concat(list_concat(
+                     list_slice(pages, 1, 5),
+                     ['...[DOCUMENT MIDDLE OMITTED: ' || CAST(len(pages) - 7 AS VARCHAR) || ' pages]...']),
+                     list_slice(pages, len(pages) - 1, len(pages)))
+              ELSE pages END AS kept
+  FROM p
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(pages) AS BIGINT) AS n_pages,
+       CAST(CASE WHEN len(pages) > 7 THEN len(pages) - 7 ELSE 0 END AS BIGINT) AS n_omitted,
+       n_chars < 50 AS is_image_like,
+       md5(array_to_string(kept, '<pg>')) AS multizone_hash
+FROM k
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_filename_format — N9/N10/N11 formatter chains + C1/C6 pure-function code:
+# field formatters (court: strip '.', ' '->'_'; case_name: '&'->and, keep
+# [a-zA-Z0-9 -], ' '->'-', collapse/trim; citation: keep [a-zA-Z0-9_]),
+# template render 'c.{court}__{year}__{case_name}__{citation}----{code}.ext',
+# filesystem sanitize + 255 truncate (filename_formatter.py:91-365), and the
+# base-25 no-W code derived as a pure function of doc_id — map-only, no
+# window/shuffle (contrast q_code_assign's sequential row_number variant).
+# ---------------------------------------------------------------------------
+
+def _code_from(col, alphabet: str):
+    digits = [
+        F.substring(
+            F.lit(alphabet),
+            ((col / (25**p)).cast("bigint") % 25).cast("int") + 1,
+            1,
+        )
+        for p in (4, 3, 2, 1, 0)
+    ]
+    return F.concat(*digits)
+
+
+def spark_filename_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    court_raw = F.concat("source", F.lit(" "), F.upper("lang"), F.lit("."))
+    court = F.regexp_replace(F.regexp_replace(court_raw, r"[.]", ""), r"\s+", "_")
+    case_raw = F.expr(
+        "array_join(slice(filter(split(text, ' '), x -> x != ''), 1, 3), ' ')"
+    )
+    case_name = F.regexp_replace(case_raw, "&", "and")
+    case_name = F.regexp_replace(case_name, r"[^a-zA-Z0-9\s-]", "")
+    case_name = F.regexp_replace(case_name, r"\s+", "-")
+    case_name = F.regexp_replace(F.regexp_replace(case_name, r"-{2,}", "-"), r"^-+|-+$", "")
+    cite_raw = F.concat(F.upper("lang"), F.lit(" "), "source")
+    citation = F.regexp_replace(F.regexp_replace(cite_raw, r"[.]", ""), r"\s+", "_")
+    citation = F.regexp_replace(citation, r"[^a-zA-Z0-9_]", "")
+    citation = F.regexp_replace(F.regexp_replace(citation, r"_{2,}", "_"), r"^_+|_+$", "")
+    year = F.coalesce(
+        F.nullif(F.regexp_extract("source", "([0-9]+)", 1), F.lit("")), F.lit("XXXX")
+    )
+    code = _code_from(F.col("doc_id").cast("bigint"), ALPHABET)
+    raw = F.concat(
+        F.lit("c."), court, F.lit("__"), year, F.lit("__"), case_name,
+        F.lit("__"), citation, F.lit("----"), code, F.lit(".txt"),
+    )
+    sanitized = F.regexp_replace(raw, r'[<>:"/\\|?*]', "")
+    return df.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        court.alias("court"),
+        year.alias("year"),
+        case_name.alias("case_name"),
+        citation.alias("citation"),
+        code.alias("unique_code"),
+        F.substring(sanitized, 1, 255).alias("filename"),
+    )
+
+
+_FILENAME_SQL = r"""
+WITH f AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         regexp_replace(regexp_replace(source || ' ' || upper(lang) || '.', '[.]', '', 'g'), '\s+', '_', 'g') AS court,
+         coalesce(nullif(regexp_extract(source, '([0-9]+)', 1), ''), 'XXXX') AS year,
+         regexp_replace(regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 array_to_string(list_slice(list_filter(string_split(text, ' '), x -> x <> ''), 1, 3), ' '),
+                 '&', 'and', 'g'),
+               '[^a-zA-Z0-9\s-]', '', 'g'),
+             '\s+', '-', 'g'),
+           '-{2,}', '-', 'g'), '^-+|-+$', '', 'g') AS case_name,
+         regexp_replace(regexp_replace(
+           regexp_replace(
+             regexp_replace(upper(lang) || ' ' || source, '[.]', '', 'g'),
+             '\s+', '_', 'g'),
+           '[^a-zA-Z0-9_]', '', 'g'),
+           '_{2,}', '_', 'g') AS citation_pre,
+         __CODE__ AS unique_code
+  FROM documents
+), g AS (
+  SELECT doc_id, court, year, case_name,
+         regexp_replace(citation_pre, '^_+|_+$', '', 'g') AS citation,
+         unique_code
+  FROM f
+)
+SELECT doc_id, court, year, case_name, citation, unique_code,
+       substring(regexp_replace(
+         'c.' || court || '__' || year || '__' || case_name || '__' || citation
+              || '----' || unique_code || '.txt',
+         '[<>:"/\\|?*]', '', 'g'), 1, 255) AS filename
+FROM g
+""".replace(
+    "__CODE__",
+    " || ".join(
+        "substring('%s', CAST((doc_id // %d) %% 25 AS INT) + 1, 1)" % (ALPHABET, 25**p)
+        for p in (4, 3, 2, 1, 0)
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
+# q_heading_context — W1/W4 context-sensitive heading detection: lag/lead over
+# (doc, line_no) — a line is a heading candidate only if it matches the
+# heading regex AND its neighbourhood agrees (clean_txt.py:233-274 requires a
+# blank adjacent line; here: document boundary or a preceding noise line).
+# Level rule: '#' if len < 25 else '##' (clean_txt.py:262-265).
+# ---------------------------------------------------------------------------
+
+def spark_heading_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir).withColumn(
+        "tokens", F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    )
+    df = df.withColumn("lines", F.expr(_LINES_EXPR.format(w=8)))
+    ex = df.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.posexplode("lines").alias("line_no", "line"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("line_no")
+    prev = F.lag("line").over(w)
+    nxt = F.lead("line").over(w)
+    cand = F.col("line").rlike(_H2_RE) & (
+        prev.isNull() | nxt.isNull() | prev.rlike("(table|row)$")
+    )
+    lvl1 = cand & (F.length("line") < 25)
+    ex = ex.withColumn("cand", cand).withColumn("lvl1", lvl1)
+    return ex.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum(F.when(F.col("cand"), 1).otherwise(0)).cast("bigint").alias("n_candidates"),
+        F.sum(F.when(F.col("lvl1"), 1).otherwise(0)).cast("bigint").alias("n_h1"),
+        F.coalesce(
+            F.min(F.when(F.col("cand"), F.col("line_no"))), F.lit(-1)
+        ).cast("bigint").alias("first_candidate_line"),
+    )
+
+
+_HEADING_CTX_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tokens
+  FROM documents
+), l AS (
+  SELECT doc_id,
+         list_transform(range(0, CAST(ceil(len(tokens)/8.0) AS INT)),
+                        i -> array_to_string(list_slice(tokens, i*8+1, i*8+8), ' ')) AS lines
+  FROM t
+), ex AS (
+  SELECT doc_id,
+         unnest(range(0, len(lines))) AS line_no,
+         unnest(lines) AS line
+  FROM l
+), wd AS (
+  SELECT doc_id, line_no, line,
+         lag(line) OVER (PARTITION BY doc_id ORDER BY line_no) AS prev,
+         lead(line) OVER (PARTITION BY doc_id ORDER BY line_no) AS nxt
+  FROM ex
+), c AS (
+  SELECT doc_id, line_no, line,
+         regexp_matches(line, '{h2}')
+           AND (prev IS NULL OR nxt IS NULL OR regexp_matches(prev, '(table|row)$')) AS cand
+  FROM wd
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN cand THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+       CAST(sum(CASE WHEN cand AND length(line) < 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_h1,
+       CAST(coalesce(min(CASE WHEN cand THEN line_no END), -1) AS BIGINT) AS first_candidate_line
+FROM c
+GROUP BY doc_id
+""".format(h2=_H2_RE)
+
+
+# ---------------------------------------------------------------------------
+# q_embed_neardup — embedding-cosine near-duplicate pairs (training-data op):
+# label-blocked self-join (the blocking key bounds the quadratic term — at
+# scale this is the LSH/IVF bucket id from q_ann_lsh_buckets), integer-
+# quantized cosine^2 so both engines agree exactly. Threshold cos^2 >= 0.1.
+# ---------------------------------------------------------------------------
+
+_NEARDUP_SCALE = 128  # |v| < 1 → |q| <= 128; dot < 2^20, dot^2*1e6 < 2^60: no overflow
+_NEARDUP_THR = 100_000  # cos^2 in micros
+
+
+def spark_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qe = F.expr(
+        "transform(embedding, v -> cast(floor(cast(v as double) * %d) as bigint))"
+        % _NEARDUP_SCALE
+    )
+    emb = _embeddings(spark, sf_dir).select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), F.col("label"), qe.alias("qe")
+    )
+    emb = emb.withColumn(
+        "nrm",
+        F.aggregate(
+            F.zip_with("qe", "qe", lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    j = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a.qe"), F.col("b.qe"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    j = j.select(
+        F.col("a.vec_id").alias("a"),
+        F.col("b.vec_id").alias("b"),
+        dot.alias("dot"),
+        (F.col("a.nrm") * F.col("b.nrm")).alias("nprod"),
+    )
+    return (
+        j.filter(F.col("dot") > 0)
+        .withColumn(
+            "cos_sq_micros", F.expr("(dot * dot * 1000000) div nprod").cast("bigint")
+        )
+        .filter(F.col("cos_sq_micros") >= _NEARDUP_THR)
+        .select("a", "b", "cos_sq_micros")
+    )
+
+
+_NEARDUP_SQL = """
+WITH q AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, label,
+         list_transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * {s}) AS BIGINT)) AS qe
+  FROM embeddings
+), n AS (
+  SELECT vec_id, label, qe,
+         list_sum(list_transform(qe, x -> x * x)) AS nrm
+  FROM q
+), p AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         CAST(list_sum(list_transform(range(1, len(a.qe) + 1), i -> a.qe[i] * b.qe[i])) AS BIGINT) AS dot,
+         CAST(a.nrm * b.nrm AS BIGINT) AS nprod
+  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT a, b,
+       CAST((dot * dot * 1000000) // nprod AS BIGINT) AS cos_sq_micros
+FROM p
+WHERE dot > 0 AND (dot * dot * 1000000) // nprod >= {thr}
+""".format(s=_NEARDUP_SCALE, thr=_NEARDUP_THR)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -862,6 +1297,12 @@ SPARK_QUERIES = {
     "q_code_assign": spark_code_assign,
     "q_source_stats": spark_source_stats,
     "q_convert_pipeline": spark_convert_pipeline,
+    "q_line_ops": spark_line_ops,
+    "q_running_tokens": spark_running_tokens,
+    "q_multizone": spark_multizone,
+    "q_filename_format": spark_filename_format,
+    "q_heading_context": spark_heading_context,
+    "q_embed_neardup": spark_embed_neardup,
 }
 
 ORACLE_SQL = {
@@ -883,4 +1324,10 @@ ORACLE_SQL = {
     "q_code_assign": _CODE_ASSIGN_SQL,
     "q_source_stats": _SOURCE_STATS_SQL,
     # q_convert_pipeline intentionally has no oracle (kernel semantics)
+    "q_line_ops": _LINE_OPS_SQL,
+    "q_running_tokens": _RUNNING_SQL,
+    "q_multizone": _MULTIZONE_SQL,
+    "q_filename_format": _FILENAME_SQL,
+    "q_heading_context": _HEADING_CTX_SQL,
+    "q_embed_neardup": _NEARDUP_SQL,
 }
