@@ -1275,6 +1275,145 @@ WHERE dot > 0 AND (dot * dot * 1000000) // nprod >= {thr}
 
 
 # ---------------------------------------------------------------------------
+# q_metadata_extract — W3 priority-ordered first-match-wins extraction
+# (caselaw.py:167-174/245-314: rules sorted by priority, first regex that
+# matches wins) compiled to COALESCE(NULLIF(regexp_extract(...))) chains. The
+# testdata vocabulary contains no legal captions, so a deterministic caption
+# column is derived per doc (three caption shapes competing for the same
+# chain, exercising priority order); the literal caselaw.yaml patterns run
+# byte-exact in the rename kernel tests.
+# ---------------------------------------------------------------------------
+
+def spark_metadata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir).withColumn(
+        "tokens", F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    )
+    cap = F.expr(
+        "concat(upper(substring(element_at(tokens, 1), 1, 1)), "
+        "substring(element_at(tokens, 1), 2))"
+    )
+    cap2 = F.expr(
+        "concat(upper(substring(element_at(tokens, 2), 1, 1)), "
+        "substring(element_at(tokens, 2), 2))"
+    )
+    yy = F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0")
+    caption = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("In re "), cap))
+        .when(F.col("doc_id") % 3 == 1, F.concat(cap, F.lit(" v. "), cap2))
+        .otherwise(F.concat(F.lit("State vs. "), cap))
+    )
+    caption = F.concat(caption, F.lit(" (20"), yy, F.lit(")"))
+    df = df.withColumn("caption", caption)
+    case_name = F.coalesce(
+        F.nullif(
+            F.regexp_extract("caption", r"([A-Z][a-z]+\s+v\.\s+[A-Z][a-z]+)", 1),
+            F.lit(""),
+        ),
+        F.nullif(F.regexp_extract("caption", r"In re\s+([A-Z][a-z]+)", 1), F.lit("")),
+        F.nullif(
+            F.regexp_extract("caption", r"State vs\.\s+([A-Z][a-z]+)", 1), F.lit("")
+        ),
+        F.lit("UNKNOWN"),
+    )
+    year = F.coalesce(
+        F.nullif(F.regexp_extract("caption", r"\((20[0-9]{2})\)", 1), F.lit("")),
+        F.lit("XXXX"),
+    )
+    return df.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("caption"),
+        case_name.alias("case_name"),
+        year.alias("year"),
+    )
+
+
+_METADATA_SQL = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tokens
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 3 = 0
+               THEN 'In re ' || upper(substring(tokens[1], 1, 1)) || substring(tokens[1], 2)
+               WHEN doc_id % 3 = 1
+               THEN upper(substring(tokens[1], 1, 1)) || substring(tokens[1], 2)
+                    || ' v. ' || upper(substring(tokens[2], 1, 1)) || substring(tokens[2], 2)
+               ELSE 'State vs. ' || upper(substring(tokens[1], 1, 1)) || substring(tokens[1], 2)
+          END) || ' (20' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ')' AS caption
+  FROM t
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       caption,
+       coalesce(
+         nullif(regexp_extract(caption, '([A-Z][a-z]+\s+v\.\s+[A-Z][a-z]+)', 1), ''),
+         nullif(regexp_extract(caption, 'In re\s+([A-Z][a-z]+)', 1), ''),
+         nullif(regexp_extract(caption, 'State vs\.\s+([A-Z][a-z]+)', 1), ''),
+         'UNKNOWN') AS case_name,
+       coalesce(nullif(regexp_extract(caption, '\((20[0-9]{2})\)', 1), ''), 'XXXX') AS year
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_court_lookup — J1 broadcast dimension join: the reference's literal
+# state -> Bluebook fallback map (caselaw.py:362-391) as a broadcast dim,
+# equi-joined on the lowercased state key. One source of truth (_STATE_DIM)
+# feeds both engines.
+# ---------------------------------------------------------------------------
+
+_STATE_DIM = [
+    ("georgia", "Ga.", "Ga"),
+    ("utah", "Utah", "Utah"),
+    ("california", "Cal.", "Cal"),
+    ("texas", "Tex.", "Tex"),
+    ("florida", "Fla.", "Fla"),
+    ("ohio", "Ohio", "Ohio"),
+    ("illinois", "Ill.", "Ill"),
+    ("virginia", "Va.", "Va"),
+    ("alabama", "Ala.", "Ala"),
+    ("kansas", "Kan.", "Kan"),
+]
+
+
+def spark_court_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = spark.createDataFrame(
+        _STATE_DIM, ["state", "bluebook", "filename_code"]
+    )
+    docs = _docs(spark, sf_dir).withColumn(
+        "state",
+        F.element_at(
+            F.array(*[F.lit(s) for s, _, _ in _STATE_DIM]),
+            (F.col("doc_id") % len(_STATE_DIM)).cast("int") + 1,
+        ),
+    )
+    joined = docs.join(F.broadcast(dim), on="state", how="left")
+    return joined.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "state",
+        "bluebook",
+        "filename_code",
+    )
+
+
+_COURT_LOOKUP_SQL = """
+WITH dim(state, bluebook, filename_code) AS (
+  VALUES {vals}
+), d AS (
+  SELECT doc_id,
+         {states}[CAST(doc_id % {n} AS INT) + 1] AS state
+  FROM documents
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       d.state, dim.bluebook, dim.filename_code
+FROM d LEFT JOIN dim ON d.state = dim.state
+""".format(
+    vals=", ".join("('%s', '%s', '%s')" % t for t in _STATE_DIM),
+    states="[" + ", ".join("'%s'" % s for s, _, _ in _STATE_DIM) + "]",
+    n=len(_STATE_DIM),
+)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1303,6 +1442,8 @@ SPARK_QUERIES = {
     "q_filename_format": spark_filename_format,
     "q_heading_context": spark_heading_context,
     "q_embed_neardup": spark_embed_neardup,
+    "q_metadata_extract": spark_metadata_extract,
+    "q_court_lookup": spark_court_lookup,
 }
 
 ORACLE_SQL = {
@@ -1330,4 +1471,6 @@ ORACLE_SQL = {
     "q_filename_format": _FILENAME_SQL,
     "q_heading_context": _HEADING_CTX_SQL,
     "q_embed_neardup": _NEARDUP_SQL,
+    "q_metadata_extract": _METADATA_SQL,
+    "q_court_lookup": _COURT_LOOKUP_SQL,
 }
