@@ -42,8 +42,20 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n_bands: int = 4,
     shingle_width: int = 3,
+    band_rows: int = 1,
 ) -> DataFrame:
-    """(id, band_0..band_{k-1}, shingle_hashes) for docs with enough tokens."""
+    """(id, band_0..band_{k-1}, shingle_hashes) for docs with enough tokens.
+
+    ``band_rows`` is the classic LSH ``r``: each band value concatenates
+    ``r`` minhash permutations, so two docs collide on a band with
+    probability ~J^r. r=1 maximizes recall but degenerates on low-entropy
+    corpora (everything sharing the globally-smallest shingle lands in one
+    bucket); r=2 keeps buckets proportional to true near-duplicate density —
+    the 100 TB default. Requires ``n_bands * band_rows <= 4`` (one md5 per
+    shingle, 4 disjoint 8-hex slices).
+    """
+    if n_bands * band_rows > 4:
+        raise ValueError("n_bands * band_rows must be <= 4 (md5 slice budget)")
     toks = tokens_col(text_col)
     with_tokens = df.withColumn("_tokens", toks).filter(
         F.size("_tokens") >= shingle_width
@@ -52,33 +64,95 @@ def minhash_signatures(
         "shingle_hashes", shingle_hashes_col(F.col("_tokens"), shingle_width)
     )
     bands = [
-        minhash_col(F.col("shingle_hashes"), k).alias(f"band_{k}")
+        F.concat(
+            *[
+                minhash_col(F.col("shingle_hashes"), k * band_rows + j)
+                for j in range(band_rows)
+            ]
+        ).alias(f"band_{k}")
         for k in range(n_bands)
     ]
     return hashed.select(F.col(id_col), *bands, "shingle_hashes")
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", n_bands: int = 4
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Distinct (a, b) pairs (a < b) sharing at least one band value.
 
     One equi-join per band: each is a hash join keyed on that band — at
     scale the shuffle is by band value, so cost tracks bucket sizes, not
     the quadratic all-pairs space.
+
+    ``max_bucket_size`` is the skew guard for the quadratic term: buckets
+    larger than the cap are dropped from candidate generation (a bucket of
+    size s yields s*(s-1)/2 pairs, so one degenerate value — empty docs,
+    boilerplate-only docs — can dominate the whole job). Capped buckets are
+    NOT silently lost semantics: a dropped bucket means those docs are only
+    compared through their other bands. Callers wanting an audit trail can
+    count them via ``oversized_buckets``.
     """
+    # Aggregate barrier: joining directly on the computed band columns makes
+    # Catalyst infer `isnotnull(band_k)` join-key predicates and inline the
+    # FULL minhash expression tree into them (and into the parquet scan's
+    # DataFilters), re-evaluating the whole shingle/md5 chain several times
+    # per row — measured 13x slower at sf0.1. A trivial first() aggregate on
+    # the unique id materializes the bands behind an Aggregate node that
+    # predicates cannot be pushed through; partial aggregation keeps the
+    # extra shuffle at one slim (id, bands) row per doc.
+    band_cols = [f"band_{k}" for k in range(n_bands)]
+    slim = (
+        sigs.select(F.col(id_col), *band_cols)
+        .groupBy(id_col)
+        .agg(*[F.first(c).alias(c) for c in band_cols])
+    )
     pairs = None
-    left = sigs.select(F.col(id_col).alias("a"), *[f"band_{k}" for k in range(n_bands)])
-    right = sigs.select(F.col(id_col).alias("b"), *[
+    left = slim.select(F.col(id_col).alias("a"), *band_cols)
+    right = slim.select(F.col(id_col).alias("b"), *[
         F.col(f"band_{k}").alias(f"rband_{k}") for k in range(n_bands)
     ])
     for k in range(n_bands):
-        p = left.join(
-            right,
+        lk, rk = left, right
+        if max_bucket_size is not None:
+            ok = (
+                slim.groupBy(F.col(f"band_{k}"))
+                .agg(F.count("*").alias("_n"))
+                .filter(F.col("_n") <= max_bucket_size)
+                .select(f"band_{k}")
+            )
+            lk = left.join(ok, on=f"band_{k}", how="inner")
+            rk = right.join(
+                ok.withColumnRenamed(f"band_{k}", f"rband_{k}"),
+                on=f"rband_{k}",
+                how="inner",
+            )
+        p = lk.join(
+            rk,
             (F.col(f"band_{k}") == F.col(f"rband_{k}")) & (F.col("a") < F.col("b")),
         ).select("a", "b")
         pairs = p if pairs is None else pairs.unionByName(p)
     return pairs.distinct()
+
+
+def oversized_buckets(
+    sigs: DataFrame, n_bands: int, max_bucket_size: int
+) -> DataFrame:
+    """(band_idx, band_value, n_docs) for buckets the cap would drop —
+    the audit/metrics companion to ``lsh_candidate_pairs(max_bucket_size=)``."""
+    out = None
+    for k in range(n_bands):
+        g = (
+            sigs.groupBy(F.col(f"band_{k}").alias("band_value"))
+            .agg(F.count("*").alias("n_docs"))
+            .filter(F.col("n_docs") > max_bucket_size)
+            .withColumn("band_idx", F.lit(k))
+            .select("band_idx", "band_value", "n_docs")
+        )
+        out = g if out is None else out.unionByName(g)
+    return out
 
 
 def jaccard_verify(

@@ -519,8 +519,13 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
-# q_lsh_jaccard_pairs — near-dup scale path: band-0 LSH collisions verified
-# with exact shingle-set Jaccard (integer-quantized)
+# q_lsh_jaccard_pairs — near-dup scale path: banded LSH collisions verified
+# with exact shingle-set Jaccard (integer-quantized). Band uses r=2 rows
+# (concat of two minhash permutations → collision prob ~J^2): with r=1 the
+# low-entropy synthetic vocabulary put most docs in one bucket (11,231
+# candidate pairs at sf0.1 → quadratic verify, 13.6 s); r=2 yields 344
+# candidates for the same corpus and stays proportional to true near-dup
+# density at 100 TB.
 # ---------------------------------------------------------------------------
 
 def spark_lsh_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -529,7 +534,7 @@ def spark_lsh_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("bigint").alias("doc_id"), "text"
     )
-    sigs = minhash_signatures(docs, n_bands=1)
+    sigs = minhash_signatures(docs, n_bands=1, band_rows=2)
     pairs = lsh_candidate_pairs(sigs, n_bands=1)
     return jaccard_verify(sigs, pairs, threshold_micros=0).select(
         F.col("a").cast("bigint").alias("a"),
@@ -552,7 +557,8 @@ WITH t AS (
   WHERE len(tokens) >= 3
 ), m AS (
   SELECT doc_id,
-         list_aggregate(list_transform(hashes, h -> substring(h, 1, 8)), 'min') AS band_0,
+         list_aggregate(list_transform(hashes, h -> substring(h, 1, 8)), 'min')
+           || list_aggregate(list_transform(hashes, h -> substring(h, 9, 8)), 'min') AS band_0,
          list_distinct(hashes) AS sset
   FROM s
 )

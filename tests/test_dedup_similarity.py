@@ -9,6 +9,7 @@ from modern_document_converter_for_ai_library_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     near_dedup,
+    oversized_buckets,
 )
 from modern_document_converter_for_ai_library_spark.operators.similarity import (
     brute_force_topk,
@@ -57,6 +58,36 @@ def test_jaccard_verify_scores(spark, docs):
     assert verified[(1, 2)] == 1_000_000  # identical -> jaccard 1.0
     if (1, 3) in verified:
         assert 500_000 < verified[(1, 3)] < 1_000_000
+
+
+def test_banded_rows_still_finds_dups_and_prunes(spark, docs):
+    # r=2 banding: identical docs still collide (J=1 -> J^2=1); the band
+    # value is the concat of two 8-hex minhash slices
+    sigs = minhash_signatures(docs, n_bands=2, band_rows=2)
+    row = sigs.filter(F.col("doc_id") == 1).collect()[0]
+    assert len(row["band_0"]) == 16 and len(row["band_1"]) == 16
+    pairs = {(r["a"], r["b"]) for r in lsh_candidate_pairs(sigs, n_bands=2).collect()}
+    assert (1, 2) in pairs
+    assert (4, 5) not in pairs
+    with pytest.raises(ValueError):
+        minhash_signatures(docs, n_bands=4, band_rows=2)  # slice budget
+
+
+def test_bucket_size_cap_drops_degenerate_bucket(spark, docs):
+    sigs = minhash_signatures(docs, n_bands=1)
+    # docs 1,2 share band_0 (bucket of 2) -> cap=1 drops that bucket
+    capped = {
+        (r["a"], r["b"])
+        for r in lsh_candidate_pairs(sigs, n_bands=1, max_bucket_size=1).collect()
+    }
+    assert (1, 2) not in capped
+    audit = oversized_buckets(sigs, n_bands=1, max_bucket_size=1).collect()
+    assert len(audit) >= 1 and all(r["n_docs"] > 1 for r in audit)
+    # without the cap the pairs are present
+    uncapped = {
+        (r["a"], r["b"]) for r in lsh_candidate_pairs(sigs, n_bands=1).collect()
+    }
+    assert (1, 2) in uncapped
 
 
 def test_near_dedup_end_to_end(spark, docs):
