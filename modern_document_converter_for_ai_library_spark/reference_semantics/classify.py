@@ -93,9 +93,41 @@ _PRESCAN: dict[str, tuple[tuple[str, ...], bool]] = {
     r"\b(?:Opinion|affirm|reverse|remand)\b": (("opinion", "affirm", "reverse", "remand"), False),
 }
 
-# Pre-compile every scoring pattern once per process; attach its prescan.
+def _lowered_equiv(pat: str) -> re.Pattern | None:
+    """Case-SENSITIVE compile of the lowercased pattern, usable in place of
+    an IGNORECASE search when the subject text is ASCII and already lowered
+    (plain search is 2-3x faster than IGNORECASE in CPython's re).
+
+    Only safe when lowercasing the pattern source cannot change its meaning:
+    reject patterns containing any backslash-uppercase escape (``\\W \\S \\B
+    \\D`` … would silently become their complements). ASCII literal chars and
+    ``[A-Z]``-style ranges lowercase correctly for this purpose.
+    """
+    if re.search(r"\\[A-Z]", pat):
+        return None
+    try:
+        return re.compile(pat.lower())
+    except re.error:
+        return None
+
+
+# Pre-compile every scoring pattern once per process; attach its prescan and
+# (for IGNORECASE patterns) the lowered fast-path equivalent.
 _COMPILED: list[
-    tuple[str, list[tuple[re.Pattern, float, str, tuple[str, ...] | None, bool, bool]]]
+    tuple[
+        str,
+        list[
+            tuple[
+                re.Pattern,
+                float,
+                str,
+                tuple[str, ...] | None,
+                bool,
+                bool,
+                re.Pattern | None,
+            ]
+        ],
+    ]
 ] = [
     (
         name,
@@ -107,6 +139,7 @@ _COMPILED: list[
                 _PRESCAN.get(pat, (None, False))[0],
                 _PRESCAN.get(pat, (None, False))[1],
                 cs,
+                None if cs else _lowered_equiv(pat),
             )
             for (pat, weight, cs), desc in zip(patterns, descriptions)
         ],
@@ -116,22 +149,36 @@ _COMPILED: list[
 
 
 def score_type(
-    text: str, type_name: str, use_prescan: bool = True
+    text: str,
+    type_name: str,
+    use_prescan: bool = True,
+    _lower: str | None = None,
 ) -> tuple[float, list[str]]:
-    """Score one document type; returns (score, matched indicator texts)."""
-    lower = text.lower() if use_prescan else ""
+    """Score one document type; returns (score, matched indicator texts).
+
+    ``_lower`` lets callers scoring several types share one lowercase pass.
+    """
+    lower = (_lower if _lower is not None else text.lower()) if use_prescan else ""
+    # the lowered fast path requires lower to be a faithful char-for-char
+    # image of text (ASCII guarantees it; e.g. 'İ'.lower() changes length)
+    ascii_fast = use_prescan and text.isascii()
     for name, compiled in _COMPILED:
         if name != type_name:
             continue
         score = 0.0
         hits: list[str] = []
-        for rx, weight, desc, literals, pure, cs in compiled:
+        for rx, weight, desc, literals, pure, cs, rx_low in compiled:
             if use_prescan and literals is not None:
                 haystack = text if cs else lower
                 present = any(lit in haystack for lit in literals)
                 if not present:
                     continue
-                matched = True if pure else bool(rx.search(text))
+                if pure:
+                    matched = True
+                elif ascii_fast and rx_low is not None:
+                    matched = bool(rx_low.search(lower))
+                else:
+                    matched = bool(rx.search(text))
             else:
                 matched = bool(rx.search(text))
             if matched:
@@ -153,8 +200,9 @@ def classify_text(text: str) -> ClassifyResult:
     best_name: str | None = None
     best_score = 0.0
     best_hits: list[str] = []
+    lower = text.lower()
     for name, _ in _COMPILED:
-        score, hits = score_type(text, name)
+        score, hits = score_type(text, name, _lower=lower)
         if score > best_score:  # strictly greater: earlier rule set wins ties
             best_name, best_score, best_hits = name, score, hits
 

@@ -18,42 +18,95 @@ import re
 from functools import lru_cache
 
 
+def _combinable(patterns: tuple[str, ...]) -> bool:
+    """True when every pattern is safe to merge into one alternation:
+    no inline-flag/group-modifier constructs (``(?i)`` mid-pattern is an
+    error in Python 3.11+, and flags must not leak between alternatives).
+    Plain non-capturing groups are fine."""
+    return all(
+        "(?" not in p.replace("(?:", "") and not re.search(r"\\[0-9]", p)
+        for p in patterns
+    )
+
+
 @lru_cache(maxsize=16)
-def _compiled_noise(patterns: tuple[str, ...]) -> tuple[re.Pattern, ...]:
-    return tuple(re.compile(p) for p in patterns)
+def _compiled_noise(
+    patterns: tuple[str, ...],
+) -> tuple[tuple[re.Pattern, ...], re.Pattern | None]:
+    """(per-pattern regexes, combined-alternation regex or None).
+
+    Noise semantics are ANY-match → drop (the per-pattern order only decides
+    *which* pattern matched, and the action is identical for all), so one
+    combined ``(?:p1)|(?:p2)|…`` match call replaces k calls per line.
+    Combined form used only when provably safe (see _combinable).
+    """
+    per = tuple(re.compile(p) for p in patterns)
+    combined = (
+        re.compile("|".join(f"(?:{p})" for p in patterns))
+        if patterns and _combinable(patterns)
+        else None
+    )
+    return per, combined
 
 
 @lru_cache(maxsize=16)
 def _compiled_headings(
     patterns: tuple[tuple[str, str], ...]
-) -> tuple[tuple[re.Pattern, str], ...]:
-    return tuple((re.compile(p), prefix) for p, prefix in patterns)
+) -> tuple[tuple[tuple[re.Pattern, str], ...], re.Pattern | None]:
+    """(ordered (regex, prefix) pairs, combined prescan regex or None).
+
+    Heading prefixes differ per pattern (first match wins), so the ordered
+    loop stays authoritative; the combined regex is only a prescan — when it
+    does not match, no individual pattern can (union semantics), and most
+    lines are not headings.
+    """
+    per = tuple((re.compile(p), prefix) for p, prefix in patterns)
+    pats = tuple(p for p, _ in patterns)
+    combined = (
+        re.compile("|".join(f"(?:{p})" for p in pats))
+        if pats and _combinable(pats)
+        else None
+    )
+    return per, combined
 
 
 def apply_cleaning_rules(text: str, rules: dict) -> tuple[str, dict]:
     """Apply noise deletion then heading markup; returns (text, stats)."""
-    noise = _compiled_noise(tuple(rules.get("noise_patterns", ())))
-    headings = _compiled_headings(tuple(map(tuple, rules.get("heading_patterns", ()))))
+    noise, noise_any = _compiled_noise(tuple(rules.get("noise_patterns", ())))
+    headings, head_any = _compiled_headings(
+        tuple(map(tuple, rules.get("heading_patterns", ())))
+    )
 
-    stats = {"lines_removed": 0, "headings_added": 0}
-
-    kept: list[str] = []
-    for line in text.split("\n"):
-        for rx in noise:
-            if rx.match(line):
-                stats["lines_removed"] += 1
-                break
-        else:
-            kept.append(line)
+    lines_removed = 0
+    headings_added = 0
 
     out: list[str] = []
-    for line in kept:
-        for rx, prefix in headings:
-            if rx.match(line):
-                out.append(f"{prefix}{line}")
-                stats["headings_added"] += 1
-                break
+    for line in text.split("\n"):
+        if noise_any is not None:
+            if noise_any.match(line):
+                lines_removed += 1
+                continue
+        else:
+            dropped = False
+            for rx in noise:
+                if rx.match(line):
+                    lines_removed += 1
+                    dropped = True
+                    break
+            if dropped:
+                continue
+        if head_any is None or head_any.match(line):
+            for rx, prefix in headings:
+                if rx.match(line):
+                    out.append(f"{prefix}{line}")
+                    headings_added += 1
+                    break
+            else:
+                out.append(line)
         else:
             out.append(line)
 
-    return "\n".join(out), stats
+    return "\n".join(out), {
+        "lines_removed": lines_removed,
+        "headings_added": headings_added,
+    }

@@ -190,6 +190,12 @@ def test_prefilter_equivalence_on_corpus():
         "Sections 12",  # 'section' present; '(?:Section|Sec.)\\s+\\d+' vs 'Sections 12'
         "SUPREME COURT",  # pure-literal ci
         "u.s advisory",  # prescan 'u.s' present but regex U\\.S\\.C\\. absent
+        # non-ASCII: the lowered-pattern fast path must disable itself
+        # (İ.lower() is 2 chars; ß is caseless) and fall back to IGNORECASE
+        "İstanbul Court of Appeals",
+        "ß Opinion Per Curiam",
+        "Smith v. Jones DECIDED March 4, 2019",
+        "U.S.C. § 101 TITLE 5",
     ]
     for t in texts:
         for tn in ("caselaw", "statute"):
