@@ -1420,6 +1420,88 @@ FROM d LEFT JOIN dim ON d.state = dim.state
 
 
 # ---------------------------------------------------------------------------
+# q_markdown_strip — N6 markdown→plain-text strip chain (12 regexp_replace in
+# the reference's exact order, functions/markdown.py). The testdata text has
+# no markdown, so each row first renders a deterministic markdown document
+# from its tokens (heading, bold, blockquote, list, link, inline code,
+# hrule), then strips it; both the rendered and stripped forms are hashed.
+# ---------------------------------------------------------------------------
+
+def spark_markdown_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.markdown import strip_markdown
+
+    df = _docs(spark, sf_dir).withColumn(
+        "tokens", F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    )
+    tok = lambda i: F.expr(f"element_at(tokens, {i})")  # noqa: E731
+    rest = F.expr(
+        "case when size(tokens) > 7 "
+        "then array_join(slice(tokens, 8, size(tokens) - 7), ' ') else '' end"
+    )
+    nl = F.lit("\n")
+    md = F.concat(
+        F.lit("# "), tok(1), nl,
+        F.lit("**"), tok(2), F.lit("** and *"), tok(3), F.lit("*"), nl,
+        F.lit("> "), tok(4), nl,
+        F.lit("- "), tok(5), nl,
+        F.lit("1. ["), tok(6), F.lit("](http://example.com)"), nl,
+        F.lit("`"), tok(7), F.lit("`"), nl,
+        F.lit("---"), nl,
+        rest,
+    )
+    df = df.withColumn("md", md)
+    return df.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.md5("md").alias("md_hash"),
+        F.md5(strip_markdown(F.col("md"))).alias("stripped_hash"),
+        (F.length("md") - F.length(strip_markdown(F.col("md"))))
+        .cast("bigint")
+        .alias("chars_stripped"),
+    )
+
+
+def _markdown_sql() -> str:
+    from .functions.markdown import MARKDOWN_STRIP_RULES
+
+    expr = "md"
+    for pat, rep in MARKDOWN_STRIP_RULES:
+        # DuckDB single-quoted strings are escape-free: backslashes pass
+        # through to RE2 verbatim; only quotes need doubling
+        expr = "regexp_replace(%s, '%s', '%s', 'g')" % (
+            expr,
+            pat.replace("'", "''"),
+            rep.replace("$1", r"\1"),
+        )
+    return r"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tokens
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         '# ' || tokens[1] || chr(10) ||
+         '**' || tokens[2] || '** and *' || tokens[3] || '*' || chr(10) ||
+         '> ' || tokens[4] || chr(10) ||
+         '- ' || tokens[5] || chr(10) ||
+         '1. [' || tokens[6] || '](http://example.com)' || chr(10) ||
+         '`' || tokens[7] || '`' || chr(10) ||
+         '---' || chr(10) ||
+         (CASE WHEN len(tokens) > 7
+               THEN array_to_string(list_slice(tokens, 8, len(tokens)), ' ')
+               ELSE '' END) AS md
+  FROM t
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       md5(md) AS md_hash,
+       md5(__STRIP__) AS stripped_hash,
+       CAST(length(md) - length(__STRIP__) AS BIGINT) AS chars_stripped
+FROM m
+""".replace("__STRIP__", expr)
+
+
+_MARKDOWN_STRIP_SQL = _markdown_sql()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1450,6 +1532,7 @@ SPARK_QUERIES = {
     "q_embed_neardup": spark_embed_neardup,
     "q_metadata_extract": spark_metadata_extract,
     "q_court_lookup": spark_court_lookup,
+    "q_markdown_strip": spark_markdown_strip,
 }
 
 ORACLE_SQL = {
@@ -1479,4 +1562,5 @@ ORACLE_SQL = {
     "q_embed_neardup": _NEARDUP_SQL,
     "q_metadata_extract": _METADATA_SQL,
     "q_court_lookup": _COURT_LOOKUP_SQL,
+    "q_markdown_strip": _MARKDOWN_STRIP_SQL,
 }
