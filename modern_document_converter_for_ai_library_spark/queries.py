@@ -1502,6 +1502,114 @@ _MARKDOWN_STRIP_SQL = _markdown_sql()
 
 
 # ---------------------------------------------------------------------------
+# q_frontmatter — N12/N13: YAML frontmatter render + final assembly. In
+# practice the reference emits only type + source_file (convert_step.py:
+# 152-160 calls with code=None, metadata={}), which plain string formatting
+# renders byte-exactly; the full-metadata yaml.dump variant lives in the
+# kernel. Output = frontmatter + '\n\n' + text hash (assembly N13).
+# ---------------------------------------------------------------------------
+
+def spark_frontmatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    doc_type = F.when(F.col("doc_id") % 2 == 0, F.lit("caselaw")).otherwise(
+        F.lit("statute")
+    )
+    source_file = F.concat(F.lit("doc_"), F.col("doc_id").cast("string"), F.lit(".pdf"))
+    fm = F.concat(
+        F.lit("---\ntype: "), doc_type,
+        F.lit("\nsource_file: "), source_file,
+        F.lit("\n---"),
+    )
+    assembled = F.concat(fm, F.lit("\n\n"), F.col("text"))
+    return df.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.md5(fm).alias("frontmatter_hash"),
+        F.md5(assembled).alias("assembled_hash"),
+        F.length(assembled).cast("bigint").alias("n_chars_out"),
+    )
+
+
+_FRONTMATTER_SQL = """
+WITH f AS (
+  SELECT doc_id, text,
+         '---' || chr(10) || 'type: ' ||
+         CASE WHEN doc_id % 2 = 0 THEN 'caselaw' ELSE 'statute' END ||
+         chr(10) || 'source_file: doc_' || CAST(doc_id AS VARCHAR) || '.pdf' ||
+         chr(10) || '---' AS fm
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       md5(fm) AS frontmatter_hash,
+       md5(fm || chr(10) || chr(10) || text) AS assembled_hash,
+       CAST(length(fm || chr(10) || chr(10) || text) AS BIGINT) AS n_chars_out
+FROM f
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_code_discovery — C2/C3: find an embedded ----XXXXX code in the filename,
+# validate (5 chars, A-Z minus W), preserve a valid found code, otherwise
+# fall back to the generated one (code_generator.py:45,191-227,392-436 —
+# discover-or-generate as coalesce). Filenames are synthesized per row so
+# all three cases occur: valid code (preserved), invalid WWWWW (replaced),
+# none (generated).
+# ---------------------------------------------------------------------------
+
+def spark_code_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    gen = _code_from(F.col("doc_id").cast("bigint"), ALPHABET)
+    embedded = _code_from((F.col("doc_id") * 7 + 13).cast("bigint"), ALPHABET)
+    filename = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("brief----"), embedded, F.lit(".pdf")),
+        )
+        .when(F.col("doc_id") % 3 == 1, F.lit("brief----WWWWW.pdf"))
+        .otherwise(F.lit("brief.pdf"))
+    )
+    df = df.withColumn("filename_in", filename)
+    found = F.regexp_extract("filename_in", r"----([A-VX-Z]{5})(?:\.|$)", 1)
+    final = F.coalesce(F.nullif(found, F.lit("")), gen)
+    return df.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("filename_in"),
+        F.nullif(found, F.lit("")).alias("found_code"),
+        final.alias("unique_code"),
+        (F.nullif(found, F.lit("")).isNotNull()).alias("was_preserved"),
+    )
+
+
+_CODE_DISCOVERY_SQL = r"""
+WITH f AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'brief----' || __EMB__ || '.pdf'
+              WHEN doc_id % 3 = 1 THEN 'brief----WWWWW.pdf'
+              ELSE 'brief.pdf' END AS filename_in,
+         __GEN__ AS gen_code
+  FROM documents
+)
+SELECT doc_id, filename_in,
+       nullif(regexp_extract(filename_in, '----([A-VX-Z]{5})(\.|$)', 1), '') AS found_code,
+       coalesce(nullif(regexp_extract(filename_in, '----([A-VX-Z]{5})(\.|$)', 1), ''), gen_code) AS unique_code,
+       nullif(regexp_extract(filename_in, '----([A-VX-Z]{5})(\.|$)', 1), '') IS NOT NULL AS was_preserved
+FROM f
+""".replace(
+    "__GEN__",
+    " || ".join(
+        "substring('%s', CAST((doc_id // %d) %% 25 AS INT) + 1, 1)" % (ALPHABET, 25**p)
+        for p in (4, 3, 2, 1, 0)
+    ),
+).replace(
+    "__EMB__",
+    " || ".join(
+        "substring('%s', CAST(((doc_id * 7 + 13) // %d) %% 25 AS INT) + 1, 1)"
+        % (ALPHABET, 25**p)
+        for p in (4, 3, 2, 1, 0)
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1533,6 +1641,8 @@ SPARK_QUERIES = {
     "q_metadata_extract": spark_metadata_extract,
     "q_court_lookup": spark_court_lookup,
     "q_markdown_strip": spark_markdown_strip,
+    "q_frontmatter": spark_frontmatter,
+    "q_code_discovery": spark_code_discovery,
 }
 
 ORACLE_SQL = {
@@ -1563,4 +1673,6 @@ ORACLE_SQL = {
     "q_metadata_extract": _METADATA_SQL,
     "q_court_lookup": _COURT_LOOKUP_SQL,
     "q_markdown_strip": _MARKDOWN_STRIP_SQL,
+    "q_frontmatter": _FRONTMATTER_SQL,
+    "q_code_discovery": _CODE_DISCOVERY_SQL,
 }
