@@ -6,17 +6,16 @@ tasks — the convert kernel needs the whole span sequence in order — so the
 lever is *placement*: spread the big documents evenly instead of letting a
 hash bucket collect several of them.
 
-``balance_by_size`` implements size-aware round-robin placement: rank docs by
-byte size descending, assign partition = rank mod N. The rank needs one
-window shuffle, but it guarantees every partition receives at most
-ceil(K/N) of the K largest docs — the worst-case straggler is bounded by one
-giant doc rather than a hash collision of several. At 100 TB this is the
-difference between a 1.05x and a 10x straggler tail.
+``balance_by_size`` implements two-tier placement: the bulk is hash
+partitioned; the giant tail is ROUND-ROBIN repartitioned so every partition
+receives at most ceil(K/N) of the K largest docs — the worst-case straggler
+is bounded by one giant doc rather than a hash collision of several. At
+100 TB this is the difference between a 1.05x and a 10x straggler tail.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SIZE_BUCKET_BOUNDS = [1_000, 10_000, 100_000, 1_000_000]  # chars
@@ -60,18 +59,19 @@ def balance_by_size(
       exactly what this avoids.
     """
     sized = df.withColumn("_n_chars", doc_char_count(spans_col))
-    small = sized.filter(F.col("_n_chars") <= giant_threshold).withColumn(
-        "_part", F.pmod(F.hash("doc_id"), F.lit(num_partitions))
+    # bulk tier: plain hash repartition — uniform at corpus scale
+    small = sized.filter(F.col("_n_chars") <= giant_threshold).repartition(
+        num_partitions, F.col("doc_id")
     )
-    giants_w = Window.orderBy(F.desc("_n_chars"), F.col("doc_id"))
-    giants = (
-        sized.filter(F.col("_n_chars") > giant_threshold)
-        .withColumn("_rank", F.row_number().over(giants_w))
-        .withColumn("_part", F.pmod(F.col("_rank"), F.lit(num_partitions)))
-        .drop("_rank")
+    # giant tier: ROUND-ROBIN repartition. RoundRobinPartitioning places rows
+    # into partitions cyclically, so no partition receives two giants until
+    # every partition has one — a guarantee hash placement cannot give.
+    # (An earlier variant computed rank-mod-N into a `_part` column and
+    # repartitioned BY that column; repartition hashes the column value, so
+    # two distinct ranks could still collide into one partition.)
+    giants = sized.filter(F.col("_n_chars") > giant_threshold).repartition(
+        num_partitions
     )
-    return (
-        small.unionByName(giants)
-        .repartition(num_partitions, F.col("_part"))
-        .drop("_n_chars", "_part")
-    )
+    # union is narrow (no shuffle): the kernel stage sees both tiers'
+    # partitions as-is, giants isolated from the hashed bulk
+    return small.unionByName(giants).drop("_n_chars")
