@@ -1610,6 +1610,33 @@ FROM f
 
 
 # ---------------------------------------------------------------------------
+# q_rename_pipeline — the full rename flow (classify -> metadata -> code
+# discovery/allocation -> canonical filename) over the flat table adapted to
+# spans. Kernel semantics (Python-re metadata extraction, yaml configs), so
+# no SQL oracle: the driver records a rows-only check, like
+# q_convert_pipeline.
+# ---------------------------------------------------------------------------
+
+def spark_rename_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.rename import rename_documents
+    from .sources import flat_to_spans
+
+    df = flat_to_spans(_docs(spark, sf_dir)).withColumn(
+        "source_file", F.concat("doc_id", F.lit(".pdf"))
+    )
+    out = rename_documents(df)
+    return out.select(
+        "doc_id",
+        "document_type",
+        "case_name",
+        "year",
+        "unique_code",
+        "new_filename",
+        "rename_success",
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1643,6 +1670,7 @@ SPARK_QUERIES = {
     "q_markdown_strip": spark_markdown_strip,
     "q_frontmatter": spark_frontmatter,
     "q_code_discovery": spark_code_discovery,
+    "q_rename_pipeline": spark_rename_pipeline,
 }
 
 ORACLE_SQL = {
