@@ -189,11 +189,14 @@ def near_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold_micros: int = 500_000,
+    n_bands: int = 4,
+    band_rows: int = 1,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """End-to-end near-dup marking: docs keep ``canonical_doc_id`` =
     min(doc_id) over themselves and their verified near-duplicates."""
-    sigs = minhash_signatures(df, text_col, id_col)
-    pairs = lsh_candidate_pairs(sigs, id_col)
+    sigs = minhash_signatures(df, text_col, id_col, n_bands=n_bands, band_rows=band_rows)
+    pairs = lsh_candidate_pairs(sigs, id_col, n_bands=n_bands, max_bucket_size=max_bucket_size)
     verified = jaccard_verify(sigs, pairs, id_col, threshold_micros)
     # neighbor edges in both directions + self so every doc has a row
     edges = (

@@ -1610,6 +1610,66 @@ FROM f
 
 
 # ---------------------------------------------------------------------------
+# q_near_dedup — end-to-end near-duplicate canonicalization: banded LSH
+# candidates (r=2) -> exact Jaccard >= 0.5 verify -> canonical_doc_id =
+# min(doc_id) over self + verified neighbors (single-pass union-find
+# approximation; operators/dedup.py:near_dedup). The testdata plants true
+# near-duplicates (23 pairs at J~0.99 at sf0.01), so merges really happen.
+# ---------------------------------------------------------------------------
+
+def spark_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import near_dedup
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    out = near_dedup(docs, threshold_micros=500_000, n_bands=1, band_rows=2)
+    return out.select(
+        "doc_id",
+        F.col("canonical_doc_id").cast("bigint").alias("canonical_doc_id"),
+        "is_near_duplicate",
+    )
+
+
+_NEAR_DEDUP_SQL = """
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tokens
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(range(1, len(tokens) - 1),
+                          i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]),
+           x -> md5(x)) AS hashes
+  FROM t WHERE len(tokens) >= 3
+), m AS (
+  SELECT doc_id,
+         list_aggregate(list_transform(hashes, h -> substring(h, 1, 8)), 'min')
+           || list_aggregate(list_transform(hashes, h -> substring(h, 9, 8)), 'min') AS band_0,
+         list_distinct(hashes) AS sset
+  FROM s
+), v AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM m x JOIN m y ON x.band_0 = y.band_0 AND x.doc_id < y.doc_id
+  WHERE (CAST(len(list_intersect(x.sset, y.sset)) AS BIGINT) * 1000000)
+        // (len(x.sset) + len(y.sset) - len(list_intersect(x.sset, y.sset))) >= 500000
+), e AS (
+  SELECT a AS doc_id, b AS nbr FROM v
+  UNION ALL
+  SELECT b AS doc_id, a AS nbr FROM v
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+)
+SELECT doc_id,
+       CAST(min(nbr) AS BIGINT) AS canonical_doc_id,
+       min(nbr) <> doc_id AS is_near_duplicate
+FROM e
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_rename_pipeline — the full rename flow (classify -> metadata -> code
 # discovery/allocation -> canonical filename) over the flat table adapted to
 # spans. Kernel semantics (Python-re metadata extraction, yaml configs), so
@@ -1671,6 +1731,7 @@ SPARK_QUERIES = {
     "q_frontmatter": spark_frontmatter,
     "q_code_discovery": spark_code_discovery,
     "q_rename_pipeline": spark_rename_pipeline,
+    "q_near_dedup": spark_near_dedup,
 }
 
 ORACLE_SQL = {
@@ -1703,4 +1764,5 @@ ORACLE_SQL = {
     "q_markdown_strip": _MARKDOWN_STRIP_SQL,
     "q_frontmatter": _FRONTMATTER_SQL,
     "q_code_discovery": _CODE_DISCOVERY_SQL,
+    "q_near_dedup": _NEAR_DEDUP_SQL,
 }
