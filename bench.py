@@ -37,8 +37,17 @@ def main() -> None:
     )
 
     # warm the JVM + Python worker pool once so per-query numbers measure the
-    # operators, not interpreter startup
+    # operators, not interpreter startup (same methodology as
+    # scripts/scaling_bench.py: a sample convert forks and imports the kernel
+    # on every core before anything is timed)
     spark.range(1000).selectExpr("sum(id)").collect()
+    from modern_document_converter_for_ai_library_spark.operators import (
+        convert_documents,
+    )
+    from modern_document_converter_for_ai_library_spark.sources import flat_to_spans
+
+    warm = flat_to_spans(spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(256))
+    convert_documents(warm).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
