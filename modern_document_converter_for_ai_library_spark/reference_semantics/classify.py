@@ -40,6 +40,11 @@ class ClassifyResult(NamedTuple):
 _PRESCAN: dict[str, tuple[tuple[str, ...], bool]] = {
     # caselaw (rules.CASELAW_PATTERNS order)
     r"\b\w+\s+v\.\s+\w+|\b\w+\s+versus\s+\w+": (("v.", "versus"), False),
+    # reporter citation starts with \d+ -> a digit is a necessary condition
+    r"\d+\s+[A-Z][a-z]+\.?\s+(?:App\.\s+)?(?:2d|3d)?\s*\d+": (
+        tuple("0123456789"),
+        False,
+    ),
     (
         r"Court of Appeals|Supreme Court|District Court|Circuit Court"
         r"|Superior Court|Appellate Court"
@@ -71,6 +76,11 @@ _PRESCAN: dict[str, tuple[tuple[str, ...], bool]] = {
     r"\b(?:Section|§)\s+\d+|\bU\.S\.C\.|United States Code": (("section", "§", "u.s"), False),
     # statute (rules.STATUTE_PATTERNS order; shared strings reuse entries)
     r"Official Code of": (("official code of",), True),
+    "§": (("§",), True),  # a bare literal is its own (pure) prescan
+    # the spaced-acronym patterns all require a literal '.'
+    r"O\.\s*C\.\s*G\.\s*A\.": ((".",), False),
+    r"U\.\s*S\.\s*C\.": ((".",), False),
+    r"C\.\s*F\.\s*R\.": ((".",), False),
     r"TITLE\s+\d+": (("title",), False),
     r"Chapter\s+\d+": (("chapter",), False),
     r"\bCode of\b": (("code of",), False),
