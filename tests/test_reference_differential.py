@@ -1,0 +1,234 @@
+"""DIFFERENTIAL tests: run the ACTUAL reference implementation (imported
+read-only from /root/reference) side by side with our kernels on the same
+inputs and require identical outputs.
+
+This is a strictly stronger check than the transcribed goldens in
+test_reference_semantics.py: any drift between our re-implementation and the
+real reference code — pattern sets, rule ordering, edge-case handling —
+fails here even if the transcriptions were wrong.
+
+The reference resolves its YAML/JSON config relative to the CWD, so every
+test chdirs into /root/reference (read-only is fine; nothing is written —
+bytecode writing is disabled too).
+"""
+
+import sys
+
+import pytest
+
+sys.dont_write_bytecode = True
+if "/root/reference" not in sys.path:
+    sys.path.insert(0, "/root/reference")
+
+try:
+    from src.cleaners.text_normalizer import normalize_text as ref_normalize
+    from src.services import code_generator as ref_cg
+    from src.services.classifier import classify as ref_classify
+    from src.services.classifier import get_all_scores as ref_scores
+    from src.formatters.filename_formatter import FilenameFormatter as RefFormatter
+    from src.plugins.caselaw import CaselawProcessor as RefCaselaw
+    from src.steps.convert_step import ConvertStep as RefConvertStep
+
+    _REF_OK = True
+except Exception:  # pragma: no cover - reference tree unavailable
+    _REF_OK = False
+
+pytestmark = pytest.mark.skipif(not _REF_OK, reason="reference tree not importable")
+
+from modern_document_converter_for_ai_library_spark.reference_semantics.classify import (
+    classify_text as our_classify,
+    score_type as our_score,
+)
+from modern_document_converter_for_ai_library_spark.reference_semantics import codes as our_cg
+from modern_document_converter_for_ai_library_spark.reference_semantics.cleanrules import (
+    apply_cleaning_rules as our_apply_rules,
+)
+from modern_document_converter_for_ai_library_spark.reference_semantics.filename import (
+    format_case_name as our_case_name,
+    format_citation as our_citation,
+    format_court as our_court,
+    format_filename as our_filename,
+    format_year as our_year,
+)
+from modern_document_converter_for_ai_library_spark.reference_semantics.frontmatter import (
+    generate_frontmatter as our_frontmatter,
+)
+from modern_document_converter_for_ai_library_spark.reference_semantics.metadata import (
+    extract_caselaw_metadata as our_metadata,
+)
+from modern_document_converter_for_ai_library_spark.reference_semantics.normalize import (
+    normalize_text as our_normalize,
+)
+from modern_document_converter_for_ai_library_spark.reference_semantics.rules import (
+    cleaning_rules_for,
+)
+
+
+@pytest.fixture(autouse=True)
+def _in_reference_dir(monkeypatch):
+    monkeypatch.chdir("/root/reference")
+
+
+@pytest.fixture(scope="module")
+def texts():
+    from modern_document_converter_for_ai_library_spark.reference_semantics.convert import (
+        reassemble_text,
+    )
+    from modern_document_converter_for_ai_library_spark.sources.synth import (
+        synth_documents_pandas,
+    )
+
+    pdf = synth_documents_pandas(250, seed=42)
+    out = []
+    for spans in pdf["spans"]:
+        out.append(
+            reassemble_text(
+                [
+                    s
+                    if isinstance(s, dict)
+                    else dict(zip(("kind", "text", "media_ref", "offset"), s))
+                    for s in spans
+                ]
+            )
+        )
+    out += [
+        "",
+        "   \n\t \n",
+        "Smith v. Jones, Appellant\nCourt of Appeals of Georgia\n"
+        "July 3, 2014, Decided\n328 Ga. App. 524\nEnd of Document",
+        "Official Code of Georgia Annotated\n§ 16-3-1\nTITLE 16",
+        "defend-\nant moved to PLAIN-\nTIFF's house",
+        "a.B,c  d\te\r\nf\n\n\n\ng",
+        "In re Gault, 387 U.S. 1 (1967)",
+        "randomly unrelated prose about gardening tools",
+    ]
+    return out
+
+
+def test_normalize_differential(texts):
+    for t in texts:
+        assert our_normalize(t) == ref_normalize(t), repr(t[:80])
+
+
+def test_classifier_scores_differential(texts):
+    for t in texts:
+        if not t.strip():
+            continue  # reference get_all_scores asserts on empty separately
+        ref = ref_scores(t)
+        for type_name, (ref_score, ref_inds) in ref.items():
+            score, inds = our_score(t, type_name)
+            assert score == ref_score, (type_name, t[:80], score, ref_score)
+            assert inds == ref_inds, (type_name, t[:80])
+
+
+def test_classify_differential(texts):
+    for t in texts:
+        ref = ref_classify(t)
+        ours = our_classify(t)
+        assert ours.document_type == ref.document_type.value, t[:80]
+        assert ours.confidence == pytest.approx(ref.confidence), t[:80]
+        assert list(ours.indicators) == list(ref.indicators), t[:80]
+
+
+def test_code_math_differential():
+    indices = [0, 1, 24, 25, 624, 625, 390624, 390625, 9765624]
+    for i in indices:
+        assert our_cg.index_to_code(i) == ref_cg.index_to_code(i), i
+        assert our_cg.code_to_index(our_cg.index_to_code(i)) == ref_cg.code_to_index(
+            ref_cg.index_to_code(i)
+        )
+    for code in ["AAAAA", "ZZZZZ", "ABXCD", "WWWWW", "AAAAW", "AAAA", "aaaaa", "AAAA1"]:
+        assert our_cg.is_valid_code(code) == ref_cg.is_valid_code(code), code
+    for fname in [
+        "brief----ABXCD.pdf",
+        "brief----WWWWW.pdf",
+        "brief.pdf",
+        "x----AAAAA",
+        "x----AAAAA.tar.gz",
+        "a----AAAAA----BBBBB.pdf",
+    ]:
+        assert our_cg.discover_code(fname) == ref_cg.extract_code_from_filename(
+            fname
+        ), fname
+
+
+def test_filename_formatter_differential():
+    ref = RefFormatter("caselaw")
+    courts = ["Ga. Ct. App.", "N.D. Ill.", "Utah", "S. Ct.", " spaced  name "]
+    years = ["2014", "", None, "1899"]
+    names = [
+        "Indian Trail, LLC v. State Bank & Trust Co.",
+        "A  B--C",
+        "-lead-trail-",
+        "Ünïcôdé & Co.",
+    ]
+    cites = ["328 Ga. App. 524", "759 S.E.2d 654", " odd  cite. "]
+    for c in courts:
+        assert our_court(c) == ref.format_court(c), c
+    for y in years:
+        assert our_year(y or "") == ref.format_year(y or ""), y
+    for n in names:
+        assert our_case_name(n) == ref.format_case_name(n), n
+    for ci in cites:
+        assert our_citation(ci) == ref.format_citation(ci), ci
+    fields = {
+        "court": "Ga. Ct. App.",
+        "year": "2014",
+        "case_name": "Indian Trail, LLC v. State Bank & Trust Co.",
+        "citation": "328 Ga. App. 524",
+    }
+    ref_name = ref.format_filename(fields, "AAAAA", ".pdf")
+    assert our_filename(fields, "AAAAA", ".pdf") == ref_name
+
+
+def test_caselaw_metadata_differential(texts):
+    ref = RefCaselaw()
+    for t in texts:
+        if not t.strip():
+            continue
+        ref_md = ref.extract_metadata(t)
+        ours = our_metadata(t)
+        ref_fields = {k: f.value for k, f in ref_md.fields.items()}
+        assert ours == ref_fields, t[:80]
+
+
+def test_cleaning_rules_differential(texts):
+    step = RefConvertStep(None)
+    for doc_type in ("caselaw", "statute", "statutes", "unknown"):
+        ref_rules = step._load_cleaning_rules(doc_type)
+        our_rules = cleaning_rules_for(doc_type)
+        # reference YAML keeps each rule as {pattern, description, action};
+        # our compiled form flattens to the strings the engine consumes
+        ref_noise = [p["pattern"] for p in ref_rules.get("noise_patterns", [])]
+        assert our_rules.get("noise_patterns", []) == ref_noise, doc_type
+        ref_heads = [
+            (h["pattern"], h["markdown_prefix"]) for h in ref_rules.get("heading_patterns", [])
+        ]
+        our_heads = [tuple(h) for h in our_rules.get("heading_patterns", [])]
+        assert our_heads == ref_heads, doc_type
+    rules = step._load_cleaning_rules("caselaw")
+    for t in texts:
+        ref_text, ref_stats = step._apply_cleaning_rules(t, rules)
+        ref_removed = ref_stats["lines_removed"]
+        ref_added = ref_stats["headings_added"]
+        our_text, stats = our_apply_rules(
+            t,
+            {
+                "noise_patterns": [
+                    p["pattern"] for p in rules.get("noise_patterns", [])
+                ],
+                "heading_patterns": [
+                    (h["pattern"], h["markdown_prefix"])
+                    for h in rules.get("heading_patterns", [])
+                ],
+            },
+        )
+        assert our_text == ref_text, t[:80]
+        assert stats["lines_removed"] == ref_removed, t[:80]
+        assert stats["headings_added"] == ref_added, t[:80]
+
+
+def test_frontmatter_differential(texts):
+    step = RefConvertStep(None)
+    ref_fm = step._generate_frontmatter("caselaw", "smith.pdf", None, {})
+    assert our_frontmatter("caselaw", "smith.pdf") == ref_fm
