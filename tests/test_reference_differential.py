@@ -64,9 +64,14 @@ from modern_document_converter_for_ai_library_spark.reference_semantics.rules im
 )
 
 
-@pytest.fixture(autouse=True)
-def _in_reference_dir(monkeypatch):
-    monkeypatch.chdir("/root/reference")
+@pytest.fixture(autouse=True, scope="module")
+def _in_reference_dir():
+    import os
+
+    cwd = os.getcwd()
+    os.chdir("/root/reference")
+    yield
+    os.chdir(cwd)
 
 
 @pytest.fixture(scope="module")
@@ -232,3 +237,113 @@ def test_frontmatter_differential(texts):
     step = RefConvertStep(None)
     ref_fm = step._generate_frontmatter("caselaw", "smith.pdf", None, {})
     assert our_frontmatter("caselaw", "smith.pdf") == ref_fm
+
+
+# ---------------------------------------------------------------------------
+# property-based differential fuzzing: hypothesis drives both
+# implementations with adversarial strings; any divergence is a real bug in
+# our re-implementation (the reference IS the spec)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+# fragments that interact with the rule regexes, composed into documents
+_FRAGMENTS = st.sampled_from(
+    [
+        "Page 3 of 17",
+        "End of Document",
+        "As of: November 28, 2024 8:48 PM Z",
+        "Load Date: December 1, 2024",
+        "|",
+        "***",
+        "Opinion by: LAGRUA",
+        "OPINION",
+        "BACKGROUND AND FACTS",
+        "1. Analysis",
+        "II. Facts",
+        "Smith v. Jones",
+        "328 Ga. App. 524",
+        "Court of Appeals of Georgia",
+        "July 3, 2014, Decided",
+        "defend-",
+        "ant",
+        "PLAIN-",
+        "TIFF",
+        "a.B",
+        "x,y",
+        "",
+        " ",
+        "\t",
+        "word-  word",
+        "§ 16-3-1",
+        "U.S.C.",
+        "O. C. G. A.",
+        "randomly unrelated prose",
+    ]
+)
+_DOCS = st.lists(_FRAGMENTS, min_size=0, max_size=12).map("\n".join)
+_RAW = st.text(
+    alphabet=" .,\n\t\r-§|*#\N{LATIN SMALL LETTER I WITH DIAERESIS}"
+    "vVwWcCpPsSuU0123456789abdefgilmnoqrtxyzJAEIOT",
+    max_size=160,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.one_of(_DOCS, _RAW))
+def test_normalize_diff_property(text):
+    assert our_normalize(text) == ref_normalize(text)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.one_of(_DOCS, _RAW))
+def test_classify_diff_property(text):
+    ref = ref_classify(text)
+    ours = our_classify(text)
+    assert ours.document_type == ref.document_type.value
+    assert ours.confidence == pytest.approx(ref.confidence)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_DOCS)
+def test_cleaning_diff_property(text):
+    import os
+
+    cwd = os.getcwd()
+    os.chdir("/root/reference")  # @given doesn't compose with monkeypatch
+    try:
+        step = RefConvertStep(None)
+        rules = step._load_cleaning_rules("caselaw")
+    finally:
+        os.chdir(cwd)
+    ref_text, ref_stats = step._apply_cleaning_rules(text, rules)
+    our_text, stats = our_apply_rules(
+        text,
+        {
+            "noise_patterns": [p["pattern"] for p in rules.get("noise_patterns", [])],
+            "heading_patterns": [
+                (h["pattern"], h["markdown_prefix"])
+                for h in rules.get("heading_patterns", [])
+            ],
+        },
+    )
+    assert our_text == ref_text
+    assert stats["lines_removed"] == ref_stats["lines_removed"]
+    assert stats["headings_added"] == ref_stats["headings_added"]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=" .,&-_'\"<>:/\\|?*\tA-Za-z0123456789éü", max_size=60))
+def test_formatter_diff_property(s):
+    import os
+
+    cwd = os.getcwd()
+    os.chdir("/root/reference")
+    try:
+        ref = RefFormatter("caselaw")
+    finally:
+        os.chdir(cwd)
+    assert our_court(s) == ref.format_court(s)
+    assert our_case_name(s) == ref.format_case_name(s)
+    assert our_citation(s) == ref.format_citation(s)
+    assert our_year(s) == ref.format_year(s)
