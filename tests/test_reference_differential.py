@@ -239,6 +239,54 @@ def test_frontmatter_differential(texts):
     assert our_frontmatter("caselaw", "smith.pdf") == ref_fm
 
 
+def _ref_convert_text(step, text: str, source_file: str):
+    """The reference's full convert composition, exactly as
+    ConvertStep.process_file does it post-extraction
+    (convert_step.py:117-160): classify RAW -> normalize -> rules for the
+    classified type -> frontmatter -> f"{fm}\\n\\n{cleaned}"."""
+    classification = ref_classify(text)
+    doc_type = classification.document_type
+    normalized = ref_normalize(text)
+    rules = step._load_cleaning_rules(doc_type.value)
+    cleaned, stats = step._apply_cleaning_rules(normalized, rules)
+    fm = step._generate_frontmatter(
+        doc_type=doc_type.value, source_file=source_file, code=None, metadata={}
+    )
+    return f"{fm}\n\n{cleaned}", stats, classification
+
+
+def test_full_convert_composition_differential(texts):
+    """End-to-end: our span kernel on a single-text-span document must equal
+    the reference pipeline's final file content, statistics, and
+    classification — including the statute/statutes.yaml filename-mismatch
+    quirk (statute docs get empty cleaning rules)."""
+    from modern_document_converter_for_ai_library_spark.reference_semantics.convert import (
+        convert_spans_doc,
+    )
+
+    step = RefConvertStep(None)
+    for t in texts:
+        if not t.strip():
+            continue  # empty docs fail extraction in the reference (F6)
+        ref_content, ref_stats, ref_cls = _ref_convert_text(step, t, "doc.pdf")
+        res = convert_spans_doc(
+            "d",
+            [{"kind": "text", "text": t, "media_ref": "", "offset": 0}],
+            source_file="doc.pdf",
+        )
+        assert res["success"], t[:80]
+        out_spans = res["spans"]
+        assert out_spans[0]["offset"] == 0  # frontmatter span first
+        our_content = out_spans[0]["text"] + "\n\n" + "\n\n".join(
+            s["text"] for s in out_spans[1:] if s["kind"] == "text"
+        ) if len(out_spans) > 1 else out_spans[0]["text"]
+        assert our_content == ref_content, t[:80]
+        assert res["lines_removed"] == ref_stats["lines_removed"], t[:80]
+        assert res["headings_added"] == ref_stats["headings_added"], t[:80]
+        assert res["document_type"] == ref_cls.document_type.value, t[:80]
+        assert res["confidence"] == pytest.approx(ref_cls.confidence), t[:80]
+
+
 # ---------------------------------------------------------------------------
 # property-based differential fuzzing: hypothesis drives both
 # implementations with adversarial strings; any divergence is a real bug in
