@@ -287,6 +287,44 @@ def test_full_convert_composition_differential(texts):
         assert res["confidence"] == pytest.approx(ref_cls.confidence), t[:80]
 
 
+def test_rename_composition_differential(texts):
+    """Rename flow on caselaw docs: our kernel's ``{code}``-templated
+    filename, with a code substituted, must equal the reference composition
+    classify -> CaselawProcessor.extract_metadata -> FilenameFormatter
+    (rename_step.py:123-332, minus the filesystem/registry parts)."""
+    from modern_document_converter_for_ai_library_spark.reference_semantics.convert import (
+        rename_doc,
+    )
+
+    ref_fmt = RefFormatter("caselaw")
+    ref_md = RefCaselaw()
+    n_caselaw = 0
+    for t in texts:
+        if not t.strip():
+            continue
+        ours = rename_doc(
+            "d",
+            [{"kind": "text", "text": t, "media_ref": "", "offset": 0}],
+            source_file="input.pdf",
+        )
+        ref_cls = ref_classify(t)
+        assert ours["document_type"] == ref_cls.document_type.value
+        if ref_cls.document_type.value != "caselaw":
+            assert ours["filename_template"] is None
+            continue
+        n_caselaw += 1
+        fields = {k: f.value for k, f in ref_md.extract_metadata(t).fields.items()}
+        ref_name = ref_fmt.format_filename(fields, "QQQQQ", ".pdf")
+        if ref_name is None:
+            assert ours["filename_template"] is None, t[:80]
+        else:
+            assert ours["filename_template"] is not None, t[:80]
+            assert (
+                ours["filename_template"].replace("{code}", "QQQQQ") == ref_name
+            ), t[:80]
+    assert n_caselaw > 20  # the synthetic corpus plants plenty of caselaw
+
+
 # ---------------------------------------------------------------------------
 # property-based differential fuzzing: hypothesis drives both
 # implementations with adversarial strings; any divergence is a real bug in
