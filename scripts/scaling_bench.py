@@ -29,12 +29,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def generate_corpus(path: str, n_docs: int, seed: int = 42) -> None:
-    import numpy as np
+def _arrow_schema():
     import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    from modern_document_converter_for_ai_library_spark.sources.synth import _make_doc
 
     span_type = pa.struct(
         [
@@ -44,33 +40,57 @@ def generate_corpus(path: str, n_docs: int, seed: int = 42) -> None:
             ("offset", pa.int32()),
         ]
     )
-    schema = pa.schema(
+    return pa.schema(
         [
             ("doc_id", pa.string()),
             ("source_file", pa.string()),
             ("spans", pa.list_(span_type)),
         ]
     )
-    rng = np.random.RandomState(seed)
+
+
+def _write_chunk(args: tuple) -> int:
+    """One worker: generate [start, end) with a chunk-derived rng and write
+    one parquet part. Deterministic: rng = RandomState(seed + chunk_idx)."""
+    path, seed, chunk_idx, start, end = args
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from modern_document_converter_for_ai_library_spark.sources.synth import _make_doc
+
+    rng = np.random.RandomState(seed + chunk_idx)
+    rows = [_make_doc(rng, i) for i in range(start, end)]
+    table = pa.Table.from_pydict(
+        {
+            "doc_id": [r[0] for r in rows],
+            "source_file": [r[1] for r in rows],
+            "spans": [r[2] for r in rows],
+        },
+        schema=_arrow_schema(),
+    )
+    pq.write_table(table, os.path.join(path, f"part-{chunk_idx:04d}.parquet"))
+    return end - start
+
+
+def generate_corpus(path: str, n_docs: int, seed: int = 42) -> None:
+    """Parallel deterministic generation: 128 chunks, each with an
+    independent rng seeded by (seed + chunk index) so the corpus content is
+    a pure function of (seed, n_docs) regardless of worker count or
+    scheduling. Many small files on purpose: scan parallelism must come from
+    the source, not a pre-shuffle."""
+    from multiprocessing import Pool
+
     os.makedirs(path, exist_ok=True)
-    # many small files: scan parallelism must come from the source, not from
-    # a pre-shuffle (one giant file = one scan task = serial first stage)
-    chunk, rows = max(500, n_docs // 128), []
-    writer_idx = 0
-    for i in range(n_docs):
-        rows.append(_make_doc(rng, i))
-        if len(rows) == chunk or i == n_docs - 1:
-            table = pa.Table.from_pydict(
-                {
-                    "doc_id": [r[0] for r in rows],
-                    "source_file": [r[1] for r in rows],
-                    "spans": [r[2] for r in rows],
-                },
-                schema=schema,
-            )
-            pq.write_table(table, os.path.join(path, f"part-{writer_idx:04d}.parquet"))
-            writer_idx += 1
-            rows = []
+    n_chunks = 128
+    bounds = [
+        (path, seed, c, c * n_docs // n_chunks, (c + 1) * n_docs // n_chunks)
+        for c in range(n_chunks)
+    ]
+    workers = min(16, os.cpu_count() or 4)
+    with Pool(workers) as pool:
+        total = sum(pool.map(_write_chunk, bounds, chunksize=4))
+    assert total == n_docs
 
 
 def timed_run(corpus: str, cpus: int) -> dict:
