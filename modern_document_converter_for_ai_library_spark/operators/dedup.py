@@ -26,11 +26,20 @@ MICRO = 1_000_000
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Adds ``canonical_doc_id`` + ``is_duplicate`` via content-hash grouping."""
+    """Adds ``canonical_doc_id`` + ``is_duplicate`` via content-hash grouping.
+
+    Implemented as ``min(id) over (partition by md5(text))`` — ONE shuffle,
+    no join. The earlier groupBy+join formulation shuffled twice AND made
+    Catalyst infer ``isnotnull(md5(text))`` on the join key, re-evaluating
+    the full-text hash inside the scan filter (same pathology as the LSH
+    band join, see lsh_candidate_pairs); window partition keys get neither.
+    """
+    from pyspark.sql import Window
+
     hashed = df.withColumn("_text_hash", F.md5(F.col(text_col)))
-    canon = hashed.groupBy("_text_hash").agg(F.min(id_col).alias("canonical_doc_id"))
+    w = Window.partitionBy("_text_hash")
     return (
-        hashed.join(canon, on="_text_hash", how="inner")
+        hashed.withColumn("canonical_doc_id", F.min(id_col).over(w))
         .withColumn("is_duplicate", F.col(id_col) != F.col("canonical_doc_id"))
         .drop("_text_hash")
     )
