@@ -118,8 +118,11 @@ def spark_classify_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = F.greatest(F.col("caselaw_score"), F.col("statute_score"))
     doc_type = (
         F.when(best < 10, F.lit("unknown"))  # includes <=0 (below low threshold)
-        .when(F.col("caselaw_score") >= F.col("statute_score"), F.lit("caselaw"))
-        .otherwise(F.lit("statute"))
+        # tie-break: the reference iterates rulesets in filesystem glob
+        # order — statute first in this deployment (see rules.py) — and a
+        # tie keeps the first-seen type
+        .when(F.col("statute_score") >= F.col("caselaw_score"), F.lit("statute"))
+        .otherwise(F.lit("caselaw"))
     )
     conf = F.floor(
         F.least(F.greatest(best, F.lit(0)).cast("double") / 100.0, F.lit(1.0)) * MICRO
@@ -144,8 +147,8 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        caselaw_score,
        statute_score,
        CASE WHEN GREATEST(caselaw_score, statute_score) < 10 THEN 'unknown'
-            WHEN caselaw_score >= statute_score THEN 'caselaw'
-            ELSE 'statute' END AS document_type,
+            WHEN statute_score >= caselaw_score THEN 'statute'
+            ELSE 'caselaw' END AS document_type,
        CAST(FLOOR(LEAST(CAST(GREATEST(GREATEST(caselaw_score, statute_score), 0) AS DOUBLE) / 100.0, 1.0) * 1000000) AS BIGINT) AS confidence_micros
 FROM scored
 """.format(case_score=_score_sql(CASELAW_SCORED), stat_score=_score_sql(STATUTE_SCORED))

@@ -110,10 +110,19 @@ STATUTE_DESCRIPTIONS: list[str] = [
 CONFIDENCE_THRESHOLDS = {"high": 60, "medium": 30, "low": 10}
 
 # Iteration order matters for the argmax tie-break (first strictly-greater
-# score wins; classifier.py:287-291). Effective glob order: caselaw, statute.
+# score wins; classifier.py:287-291). The reference iterates its rules dict
+# in ``Path.glob("*.yaml")`` order, which is RAW FILESYSTEM ORDER — not
+# alphabetical. Observed in this deployment: ['statutes.yaml',
+# 'article.yaml', 'caselaw.yaml'] (article disabled), so on a tied score
+# STATUTE wins. Found by differential fuzzing
+# (tests/test_reference_differential.py::test_classify_diff_property with
+# 'Page 3 of 17\nOpinion by: LAGRUA\n§ 16-3-1' — 40.0 vs 40.0); an earlier
+# revision assumed alphabetical caselaw-first and diverged on exactly such
+# ties. Bug-for-bug: this order is itself environment-dependent in the
+# reference; we pin the observed order of the gate environment.
 CLASSIFICATION_RULESETS: list[tuple[str, list[tuple[str, float, bool]], list[str]]] = [
-    ("caselaw", CASELAW_PATTERNS, CASELAW_DESCRIPTIONS),
     ("statute", STATUTE_PATTERNS, STATUTE_DESCRIPTIONS),
+    ("caselaw", CASELAW_PATTERNS, CASELAW_DESCRIPTIONS),
 ]
 
 # --------------------------------------------------------------------------
