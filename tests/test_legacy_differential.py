@@ -12,7 +12,12 @@ import importlib.util
 import sys
 
 import pytest
+import os as _os
+
 from hypothesis import given, settings, strategies as st
+
+# deep-fuzz knob: DIFF_FUZZ_EXAMPLES=3000 pytest ... for a long hunt
+_EX = int(_os.environ.get("DIFF_FUZZ_EXAMPLES", "120"))
 
 sys.dont_write_bytecode = True
 
@@ -69,13 +74,13 @@ def _docs_strategy():
     return st.lists(st.sampled_from(_LINE_POOL), min_size=0, max_size=30)
 
 
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=_EX, deadline=None)
 @given(_docs_strategy())
 def test_full_legacy_pipeline_differential(lines):
     assert ours.clean_legacy_text(lines) == ref_ct.clean_text_content(lines)
 
 
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=_EX, deadline=None)
 @given(_docs_strategy())
 def test_running_headers_and_removal_differential(lines):
     ref_run = ref_ct.collect_running_headers(lines)
@@ -86,20 +91,20 @@ def test_running_headers_and_removal_differential(lines):
     ) == ref_ct.remove_headers_and_page_numbers(lines, ref_run)
 
 
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=_EX, deadline=None)
 @given(_docs_strategy())
 def test_mark_headings_differential(lines):
     run = ref_ct.collect_running_headers(lines)
     assert ours.mark_headings(lines, run) == ref_ct.mark_headings(lines, run)
 
 
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=_EX, deadline=None)
 @given(_docs_strategy())
 def test_build_paragraphs_differential(lines):
     assert ours.build_paragraphs(lines) == ref_ct.build_paragraphs(lines)
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=_EX, deadline=None)
 @given(
     st.text(
         alphabet=" .\n\t'’“”—–… ­fiflABCDEFGHIKLMNOPRSTUVWXYZ"
@@ -130,7 +135,7 @@ _MD_POOL = [
 ]
 
 
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=_EX, deadline=None)
 @given(st.lists(st.sampled_from(_MD_POOL), min_size=0, max_size=20).map("\n".join))
 def test_markdown_cleaner_differential(text):
     assert ours_md.clean_markdown(text) == ref_md.clean_markdown(text)

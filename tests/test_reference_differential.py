@@ -331,7 +331,12 @@ def test_rename_composition_differential(texts):
 # our re-implementation (the reference IS the spec)
 # ---------------------------------------------------------------------------
 
-from hypothesis import given, settings, strategies as st  # noqa: E402
+import os as _os
+
+from hypothesis import given, settings, strategies as st
+
+# deep-fuzz knob: DIFF_FUZZ_EXAMPLES=3000 pytest ... for a long hunt
+_EX = int(_os.environ.get("DIFF_FUZZ_EXAMPLES", "150"))  # noqa: E402
 
 # fragments that interact with the rule regexes, composed into documents
 _FRAGMENTS = st.sampled_from(
@@ -375,13 +380,13 @@ _RAW = st.text(
 )
 
 
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=_EX, deadline=None)
 @given(st.one_of(_DOCS, _RAW))
 def test_normalize_diff_property(text):
     assert our_normalize(text) == ref_normalize(text)
 
 
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=_EX, deadline=None)
 @given(st.one_of(_DOCS, _RAW))
 def test_classify_diff_property(text):
     ref = ref_classify(text)
@@ -390,7 +395,7 @@ def test_classify_diff_property(text):
     assert ours.confidence == pytest.approx(ref.confidence)
 
 
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=_EX, deadline=None)
 @given(_DOCS)
 def test_cleaning_diff_property(text):
     import os
@@ -418,7 +423,7 @@ def test_cleaning_diff_property(text):
     assert stats["headings_added"] == ref_stats["headings_added"]
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=_EX, deadline=None)
 @given(st.text(alphabet=" .,&-_'\"<>:/\\|?*\tA-Za-z0123456789éü", max_size=60))
 def test_formatter_diff_property(s):
     import os
