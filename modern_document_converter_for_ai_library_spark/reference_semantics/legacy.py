@@ -287,11 +287,26 @@ def clean_legacy_text(lines: Sequence[str]) -> list[str]:
     return build_paragraphs(marked)
 
 
+# exact word list from get_main_content (pdf_extractor.py:111-115) —
+# SUBSTRING match on the lowercased stripped line, not word-boundary regex
+# ('v.' matches inside 'vs.' etc.; that is the reference's behavior)
+_MARGIN_IMPORTANT_WORDS = [
+    "decided", "filed", "dated", "court", "circuit", "district",
+    "supreme", "appeals", "opinion", "v.", "vs.",
+]
+
+
 def margin_content_filter(lines: Sequence[str]) -> list[str]:
     """Block-scoring margin filter (zOld-Code/step1…/pdf_extractor.py:94-129,
-    F5): keep a line iff it is longer than 20 chars or carries a context
-    keyword — the text-density + keyword heuristic."""
-    kw = re.compile(
-        r"\b(?:decided|filed|court|argued|opinion|judge|justice)\b", re.IGNORECASE
-    )
-    return [ln for ln in lines if len(ln.strip()) > 20 or kw.search(ln)]
+    F5): keep a line iff its stripped form is longer than 20 chars or
+    contains a context keyword (substring, case-insensitive) — the
+    text-density + keyword heuristic. Differentially verified against
+    ``PDFExtractor.get_main_content`` in tests/test_legacy_differential.py."""
+    out = []
+    for ln in lines:
+        stripped = ln.strip()
+        if len(stripped) > 20 or any(
+            w in stripped.lower() for w in _MARGIN_IMPORTANT_WORDS
+        ):
+            out.append(ln)
+    return out

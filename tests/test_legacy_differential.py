@@ -141,6 +141,46 @@ def test_markdown_cleaner_differential(text):
     assert ours_md.clean_markdown(text) == ref_md.clean_markdown(text)
 
 
+_STEP1 = (
+    "/root/reference/zOld-Code/step1--Base_FILENAME--a-caselaw/"
+    "src/extractors/pdf_extractor.py"
+)
+
+try:
+    _ref_pdf = _load("ref_pdf_extractor", _STEP1)
+    _PDF_OK = True
+except Exception:  # pragma: no cover
+    _PDF_OK = False
+
+
+@pytest.mark.skipif(not _PDF_OK, reason="step1 pdf_extractor unavailable")
+@settings(max_examples=_EX, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            _LINE_POOL
+            + [
+                "Dated this day",
+                "vs. Smith",
+                "the v. token",
+                "   SUPREME   ",
+                "x" * 21,
+                "Circuit",
+                "  short court  ",
+            ]
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_margin_filter_differential(lines):
+    text = "\n".join(lines)
+    ref_out = _ref_pdf.PDFExtractor().get_main_content(text)
+    ours_out = "\n".join(ours.margin_content_filter(lines))
+    # reference returns "" for empty input text; ours returns [] -> ""
+    assert ours_out == ref_out
+
+
 def test_markdown_cleaner_pieces_differential():
     for t in ["a\r\nb\rc", "# x #\nbody", "x\n\n\n\n\ny", "---\nkey: v\n---\nbody"]:
         assert ours_md.normalize_line_endings(t) == ref_md.normalize_line_endings(t)
