@@ -287,6 +287,35 @@ def clean_legacy_text(lines: Sequence[str]) -> list[str]:
     return build_paragraphs(marked)
 
 
+_CAPTION_V = re.compile(r"\s+v\.?\s+", re.IGNORECASE)
+_CAPTION_NAME = re.compile(
+    r"([A-Z][A-Za-z\s,\.&\'\-]+?)\s+v\.?\s+([A-Za-z\s,\.&\'\-]+?)(?:\n|$)",
+    re.IGNORECASE,
+)
+
+
+def find_case_caption(text: str) -> str | None:
+    """Exact mirror of the legacy caption finder (zOld-Code/step1…/
+    pdf_extractor.py:216-252, W4): scan the first 40 lines for a ' v. '
+    marker, take ±2 lines of context, extract 'Party v. Party'.
+    Differentially verified in tests/test_legacy_differential.py. The Spark
+    operator variant (operators/windows.py:find_captions) surfaces the same
+    candidates distributed; this kernel reproduces the reference's composed
+    return string."""
+    if not text:
+        return None
+    lines = text.split("\n")
+    for i, line in enumerate(lines[:40]):
+        if _CAPTION_V.search(line):
+            start = max(0, i - 2)
+            end = min(len(lines), i + 3)
+            context = "\n".join(lines[start:end])
+            m = _CAPTION_NAME.search(context)
+            if m:
+                return f"{m.group(1).strip()} v. {m.group(2).strip()}"
+    return None
+
+
 # exact word list from get_main_content (pdf_extractor.py:111-115) —
 # SUBSTRING match on the lowercased stripped line, not word-boundary regex
 # ('v.' matches inside 'vs.' etc.; that is the reference's behavior)

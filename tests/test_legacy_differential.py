@@ -181,6 +181,34 @@ def test_margin_filter_differential(lines):
     assert ours_out == ref_out
 
 
+@pytest.mark.skipif(not _PDF_OK, reason="step1 pdf_extractor unavailable")
+@settings(max_examples=_EX, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            [
+                "Indian Trail, LLC v. State Bank and Trust Company",
+                "Smith vs Jones",
+                "smith v. jones lowercase",
+                "The v. token mid-line",
+                "SUPREME COURT OF GEORGIA",
+                "Page 3 of 17",
+                "no marker here at all",
+                "A v B no dots",
+                "",
+                "Multi, Word & Co. v. Other'Party-Name",
+            ]
+        ),
+        min_size=0,
+        max_size=50,
+    ).map("\n".join)
+)
+def test_caption_finder_differential(text):
+    assert ours.find_case_caption(text) == _ref_pdf.PDFExtractor().find_case_caption(
+        text
+    )
+
+
 def test_markdown_cleaner_pieces_differential():
     for t in ["a\r\nb\rc", "# x #\nbody", "x\n\n\n\n\ny", "---\nkey: v\n---\nbody"]:
         assert ours_md.normalize_line_endings(t) == ref_md.normalize_line_endings(t)
