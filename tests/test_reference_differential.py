@@ -325,6 +325,37 @@ def test_rename_composition_differential(texts):
     assert n_caselaw > 20  # the synthetic corpus plants plenty of caselaw
 
 
+def test_markdown_strip_rules_differential():
+    """N6: our MARKDOWN_STRIP_RULES list (used columnar in Spark with Java
+    regex AND mirrored in the DuckDB oracle) applied via Python re must
+    equal the reference's _markdown_to_plain_text. The (?m)/(?s) inline
+    flags in our rules are the portable spelling of the reference's
+    flags= arguments."""
+    import re as _re
+
+    from src.services.text_extractor import _markdown_to_plain_text
+    from modern_document_converter_for_ai_library_spark.functions.markdown import (
+        MARKDOWN_STRIP_RULES,
+    )
+
+    def ours(text: str) -> str:
+        for pat, rep in MARKDOWN_STRIP_RULES:
+            text = _re.sub(pat, rep.replace("$1", r"\1"), text)
+        return text
+
+    samples = [
+        "# Title\nbody **bold** and *it* `code`\n> quote\n- item\n1. one\n---\n",
+        "### deep header ###\n__under__ _single_\n[link](http://x) plain",
+        "```python\ncode block\n```\nafter",
+        "*** \n---\n___\nnot a rule --- mid",
+        "no markdown at all",
+        "",
+        "**unterminated bold\n*stray star",
+    ]
+    for t in samples:
+        assert ours(t) == _markdown_to_plain_text(t), repr(t[:60])
+
+
 # ---------------------------------------------------------------------------
 # property-based differential fuzzing: hypothesis drives both
 # implementations with adversarial strings; any divergence is a real bug in
