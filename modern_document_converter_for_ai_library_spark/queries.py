@@ -1673,6 +1673,73 @@ GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# q_ivf_topk — IVF (inverted-file) ANN scale path: deterministic coarse
+# centroids (16 lowest-id vectors), nearest-centroid cell assignment, probe
+# the query's 4 nearest cells, exact integer-quantized rescoring inside
+# them (operators/similarity.py:ivf_build/ivf_search).
+# ---------------------------------------------------------------------------
+
+_IVF_K = 16
+_IVF_PROBE = 4
+
+
+def spark_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_build, ivf_search
+
+    emb = _embeddings(spark, sf_dir)
+    assigned, centroids = ivf_build(emb, n_centroids=_IVF_K)
+    q = emb.orderBy("vec_id").limit(1)
+    out = ivf_search(assigned, centroids, q, k=10, n_probe=_IVF_PROBE)
+    return out.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("qdot").cast("bigint").alias("qdot"),
+        "rank",
+    )
+
+
+_IVF_SQL = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qe
+  FROM embeddings
+), c AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cell, qe AS cvec
+  FROM (SELECT vec_id, qe FROM v ORDER BY vec_id LIMIT {k})
+), scored AS (
+  SELECT v.vec_id, v.qe, c.cell,
+         list_sum(list_transform(range(1, len(v.qe) + 1), i -> v.qe[i] * c.cvec[i])) AS cdot
+  FROM v, c
+), asg AS (
+  SELECT vec_id, qe, cell FROM (
+    SELECT vec_id, qe, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cell ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), qq AS (
+  SELECT qe AS qv FROM v ORDER BY vec_id LIMIT 1
+), probes AS (
+  SELECT cell FROM (
+    SELECT c.cell,
+           row_number() OVER (
+             ORDER BY list_sum(list_transform(range(1, len(c.cvec) + 1), i -> qq.qv[i] * c.cvec[i])) DESC,
+                      c.cell ASC) AS rn
+    FROM c, qq
+  ) WHERE rn <= {p}
+), cand AS (
+  SELECT asg.vec_id,
+         list_sum(list_transform(range(1, len(asg.qe) + 1), i -> asg.qe[i] * qq.qv[i])) AS qdot
+  FROM asg JOIN probes USING (cell), qq
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(qdot AS BIGINT) AS qdot,
+       CAST(row_number() OVER (ORDER BY qdot DESC, vec_id ASC) AS BIGINT) AS rank
+FROM cand
+ORDER BY qdot DESC, vec_id ASC
+LIMIT 10
+""".format(k=_IVF_K, p=_IVF_PROBE)
+
+
+# ---------------------------------------------------------------------------
 # q_rename_pipeline — the full rename flow (classify -> metadata -> code
 # discovery/allocation -> canonical filename) over the flat table adapted to
 # spans. Kernel semantics (Python-re metadata extraction, yaml configs), so
@@ -1735,6 +1802,7 @@ SPARK_QUERIES = {
     "q_code_discovery": spark_code_discovery,
     "q_rename_pipeline": spark_rename_pipeline,
     "q_near_dedup": spark_near_dedup,
+    "q_ivf_topk": spark_ivf_topk,
 }
 
 ORACLE_SQL = {
@@ -1768,4 +1836,5 @@ ORACLE_SQL = {
     "q_frontmatter": _FRONTMATTER_SQL,
     "q_code_discovery": _CODE_DISCOVERY_SQL,
     "q_near_dedup": _NEAR_DEDUP_SQL,
+    "q_ivf_topk": _IVF_SQL,
 }

@@ -13,6 +13,8 @@ from modern_document_converter_for_ai_library_spark.operators.dedup import (
 )
 from modern_document_converter_for_ai_library_spark.operators.similarity import (
     brute_force_topk,
+    ivf_build,
+    ivf_search,
     lsh_bucketed_ann,
 )
 
@@ -130,6 +132,30 @@ def test_lsh_ann_recalls_planted_neighbors(spark, vectors):
     ids = {r["vec_id"] for r in out}
     # near-identical vectors share the sign bucket with the query
     assert {0, 1, 2, 3} <= ids
+
+
+def test_ivf_recalls_planted_neighbors(spark, vectors):
+    assigned, centroids = ivf_build(vectors, n_centroids=4)
+    # every vector lands in exactly one cell
+    rows = assigned.collect()
+    assert len(rows) == vectors.count()
+    assert {r["cell"] for r in rows} <= {1, 2, 3, 4}
+    q = vectors.filter(F.col("vec_id") == 0)
+    out = ivf_search(assigned, centroids, q, k=4, n_probe=2).collect()
+    ids = {r["vec_id"] for r in out}
+    # the tiny perturbations of vec 0 share its nearest centroid
+    assert {0, 1, 2, 3} <= ids
+
+
+def test_ivf_full_probe_equals_exact(spark, vectors):
+    assigned, centroids = ivf_build(vectors, n_centroids=4)
+    q = vectors.filter(F.col("vec_id") == 0)
+    exact = {(r["vec_id"], r["qdot"]) for r in brute_force_topk(vectors, q, k=21).collect()}
+    full = {
+        (r["vec_id"], r["qdot"])
+        for r in ivf_search(assigned, centroids, q, k=21, n_probe=4).collect()
+    }
+    assert full == exact  # probing every cell degenerates to exact search
 
 
 def test_lsh_ann_subset_of_exact(spark, vectors):
