@@ -18,9 +18,10 @@ from modern_document_converter_for_ai_library_spark.queries import SPARK_QUERIES
 
 SF_DIR = "/root/testdata/sf0.001"
 
-# q_ann_topk broadcasts a single query vector against the corpus: a
-# BroadcastNestedLoopJoin over a 1-row build side is the intended plan.
-CARTESIAN_OK = {"q_ann_topk"}
+# q_ann_topk broadcasts a single query vector against the corpus and
+# q_ivf_topk broadcasts the 16-centroid table for cell assignment: a
+# BroadcastNestedLoopJoin over a tiny build side is the intended plan.
+CARTESIAN_OK = {"q_ann_topk", "q_ivf_topk"}
 
 # columns each query legitimately needs from the documents table; queries
 # not listed here read other tables or the full row by design
