@@ -160,3 +160,47 @@ def parse_layout(df: DataFrame) -> DataFrame:
     map-only, one Arrow stage, same plan shape as the convert kernel."""
     pruned = df.select("doc_id", "page", "words")
     return pruned.mapInPandas(_layout_batches, schema=LAYOUT_OUTPUT_SCHEMA)
+
+
+def layout_to_spans(layout_df: DataFrame) -> DataFrame:
+    """Assemble per-page reading-order lines into the span-model documents
+    table ``(doc_id, spans)`` the convert kernel consumes — pages joined in
+    page order with a blank separator line (the reference joins pages with
+    ``"\\n\\n"``, text_extractor.py:99), offsets dense per document. Pure
+    JVM: groupBy doc + sort_array over (page, lines) structs, then one
+    flatten/transform. This completes the ingestion path
+    word boxes -> reading order -> spans -> convert.
+    """
+    from pyspark.sql import functions as F
+
+    from ..sources.synth import SPANS_SCHEMA
+
+    per_doc = (
+        layout_df.groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("page"), F.col("lines")))
+            ).alias("pages")
+        )
+    )
+    # page texts joined with a blank line between pages, then re-split so
+    # every line (and the blank separators) is one text span
+    all_lines = F.split(
+        F.array_join(
+            F.transform(F.col("pages"), lambda p: F.array_join(p["lines"], "\n")),
+            "\n\n",
+        ),
+        "\n",
+    )
+    spans = F.transform(
+        all_lines,
+        lambda ln, i: F.struct(
+            F.lit("text").alias("kind"),
+            ln.alias("text"),
+            F.lit("").alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    return per_doc.select(
+        F.col("doc_id"), spans.cast(SPANS_SCHEMA).alias("spans")
+    )

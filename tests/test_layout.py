@@ -85,6 +85,39 @@ def test_property_columns_recovered_in_order(n_cols, lens, rnd):
     assert got_lines == expected
 
 
+def test_layout_to_spans_end_to_end(spark):
+    """word boxes -> reading order -> spans -> convert kernel: the full
+    ingestion path produces a convertible span document with pages joined
+    by a blank line (text_extractor.py:99 page-join convention)."""
+    from modern_document_converter_for_ai_library_spark.operators.convert import (
+        convert_documents,
+    )
+    from modern_document_converter_for_ai_library_spark.operators.layout import (
+        layout_to_spans,
+    )
+
+    rows = []
+    for page in (1, 2):
+        words = [
+            (f"p{page}L{i}", 0.0, i * 14.0, 40.0, i * 14.0 + 10.0) for i in range(2)
+        ] + [
+            (f"p{page}R{i}", 400.0, i * 14.0, 440.0, i * 14.0 + 10.0)
+            for i in range(2)
+        ]
+        rows.append(("docA", page, words))
+    df = spark.createDataFrame(rows, schema=PAGES_SCHEMA)
+    spans_df = layout_to_spans(parse_layout(df))
+    row = spans_df.collect()[0]
+    texts = [s["text"] for s in row["spans"]]
+    assert texts == [
+        "p1L0", "p1L1", "p1R0", "p1R1", "",  # blank page separator
+        "p2L0", "p2L1", "p2R0", "p2R1",
+    ]
+    assert [s["offset"] for s in row["spans"]] == list(range(9))
+    out = convert_documents(spans_df.withColumn("source_file", spans_df.doc_id)).collect()
+    assert len(out) == 1 and out[0]["success"]
+
+
 def test_parse_layout_spark(spark):
     rows = []
     for d in range(6):
