@@ -38,10 +38,7 @@ def test_two_column_page_not_interleaved():
 
 
 def test_three_columns_and_line_merge():
-    c1 = _column(["a1 a2", "a3"], 0)
-    c2 = _column(["b1", "b2"], 300)
-    c3 = _column(["c1"], 600)
-    # split each first line into two words on the same y (x-sort within line)
+    # first line split into two words on the same y (x-sort within line)
     words = [
         _word("a1", 0, 0), _word("a2", 45, 0.5), _word("a3", 0, 14),
         _word("b1", 300, 0), _word("b2", 300, 14),
@@ -50,7 +47,6 @@ def test_three_columns_and_line_merge():
     n_cols, lines = recover_reading_order(words)
     assert n_cols == 3
     assert lines == ["a1 a2", "a3", "b1", "b2", "c1"]
-    del c1, c2, c3
 
 
 def test_single_column_is_plain_ysort():

@@ -115,6 +115,36 @@ def test_normalize_differential(texts):
         assert our_normalize(t) == ref_normalize(t), repr(t[:80])
 
 
+def test_normalize_modernize_flag_differential(texts):
+    # N5: the archaic->modern spelling pass, off by default, on when asked
+    for t in texts[:60] + [
+        "The honourable court shewed its colours vpon the publick record."
+    ]:
+        assert our_normalize(t, modernize_spellings=True) == ref_normalize(
+            t, modernize_spellings=True
+        ), repr(t[:80])
+
+
+def test_filename_safe_text_differential():
+    # N8: filename-safe text (text_normalizer.py:262-294)
+    from src.cleaners.text_normalizer import (
+        normalize_filename_text as ref_fname_text,
+    )
+    from modern_document_converter_for_ai_library_spark.reference_semantics.normalize import (
+        normalize_filename_text as our_fname_text,
+    )
+
+    for s in [
+        "Smith v. Jones (2014)!",
+        "a/b\\c:d*e?f\"g<h>i|j",
+        "  collapse   spaces  ",
+        "under_score-dash.dot",
+        "",
+        "Ünïcôdé name",
+    ]:
+        assert our_fname_text(s) == ref_fname_text(s), repr(s)
+
+
 def test_classifier_scores_differential(texts):
     for t in texts:
         if not t.strip():
