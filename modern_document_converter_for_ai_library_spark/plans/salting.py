@@ -39,6 +39,82 @@ def with_size_bucket(df: DataFrame, spans_col: str = "spans") -> DataFrame:
     return df.withColumn("n_chars", n).withColumn("size_bucket", bucket)
 
 
+def detect_hot_keys(
+    df: DataFrame,
+    key_col: str,
+    threshold_frac: float = 0.01,
+    sample_frac: float = 0.05,
+) -> list:
+    """Driver-side heavy-hitter detection: keys holding more than
+    ``threshold_frac`` of a deterministic sample. The hot set is by
+    definition small (at most 1/threshold_frac keys), so collecting it is
+    bounded regardless of corpus size — this is the standard prelude to
+    explicit skew salting."""
+    sampled = df.sample(fraction=sample_frac, seed=7).groupBy(key_col).count()
+    total = sampled.agg(F.sum("count")).collect()[0][0] or 0
+    if not total:
+        return []
+    rows = sampled.filter(F.col("count") >= threshold_frac * total).collect()
+    return [r[key_col] for r in rows]
+
+
+def with_salted_key(
+    df: DataFrame,
+    key_col: str,
+    n_salts: int = 8,
+    hot_keys: list | None = None,
+    id_col: str = "doc_id",
+    out_col: str = "salted_key",
+) -> DataFrame:
+    """Explicit skew salting for keyed shuffles (north rule: "explicit
+    salting of skewed hosts/doc-size buckets").
+
+    Hot keys are split into ``n_salts`` sub-keys ``key#s`` (s =
+    pmod(hash(id), n_salts) — deterministic per row); cold keys keep
+    ``key#0`` so every row has the same two-part shape. Aggregations then
+    run in two phases (partial by salted key, final by key —
+    ``salted_two_phase_agg``); joins against a small dim replicate the dim
+    per salt. Detection is either caller-supplied (``hot_keys``) or
+    sampled (``detect_hot_keys``)."""
+    if hot_keys is None:
+        hot_keys = detect_hot_keys(df, key_col)
+    if hot_keys:
+        hot_arr = F.array(*[F.lit(k) for k in hot_keys])
+        salt = F.when(
+            F.array_contains(hot_arr, F.col(key_col)),
+            F.pmod(F.hash(F.col(id_col)), F.lit(n_salts)),
+        ).otherwise(F.lit(0))
+    else:
+        salt = F.lit(0)
+    return df.withColumn(
+        out_col, F.concat(F.col(key_col), F.lit("#"), salt.cast("string"))
+    )
+
+
+def salted_two_phase_agg(
+    df: DataFrame,
+    key_col: str,
+    salted_col: str = "salted_key",
+) -> DataFrame:
+    """Two-phase count/byte aggregation over a salted key: partial per
+    (key#salt) — at most ceil(rows_of_hot_key / n_salts) rows per reducer —
+    then final over the true key on the tiny partial table. Semantically
+    identical to a direct groupBy(key); the hot key's single-reducer
+    bottleneck is gone."""
+    partial = df.groupBy(salted_col).agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("_chars"),
+    )
+    key = F.substring_index(F.col(salted_col), "#", 1)
+    return (
+        partial.groupBy(key.alias(key_col))
+        .agg(
+            F.sum("_n").cast("bigint").alias("n_docs"),
+            F.sum("_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
 def balance_by_size(
     df: DataFrame,
     num_partitions: int,
