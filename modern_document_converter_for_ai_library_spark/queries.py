@@ -1740,6 +1740,40 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# q_salted_host_agg — explicit skew salting (north rule: "explicit salting
+# of skewed hosts"): a skewed host column is derived (60% of docs on one hot
+# host), the hot key is split across 8 salts, and the aggregation runs in
+# two phases (partial per key#salt, final per key —
+# plans/salting.py:with_salted_key/salted_two_phase_agg). The oracle is the
+# direct GROUP BY: two-phase must be semantically identical.
+# ---------------------------------------------------------------------------
+
+def spark_salted_host_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.salting import salted_two_phase_agg, with_salted_key
+
+    host = (
+        F.when(F.col("doc_id") % 10 < 6, F.lit("hot.example.com"))
+        .otherwise(F.concat(F.lit("cold"), (F.col("doc_id") % 7).cast("string")))
+    )
+    df = _docs(spark, sf_dir).withColumn("host", host)
+    salted = with_salted_key(
+        df, "host", n_salts=8, hot_keys=["hot.example.com"], id_col="doc_id"
+    )
+    out = salted_two_phase_agg(salted, "host")
+    return out.select("host", "n_docs", "total_chars")
+
+
+_SALTED_HOST_SQL = """
+SELECT CASE WHEN doc_id % 10 < 6 THEN 'hot.example.com'
+            ELSE 'cold' || CAST(doc_id % 7 AS VARCHAR) END AS host,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_rename_pipeline — the full rename flow (classify -> metadata -> code
 # discovery/allocation -> canonical filename) over the flat table adapted to
 # spans. Kernel semantics (Python-re metadata extraction, yaml configs), so
@@ -1803,6 +1837,7 @@ SPARK_QUERIES = {
     "q_rename_pipeline": spark_rename_pipeline,
     "q_near_dedup": spark_near_dedup,
     "q_ivf_topk": spark_ivf_topk,
+    "q_salted_host_agg": spark_salted_host_agg,
 }
 
 ORACLE_SQL = {
@@ -1837,4 +1872,5 @@ ORACLE_SQL = {
     "q_code_discovery": _CODE_DISCOVERY_SQL,
     "q_near_dedup": _NEAR_DEDUP_SQL,
     "q_ivf_topk": _IVF_SQL,
+    "q_salted_host_agg": _SALTED_HOST_SQL,
 }
