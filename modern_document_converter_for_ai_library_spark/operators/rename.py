@@ -21,7 +21,7 @@ from __future__ import annotations
 from typing import Iterator, Optional
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -73,6 +73,23 @@ def rename_documents(
     base = df.select("doc_id", "source_file", "spans").mapInPandas(
         _rename_batches, schema=RENAME_KERNEL_SCHEMA
     )
+
+    # Uniqueness guard for preserved legacy codes: the registry's codes
+    # table is unique per code (registrar.py:96-101), so when several input
+    # files carry the SAME ----XXXXX suffix only the first claimant
+    # (min doc_id — the reference's alphabetical processing order) may keep
+    # it; the rest fall through to fresh allocation exactly like an invalid
+    # code. The window shuffles only the discovered-code subset.
+    w_claim = Window.partitionBy("discovered_code").orderBy("doc_id")
+    base = base.withColumn(
+        "_claim",
+        F.when(
+            F.col("discovered_code").isNotNull(), F.row_number().over(w_claim)
+        ),
+    ).withColumn(
+        "discovered_code",
+        F.when(F.col("_claim") == 1, F.col("discovered_code")),
+    ).drop("_claim")
 
     has_code = base.filter(F.col("discovered_code").isNotNull()).withColumn(
         "code_index", F.lit(None).cast("long")

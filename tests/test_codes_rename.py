@@ -57,11 +57,24 @@ def test_rename_flow(spark, corpus_df):
     by_id = {r["doc_id"]: r for r in out}
     assert len(by_id) == 150  # no docs lost across the three-way split
 
-    # legacy codes preserved bit-for-bit
-    legacy = [r for r in out if "----ABXCD" in r["source_file"]]
+    # legacy codes preserved bit-for-bit — but codes are UNIQUE (the
+    # registry's codes table is one row per code, registrar.py:96-101), so
+    # when several files carry the same ----ABXCD suffix only the first
+    # claimant (min doc_id, the reference's alphabetical order) keeps it;
+    # the rest are treated like invalid codes and get fresh allocations
+    legacy = sorted(
+        (r for r in out if "----ABXCD" in r["source_file"]),
+        key=lambda r: r["doc_id"],
+    )
     assert legacy, "corpus should contain legacy-coded filenames"
-    for r in legacy:
-        assert r["unique_code"] == "ABXCD"
+    assert legacy[0]["unique_code"] == "ABXCD"
+    for r in legacy[1:]:
+        # losers either got a fresh allocation (renameable docs) or None
+        # (failed rename: the file keeps its old name on disk, nothing to
+        # link) — never the duplicate code
+        assert r["unique_code"] != "ABXCD"
+        if r["rename_success"]:
+            assert r["unique_code"] is not None
 
     # invalid ----WWWWW codes are NOT preserved
     invalid = [r for r in out if "----WWWWW" in r["source_file"]]
