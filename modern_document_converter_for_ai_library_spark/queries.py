@@ -1774,6 +1774,37 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# q_events_hourly — tumbling event-time windows (batch twin of the
+# streaming watermarked aggregation, streaming/windowed_stats.py): 1-hour
+# window start == date_trunc('hour') for aligned tumbling windows, so the
+# DuckDB oracle is exact. Timestamps compared as epoch microseconds (UTC
+# session pinning makes NTZ casts identity).
+# ---------------------------------------------------------------------------
+
+def spark_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.windowed_stats import windowed_event_agg, with_event_time
+
+    ev = with_event_time(_events(spark, sf_dir))
+    agg = windowed_event_agg(ev, "1 hour")
+    return agg.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "sum_value_micros",
+    )
+
+
+_EVENTS_HOURLY_SQL = """
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_micros
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_rename_pipeline — the full rename flow (classify -> metadata -> code
 # discovery/allocation -> canonical filename) over the flat table adapted to
 # spans. Kernel semantics (Python-re metadata extraction, yaml configs), so
@@ -1838,6 +1869,7 @@ SPARK_QUERIES = {
     "q_near_dedup": spark_near_dedup,
     "q_ivf_topk": spark_ivf_topk,
     "q_salted_host_agg": spark_salted_host_agg,
+    "q_events_hourly": spark_events_hourly,
 }
 
 ORACLE_SQL = {
@@ -1873,4 +1905,5 @@ ORACLE_SQL = {
     "q_near_dedup": _NEAR_DEDUP_SQL,
     "q_ivf_topk": _IVF_SQL,
     "q_salted_host_agg": _SALTED_HOST_SQL,
+    "q_events_hourly": _EVENTS_HOURLY_SQL,
 }
