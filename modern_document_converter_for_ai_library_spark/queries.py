@@ -769,18 +769,16 @@ GROUP BY d.doc_id, d.n_chars
 # ---------------------------------------------------------------------------
 
 def spark_code_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-phase allocation (operators/codes.py): range-partition by doc_id,
+    # per-partition counts -> driver prefix-sum -> streaming local ranks.
+    # Same deterministic output as a global `row_number() over (order by
+    # doc_id)` (the oracle below) WITHOUT the single-reducer window that
+    # funnels the whole corpus through one task at scale.
+    from .operators.codes import assign_codes
+
     df = _docs(spark, sf_dir).select(F.col("doc_id").cast("bigint").alias("doc_id"))
-    w = Window.orderBy("doc_id")
-    idx = (F.row_number().over(w) - 1).cast("bigint")
-    df = df.withColumn("code_index", idx)
-    digits = [
-        F.expr(
-            "substring('%s', CAST((code_index div %d) %% 25 AS INT) + 1, 1)"
-            % (ALPHABET, 25**p)
-        )
-        for p in (4, 3, 2, 1, 0)
-    ]
-    return df.select("doc_id", "code_index", F.concat(*digits).alias("unique_code"))
+    out = assign_codes(df, order_col="doc_id", start_index=0)
+    return out.select("doc_id", F.col("code_index").cast("bigint").alias("code_index"), "unique_code")
 
 
 _CODE_ASSIGN_SQL = """

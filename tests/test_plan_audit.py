@@ -37,17 +37,50 @@ _DOCS_NEEDED = {
 }
 
 
+_WINDOW_OK = {
+    # ivf_build ranks its <=16-row post-limit centroid seed with a global
+    # row_number: a bounded-input window, not a corpus-wide reducer.
+    "q_ivf_topk",
+}
+
+
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _unpartitioned_windows(df) -> list[str]:
+    """Window nodes in the optimized logical plan with an EMPTY partition
+    spec — the 'Moving all data to a single partition' scale killer."""
+    bad = []
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        if (
+            node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().isEmpty()
+        ):
+            bad.append(node.simpleString(120))
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+        # subquery plans (innerChildren) are not reachable via children()
+        inner = node.innerChildren()
+        for i in range(inner.size()):
+            stack.append(inner.apply(i))
+    return bad
+
+
 @pytest.mark.parametrize("name", sorted(SPARK_QUERIES))
 def test_no_row_python_and_no_cartesian(spark, name):
-    plan = _plan(SPARK_QUERIES[name](spark, SF_DIR))
+    df = SPARK_QUERIES[name](spark, SF_DIR)
+    plan = _plan(df)
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
     if name not in CARTESIAN_OK:
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"
         assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join"
+    if name not in _WINDOW_OK:
+        bad = _unpartitioned_windows(df)
+        assert not bad, f"{name}: unpartitioned window(s): {bad}"
 
 
 @pytest.mark.parametrize("name", sorted(_DOCS_NEEDED))
