@@ -5,15 +5,38 @@ Plan shape:
 
     scan (doc_id, source_file, spans)
       -> ArrowEvalPython: rename kernel (classification + metadata regexes +
-         filename template with a {code} placeholder + legacy-code discovery)
-      -> split: discovered codes pass through; docs needing a code get the
-         two-phase sequential allocation (operators/codes.py)
+         filename template with a {code} placeholder + legacy-code discovery,
+         plus the reference's STEP-3 metadata gate)
+      -> split: metadata-eligible docs with a discovered code vs docs that
+         need the two-phase sequential allocation (operators/codes.py) vs
+         ineligible docs (no code consumed — rename_step.py:183-196)
+      -> code-uniqueness resolution on the CONTESTED subset only (broadcast)
       -> unionByName + placeholder substitution (pure column exprs)
 
-Codes are allocated only to docs that (a) produced a valid filename and
-(b) carry no preserved legacy code — mirroring the reference's
-discover-or-generate contract (code_generator.py:392-436) and its atomic
-"skip downstream on failure" rule (orchestrator.py:150-157).
+Code-uniqueness semantics are bug-for-bug with the reference registry
+(differentially tested against the actual Registrar/CodeGenerator in
+tests/test_codes_rename.py):
+
+- ``codes.code`` is a PRIMARY KEY and ``documents.unique_code`` is UNIQUE
+  (registrar.py:49-112), and processing is sequential in alphabetical file
+  order (orchestrator.py:96). Net effect: for every code value, the holder
+  earliest in processing order (min doc_id) keeps it; every later holder
+  FAILS its rename — a later duplicate-``----XXXXX`` claimant fails at
+  commit_code_to_document (STEP-5 handler, rename_step.py:207-243 ->
+  ``unique_code=None``), and a fresh sequential allocation that lands on an
+  already-inserted code raises IntegrityError inside allocate_code
+  (code_generator.py:364-390). The reference would crash the whole batch on
+  the latter (no try/except in the orchestrator loop); we record a per-row
+  failure instead — documented divergence, same winner either way.
+- The code INDEX is consumed even by failed fresh allocations
+  (increment_code_index commits before allocate_code raises), so dense
+  ranks over the needs-code subset reproduce the reference's numbering.
+
+Scale notes: the kernel output (slim metadata rows, no spans) is persisted
+once and read by the three branches; claim resolution touches only docs
+that carry a discovered code plus fresh allocations colliding with one —
+both rare — so every resolution join is a broadcast and the only data-wide
+shuffle is assign_codes' range partition.
 """
 
 from __future__ import annotations
@@ -21,10 +44,12 @@ from __future__ import annotations
 from typing import Iterator, Optional
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
 
+from ..reference_semantics.codes import DUP_ALLOC_ERR, DUP_CLAIM_ERR
 from ..reference_semantics.convert import rename_doc
 from .codes import assign_codes
 from .convert import _as_span_dicts
@@ -40,11 +65,12 @@ RENAME_KERNEL_SCHEMA = T.StructType(
         T.StructField("court", T.StringType()),
         T.StructField("citation", T.StringType()),
         T.StructField("discovered_code", T.StringType()),
+        T.StructField("metadata_ok", T.BooleanType()),
         T.StructField("filename_template", T.StringType()),
         T.StructField("rename_success", T.BooleanType()),
+        T.StructField("error_message", T.StringType()),
     ]
 )
-
 
 def _rename_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
@@ -65,39 +91,23 @@ def rename_documents(
     start_index: int = 0,
     num_partitions: Optional[int] = None,
 ) -> DataFrame:
-    """Run the rename flow; adds unique_code + new_filename columns.
+    """Run the rename flow; adds ``code_index``, ``unique_code`` and
+    ``new_filename`` columns (all nullable) plus ``error_message``.
 
-    Output: kernel columns + ``unique_code`` (nullable: only successfully
-    renamed or legacy-coded docs get one) + ``new_filename`` (nullable).
+    Deterministic: output equals ``reference_semantics.convert.
+    rename_corpus_sequential`` over the same (doc_id, spans, source_file)
+    rows, for any partitioning.
     """
-    base = df.select("doc_id", "source_file", "spans").mapInPandas(
-        _rename_batches, schema=RENAME_KERNEL_SCHEMA
+    base = (
+        df.select("doc_id", "source_file", "spans")
+        .mapInPandas(_rename_batches, schema=RENAME_KERNEL_SCHEMA)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    # Uniqueness guard for preserved legacy codes: the registry's codes
-    # table is unique per code (registrar.py:96-101), so when several input
-    # files carry the SAME ----XXXXX suffix only the first claimant
-    # (min doc_id — the reference's alphabetical processing order) may keep
-    # it; the rest fall through to fresh allocation exactly like an invalid
-    # code. The window shuffles only the discovered-code subset.
-    w_claim = Window.partitionBy("discovered_code").orderBy("doc_id")
-    base = base.withColumn(
-        "_claim",
-        F.when(
-            F.col("discovered_code").isNotNull(), F.row_number().over(w_claim)
-        ),
-    ).withColumn(
-        "discovered_code",
-        F.when(F.col("_claim") == 1, F.col("discovered_code")),
-    ).drop("_claim")
+    claimants = base.filter(F.col("discovered_code").isNotNull())
+    needs_code = base.filter(F.col("metadata_ok") & F.col("discovered_code").isNull())
+    ineligible = base.filter(~F.col("metadata_ok"))
 
-    has_code = base.filter(F.col("discovered_code").isNotNull()).withColumn(
-        "code_index", F.lit(None).cast("long")
-    ).withColumn("unique_code", F.col("discovered_code"))
-
-    needs_code = base.filter(
-        F.col("discovered_code").isNull() & F.col("rename_success")
-    )
     allocated = assign_codes(
         needs_code,
         order_col="doc_id",
@@ -105,13 +115,67 @@ def rename_documents(
         num_partitions=num_partitions,
     )
 
-    no_code = (
-        base.filter(F.col("discovered_code").isNull() & ~F.col("rename_success"))
-        .withColumn("code_index", F.lit(None).cast("long"))
-        .withColumn("unique_code", F.lit(None).cast("string"))
+    # --- contested-code resolution (small data only) ---------------------
+    # holders of each discovered code: its claimants + any fresh allocation
+    # that landed on it. Per code, min(doc_id) (the reference's sequential
+    # processing order) wins; all later holders fail.
+    disc_codes = claimants.select("doc_id", F.col("discovered_code").alias("_code"))
+    fresh_hits = allocated.join(
+        F.broadcast(disc_codes.select("_code").distinct()),
+        allocated["unique_code"] == F.col("_code"),
+    ).select("doc_id", F.col("unique_code").alias("_code"))
+    winners = (
+        disc_codes.unionByName(fresh_hits)
+        .groupBy("_code")
+        .agg(F.min("doc_id").alias("_winner"))
     )
 
-    merged = has_code.unionByName(allocated).unionByName(no_code)
+    is_winner = F.col("doc_id") == F.col("_winner")
+    disc_out = (
+        claimants.join(
+            F.broadcast(winners),
+            claimants["discovered_code"] == winners["_code"],
+            "left",
+        )
+        .withColumn("code_index", F.lit(None).cast("long"))
+        .withColumn("unique_code", F.when(is_winner, F.col("discovered_code")))
+        .withColumn(
+            "error_message",
+            F.when(is_winner, F.col("error_message")).otherwise(
+                F.lit(DUP_CLAIM_ERR)
+            ),
+        )
+        .drop("_code", "_winner")
+    )
+
+    lost = F.col("_winner").isNotNull() & (F.col("_winner") != F.col("doc_id"))
+    fresh_out = (
+        allocated.join(
+            F.broadcast(winners),
+            allocated["unique_code"] == winners["_code"],
+            "left",
+        )
+        # the losing fresh allocation burned its index but holds no code
+        .withColumn("unique_code", F.when(~lost, F.col("unique_code")))
+        .withColumn(
+            "error_message",
+            F.when(~lost, F.col("error_message")).otherwise(F.lit(DUP_ALLOC_ERR)),
+        )
+        .drop("_code", "_winner")
+    )
+
+    no_meta = ineligible.withColumn(
+        "code_index", F.lit(None).cast("long")
+    ).withColumn("unique_code", F.lit(None).cast("string"))
+
+    merged = (
+        disc_out.unionByName(fresh_out)
+        .unionByName(no_meta)
+        .withColumn(
+            "rename_success",
+            F.col("rename_success") & F.col("unique_code").isNotNull(),
+        )
+    )
     new_filename = F.when(
         F.col("filename_template").isNotNull() & F.col("unique_code").isNotNull(),
         F.replace(

@@ -59,6 +59,64 @@ def discover_code(filename: str) -> str | None:
     return m.group(1) if m else None
 
 
+# Failure messages reproduce the reference's registry constraint errors
+# byte-for-byte (rename_step.py:228-243 wraps the sqlite exception text).
+DUP_CLAIM_ERR = (
+    "Document registration failed: UNIQUE constraint failed: "
+    "documents.unique_code"
+)
+DUP_ALLOC_ERR = "sqlite3.IntegrityError: UNIQUE constraint failed: codes.code"
+
+
+def registry_replay(
+    entries: list[tuple[str, str | None]],
+    start_index: int = 0,
+) -> dict[str, tuple[int | None, str | None, str | None]]:
+    """Replay the reference registry's code-allocation state machine.
+
+    ``entries`` = (key, discovered_code_or_None) in PROCESSING ORDER for
+    every doc that passed the STEP-3 metadata gate. Returns per key
+    ``(code_index, unique_code, error)``.
+
+    Mirrors sqlite semantics exactly (differentially tested against the
+    actual Registrar/CodeGenerator in tests/test_codes_rename.py):
+
+    - discovered code (scenario A, code_generator.py:392-436): inserted into
+      ``codes`` only if absent (code_exists guard), then STEP 5's
+      commit_code_to_document trips ``documents.unique_code UNIQUE`` for any
+      claimant after the first holder -> clean per-file failure
+      (rename_step.py:228-243); rollback_code is a no-op once committed;
+    - fresh allocation (scenario B): increment_code_index commits BEFORE
+      allocate_code's INSERT, so the index is consumed even when the INSERT
+      raises IntegrityError on a previously-preserved code (the reference
+      would crash the batch here — uncaught in orchestrator.py:143-175; we
+      record the row failure instead, documented divergence).
+    """
+    codes_table: set[str] = set()
+    docs_unique: set[str] = set()
+    next_index = start_index
+    out: dict[str, tuple[int | None, str | None, str | None]] = {}
+    for key, disc in entries:
+        if disc is not None:
+            codes_table.add(disc)
+            if disc in docs_unique:
+                out[key] = (None, None, DUP_CLAIM_ERR)
+            else:
+                docs_unique.add(disc)
+                out[key] = (None, disc, None)
+        else:
+            idx = next_index
+            next_index += 1
+            code = index_to_code(idx)
+            if code in codes_table:
+                out[key] = (idx, None, DUP_ALLOC_ERR)
+            else:
+                codes_table.add(code)
+                docs_unique.add(code)
+                out[key] = (idx, code, None)
+    return out
+
+
 def append_code(stem: str, code: str) -> str:
     return f"{stem}{SEPARATOR}{code}"
 

@@ -32,7 +32,7 @@ from typing import Any, Optional
 
 from .classify import classify_text
 from .cleanrules import apply_cleaning_rules
-from .codes import discover_code
+from .codes import discover_code, registry_replay
 from .filename import format_filename
 from .frontmatter import generate_frontmatter
 from .metadata import extract_caselaw_metadata
@@ -174,6 +174,15 @@ def rename_doc(
     reports ``discovered_code`` (preserved legacy code, or None) and the
     formatted filename templated with the placeholder ``{code}`` so the
     allocator can substitute without re-running regexes.
+
+    Step ordering mirrors the reference exactly (rename_step.py:123-332):
+    STEP 3 metadata check comes BEFORE code allocation, so only docs with
+    ``metadata_ok`` (caselaw with >=1 extracted field,
+    rename_step.py:183-196 + rename_step.py:339-355 — non-caselaw types
+    return None metadata) ever consume a code index or claim a discovered
+    code; STEP 6 filename formatting comes AFTER, so a formatting failure
+    still burns/keeps its code (the reference never rolls back a committed
+    code, registrar.py:333-349).
     """
     full_text = reassemble_text(spans)
     cls = classify_text(full_text)
@@ -182,6 +191,9 @@ def rename_doc(
     new_filename_tpl: Optional[str] = None
     if cls.document_type == "caselaw":
         fields = extract_caselaw_metadata(full_text)
+
+    metadata_ok = len(fields) > 0
+    if metadata_ok:
         ext = "." + source_file.rsplit(".", 1)[1] if "." in source_file else ""
         # Format with a sentinel code, then re-expose the placeholder. The
         # sentinel is alphabet-valid so sanitization cannot disturb it.
@@ -189,6 +201,15 @@ def rename_doc(
         formatted = format_filename(fields, sentinel, ext)
         if formatted is not None:
             new_filename_tpl = formatted.replace(f"----{sentinel}", "----{code}")
+
+    if not metadata_ok:
+        error_message: Optional[str] = (
+            "Metadata extraction failed - no fields extracted"
+        )
+    elif new_filename_tpl is None:
+        error_message = "Filename formatting failed - required fields missing"
+    else:
+        error_message = None
 
     return {
         "doc_id": doc_id,
@@ -198,7 +219,67 @@ def rename_doc(
         "year": fields.get("year"),
         "court": fields.get("court"),
         "citation": fields.get("citation"),
-        "discovered_code": discover_code(source_file),
+        # STEP 4 eligibility: codes are discovered/allocated only past the
+        # metadata gate (rename_step.py:202-204)
+        "discovered_code": discover_code(source_file) if metadata_ok else None,
+        "metadata_ok": metadata_ok,
         "filename_template": new_filename_tpl,
         "rename_success": new_filename_tpl is not None,
+        "error_message": error_message,
     }
+
+
+def rename_corpus_sequential(
+    docs: list[tuple[str, list[Span], str]],
+    start_index: int = 0,
+) -> list[dict]:
+    """Sequential (single-process) emulation of the reference's batch rename
+    loop — the golden generator for the distributed ``rename_documents``.
+
+    Replays the registry state machine exactly (orchestrator.py:143-175 +
+    rename_step.py:123-332 + registrar.py schema):
+
+    - processing order = lexicographic ``doc_id`` (the reference sorts file
+      paths alphabetically, orchestrator.py:96);
+    - ``codes.code`` is PRIMARY KEY: a fresh sequential allocation whose
+      base-25 code was already inserted raises IntegrityError inside
+      allocate_code (registrar.py:266-283) — the reference would crash the
+      batch (no try/except in the orchestrator loop); we record a per-row
+      failure instead (documented divergence, same winner);
+    - ``documents.unique_code`` is UNIQUE: a second claimant of the same
+      discovered code fails at commit_code_to_document (registrar.py:49-112,
+      298-331), caught by rename_step's STEP-5 handler -> clean failure with
+      ``unique_code=None``; rollback_code is a no-op for committed codes;
+    - the code index increments even for failed fresh allocations
+      (increment_code_index commits its own transaction before
+      allocate_code raises, code_generator.py:364-390).
+    """
+    rows = []
+    for doc_id, spans, source_file in sorted(docs, key=lambda d: d[0]):
+        row = rename_doc(doc_id, spans, source_file)
+        row["source_file"] = source_file
+        row["code_index"] = None
+        row["unique_code"] = None
+        row["new_filename"] = None
+        rows.append(row)
+
+    outcomes = registry_replay(
+        [
+            (row["doc_id"], row["discovered_code"])
+            for row in rows
+            if row["metadata_ok"]
+        ],
+        start_index=start_index,
+    )
+    for row in rows:
+        if not row["metadata_ok"]:
+            continue
+        idx, code, err = outcomes[row["doc_id"]]
+        row["code_index"] = idx
+        row["unique_code"] = code
+        if err is not None:
+            row["rename_success"] = False
+            row["error_message"] = err
+        elif row["filename_template"] is not None:
+            row["new_filename"] = row["filename_template"].replace("{code}", code)
+    return rows

@@ -1,8 +1,26 @@
 """Distributed code assignment + rename flow tests (C4 determinism,
-discover-or-generate, atomic skip)."""
+discover-or-generate, atomic skip, registry uniqueness semantics).
+
+The uniqueness/claim rules are checked three ways:
+  1. full-row equality of the distributed operator against the sequential
+     pure-Python emulation (rename_corpus_sequential);
+  2. a DIFFERENTIAL test driving the ACTUAL reference Registrar +
+     CodeGenerator (sqlite, from /root/reference) through rename_step's
+     STEP 4-5 and comparing with our registry_replay state machine;
+  3. targeted scenario tests on the Spark operator (duplicate claimants,
+     fresh-allocation collision with a preserved code, both orders).
+"""
+
+import sqlite3
+import sys
+from pathlib import Path
 
 import pytest
 from pyspark.sql import functions as F
+
+sys.dont_write_bytecode = True
+if "/root/reference" not in sys.path:
+    sys.path.insert(0, "/root/reference")
 
 from modern_document_converter_for_ai_library_spark.operators.codes import assign_codes
 from modern_document_converter_for_ai_library_spark.operators.rename import (
@@ -10,6 +28,15 @@ from modern_document_converter_for_ai_library_spark.operators.rename import (
 )
 from modern_document_converter_for_ai_library_spark.reference_semantics import (
     index_to_code,
+)
+from modern_document_converter_for_ai_library_spark.reference_semantics.codes import (
+    DUP_ALLOC_ERR,
+    DUP_CLAIM_ERR,
+    discover_code,
+    registry_replay,
+)
+from modern_document_converter_for_ai_library_spark.reference_semantics.convert import (
+    rename_corpus_sequential,
 )
 from modern_document_converter_for_ai_library_spark.sources import (
     DOCS_SCHEMA,
@@ -52,29 +79,241 @@ def test_assign_codes_deterministic_across_runs(spark):
     assert a == b  # partition count must not affect assignment
 
 
+# ---------------------------------------------------------------------------
+# distributed operator == sequential reference emulation (full rows)
+# ---------------------------------------------------------------------------
+
+_OUT_COLS = [
+    "document_type",
+    "case_name",
+    "year",
+    "court",
+    "citation",
+    "discovered_code",
+    "metadata_ok",
+    "code_index",
+    "unique_code",
+    "new_filename",
+    "rename_success",
+    "error_message",
+]
+
+
+def test_rename_matches_sequential_reference(spark, corpus_df):
+    pdf = synth_documents_pandas(150, seed=42)
+    docs = [
+        (r.doc_id, list(r.spans), r.source_file) for r in pdf.itertuples()
+    ]
+    expected = {
+        row["doc_id"]: tuple(row[c] for c in _OUT_COLS)
+        for row in rename_corpus_sequential(docs, start_index=0)
+    }
+    got = {
+        r["doc_id"]: tuple(r[c] for c in _OUT_COLS)
+        for r in rename_documents(corpus_df.repartition(7), start_index=0).collect()
+    }
+    assert set(got) == set(expected)
+    for doc_id in expected:
+        assert got[doc_id] == expected[doc_id], (
+            doc_id,
+            dict(zip(_OUT_COLS, got[doc_id])),
+            dict(zip(_OUT_COLS, expected[doc_id])),
+        )
+
+
+# ---------------------------------------------------------------------------
+# DIFFERENTIAL: registry_replay vs the actual reference registry (sqlite)
+# ---------------------------------------------------------------------------
+
+try:
+    from src.services.code_generator import CodeGenerator as RefCodeGenerator
+    from src.services.registrar import Registrar as RefRegistrar
+
+    _REF_OK = True
+except Exception:  # pragma: no cover - reference tree unavailable
+    _REF_OK = False
+
+
+def _ref_registry_outcomes(filenames, db_path):
+    """Drive the ACTUAL reference code path for rename_step STEPs 4-5:
+    allocate_code_for_file -> register_document -> commit_code_to_document,
+    with the reference's own exception handling (rename_step.py:202-243)."""
+    reg = RefRegistrar(Path(db_path))
+    gen = RefCodeGenerator(reg)
+    outcomes = {}
+    try:
+        for fn in sorted(filenames):
+            try:
+                code = gen.allocate_code_for_file(Path(fn))
+            except sqlite3.IntegrityError:
+                # uncaught in the reference (batch crash); record and continue
+                outcomes[fn] = (None, "alloc")
+                continue
+            try:
+                doc_id = reg.register_document(Path(fn))
+                reg.commit_code_to_document(code, doc_id)
+                outcomes[fn] = (code, None)
+            except sqlite3.IntegrityError:
+                gen.rollback_code(code)
+                outcomes[fn] = (None, "claim")
+    finally:
+        reg.close()
+    return outcomes
+
+
+_ERR_KIND = {None: None, DUP_CLAIM_ERR: "claim", DUP_ALLOC_ERR: "alloc"}
+
+_SCENARIOS = [
+    # duplicate discovered code: first claimant keeps it, later ones fail
+    ["a.pdf", "b----ABXCD.pdf", "c----ABXCD.pdf", "d.pdf"],
+    # preserved code claimed FIRST collides with a later fresh allocation
+    ["a----AAAAB.pdf", "b.pdf", "c.pdf", "d.pdf"],
+    # fresh allocation FIRST: the later claimant of the same code fails
+    ["a.pdf", "b.pdf", "z----AAAAB.pdf"],
+    # invalid code is not preserved; gets the next fresh code
+    ["x----WWWWW.pdf", "y----ABABA.pdf", "y2----ABABA.pdf"],
+    # pure fresh run
+    ["f%02d.pdf" % i for i in range(30)],
+]
+
+
+@pytest.mark.skipif(not _REF_OK, reason="reference tree not importable")
+@pytest.mark.parametrize("filenames", _SCENARIOS)
+def test_registry_replay_matches_reference(filenames, tmp_path):
+    ref = _ref_registry_outcomes(filenames, tmp_path / "master.db")
+    ours = registry_replay(
+        [(fn, discover_code(fn)) for fn in sorted(filenames)], start_index=0
+    )
+    assert set(ref) == set(ours)
+    for fn in ref:
+        idx, code, err = ours[fn]
+        assert (code, _ERR_KIND[err]) == ref[fn], (fn, ours[fn], ref[fn])
+
+
+@pytest.mark.skipif(not _REF_OK, reason="reference tree not importable")
+def test_registry_replay_matches_reference_randomized(tmp_path):
+    import random
+
+    rnd = random.Random(1234)
+    pool = ["ABXCD", "AAAAB", "AAAAC", "QQQQQ", "WWWWW", "ZZZZZ"]
+    for trial in range(20):
+        files = []
+        for i in range(rnd.randint(5, 25)):
+            stem = "f%03d" % i
+            r = rnd.random()
+            if r < 0.4:
+                files.append(f"{stem}----{rnd.choice(pool)}.pdf")
+            else:
+                files.append(f"{stem}.pdf")
+        db = tmp_path / f"t{trial}.db"
+        ref = _ref_registry_outcomes(files, db)
+        ours = registry_replay(
+            [(fn, discover_code(fn)) for fn in sorted(files)], start_index=0
+        )
+        for fn in ref:
+            idx, code, err = ours[fn]
+            assert (code, _ERR_KIND[err]) == ref[fn], (trial, fn, ours[fn], ref[fn])
+
+
+# ---------------------------------------------------------------------------
+# targeted Spark-operator scenarios
+# ---------------------------------------------------------------------------
+
+_CASE_LINES = [
+    "Indian Trail, LLC v. State Bank and Trust Company",
+    "Court of Appeals of Georgia",
+    "July 3, 2014, Decided",
+    "328 Ga. App. 524",
+    "The judgment below is affirmed in part and reversed in part.",
+]
+
+
+def _caselaw_doc(doc_id: str, source_file: str):
+    spans = [
+        {"kind": "text", "text": ln, "media_ref": "", "offset": i}
+        for i, ln in enumerate(_CASE_LINES)
+    ]
+    return (doc_id, source_file, spans)
+
+
+def _run_rename(spark, docs):
+    df = spark.createDataFrame(
+        [d for d in docs], schema=DOCS_SCHEMA
+    )
+    return {r["doc_id"]: r for r in rename_documents(df, start_index=0).collect()}
+
+
+def test_rename_duplicate_claimants_first_wins_rest_fail(spark):
+    out = _run_rename(
+        spark,
+        [
+            _caselaw_doc("d1", "a----ABXCD.pdf"),
+            _caselaw_doc("d2", "b----ABXCD.pdf"),
+            _caselaw_doc("d3", "plain.pdf"),
+        ],
+    )
+    assert out["d1"]["unique_code"] == "ABXCD" and out["d1"]["rename_success"]
+    assert out["d2"]["unique_code"] is None and not out["d2"]["rename_success"]
+    assert out["d2"]["error_message"] == DUP_CLAIM_ERR
+    assert out["d3"]["unique_code"] == "AAAAA"  # index 0
+
+
+def test_rename_fresh_collision_with_earlier_preserved_code(spark):
+    # claimant d0 (first in order) preserves AAAAB; fresh allocations run
+    # AAAAA (idx 0) then AAAAB (idx 1, collides -> IntegrityError row),
+    # then AAAAC (idx 2 — the burned index shifts later codes)
+    out = _run_rename(
+        spark,
+        [
+            _caselaw_doc("d0", "old----AAAAB.pdf"),
+            _caselaw_doc("d1", "p1.pdf"),
+            _caselaw_doc("d2", "p2.pdf"),
+            _caselaw_doc("d3", "p3.pdf"),
+        ],
+    )
+    assert out["d0"]["unique_code"] == "AAAAB"
+    assert out["d1"]["unique_code"] == "AAAAA"
+    assert out["d2"]["unique_code"] is None and not out["d2"]["rename_success"]
+    assert out["d2"]["error_message"] == DUP_ALLOC_ERR
+    assert out["d2"]["code_index"] == 1  # index consumed
+    assert out["d3"]["unique_code"] == "AAAAC"
+
+
+def test_rename_claimant_after_fresh_allocation_fails(spark):
+    # fresh docs take AAAAA/AAAAB first (d1, d2 sort before z-claimant);
+    # the later claimant of AAAAB fails at commit
+    out = _run_rename(
+        spark,
+        [
+            _caselaw_doc("d1", "p1.pdf"),
+            _caselaw_doc("d2", "p2.pdf"),
+            _caselaw_doc("z9", "legacy----AAAAB.pdf"),
+        ],
+    )
+    assert out["d1"]["unique_code"] == "AAAAA"
+    assert out["d2"]["unique_code"] == "AAAAB"
+    assert out["z9"]["unique_code"] is None
+    assert out["z9"]["error_message"] == DUP_CLAIM_ERR
+
+
 def test_rename_flow(spark, corpus_df):
     out = rename_documents(corpus_df, start_index=0).collect()
     by_id = {r["doc_id"]: r for r in out}
     assert len(by_id) == 150  # no docs lost across the three-way split
 
-    # legacy codes preserved bit-for-bit — but codes are UNIQUE (the
-    # registry's codes table is one row per code, registrar.py:96-101), so
-    # when several files carry the same ----ABXCD suffix only the first
-    # claimant (min doc_id, the reference's alphabetical order) keeps it;
-    # the rest are treated like invalid codes and get fresh allocations
+    # legacy codes: claimants are metadata-eligible docs only; the first
+    # (min doc_id) keeps ABXCD, later claimants FAIL their rename exactly
+    # like the reference registry (documents.unique_code UNIQUE)
     legacy = sorted(
-        (r for r in out if "----ABXCD" in r["source_file"]),
+        (r for r in out if "----ABXCD" in r["source_file"] and r["metadata_ok"]),
         key=lambda r: r["doc_id"],
     )
-    assert legacy, "corpus should contain legacy-coded filenames"
+    assert legacy, "corpus should contain metadata-eligible legacy-coded files"
     assert legacy[0]["unique_code"] == "ABXCD"
     for r in legacy[1:]:
-        # losers either got a fresh allocation (renameable docs) or None
-        # (failed rename: the file keeps its old name on disk, nothing to
-        # link) — never the duplicate code
-        assert r["unique_code"] != "ABXCD"
-        if r["rename_success"]:
-            assert r["unique_code"] is not None
+        assert r["unique_code"] is None
+        assert not r["rename_success"]
+        assert r["error_message"] == DUP_CLAIM_ERR
 
     # invalid ----WWWWW codes are NOT preserved
     invalid = [r for r in out if "----WWWWW" in r["source_file"]]
@@ -87,8 +326,8 @@ def test_rename_flow(spark, corpus_df):
         if r["new_filename"] is not None:
             assert "----" + r["unique_code"] in r["new_filename"]
             assert r["new_filename"].startswith("c.")
-        if not r["rename_success"] and r["discovered_code"] is None:
-            assert r["unique_code"] is None  # atomic skip: no code burned
+        if not r["metadata_ok"]:
+            assert r["unique_code"] is None and r["code_index"] is None
 
 
 def test_rename_codes_dense_and_unique(spark, corpus_df):
@@ -98,5 +337,4 @@ def test_rename_codes_dense_and_unique(spark, corpus_df):
     )
     assert fresh == list(range(len(fresh)))  # dense 0..n-1
     codes = [r["unique_code"] for r in out if r["unique_code"] is not None]
-    legacy = sum(1 for r in out if r["discovered_code"] is not None)
-    assert len(codes) == len(fresh) + legacy
+    assert len(codes) == len(set(codes))  # globally unique, no exceptions
