@@ -825,9 +825,33 @@ GROUP BY source
 
 # ---------------------------------------------------------------------------
 # q_convert_pipeline — the full kernel pipeline over the flat table adapted
-# to spans. Not SQL-expressible (yaml frontmatter + Python-re semantics), so
-# no oracle: the driver records a rows-only check.
+# to spans. Kernel semantics (yaml frontmatter + Python-re) are not
+# re-expressible in SQL, so the oracle is a GOLDEN table: the identical
+# sequential pure-Python execution (scripts/gen_goldens.py ->
+# data/goldens/convert_sf0_01.parquet), inlined as VALUES. ``spans_hash``
+# makes the driver's hash check enforce the north rule's span-sequence
+# equality (kind, text, media_ref, order) per document.
 # ---------------------------------------------------------------------------
+
+def _spans_hash_col():
+    """Canonical span-sequence serialization — must match
+    scripts/gen_goldens.py:spans_hash byte-for-byte."""
+    return F.md5(
+        F.concat_ws(
+            "\x1f",
+            F.transform(
+                F.col("spans"),
+                lambda s: F.concat_ws(
+                    "\x1e",
+                    s["kind"],
+                    s["text"],
+                    s["media_ref"],
+                    s["offset"].cast("string"),
+                ),
+            ),
+        )
+    )
+
 
 def spark_convert_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import convert_documents
@@ -836,13 +860,14 @@ def spark_convert_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = flat_to_spans(_docs(spark, sf_dir))
     out = convert_documents(df.withColumn("source_file", F.concat("doc_id", F.lit(".txt"))))
     return out.select(
-        "doc_id",
+        F.col("doc_id").cast("bigint").alias("doc_id"),
         "document_type",
-        "confidence",
-        "lines_removed",
-        "headings_added",
-        "character_count",
+        F.floor(F.col("confidence") * 1_000_000).cast("bigint").alias("confidence_micros"),
+        F.col("lines_removed").cast("bigint").alias("lines_removed"),
+        F.col("headings_added").cast("bigint").alias("headings_added"),
+        F.col("character_count").cast("bigint").alias("character_count"),
         "success",
+        _spans_hash_col().alias("spans_hash"),
     )
 
 
@@ -1804,29 +1829,133 @@ GROUP BY 1, 2
 
 # ---------------------------------------------------------------------------
 # q_rename_pipeline — the full rename flow (classify -> metadata -> code
-# discovery/allocation -> canonical filename) over the flat table adapted to
-# spans. Kernel semantics (Python-re metadata extraction, yaml configs), so
-# no SQL oracle: the driver records a rows-only check, like
-# q_convert_pipeline.
+# discovery/allocation -> registry-uniqueness resolution -> canonical
+# filename). The testdata vocabulary contains no legal captions, so a
+# deterministic caselaw header is derived for 3/4 of docs (same pattern as
+# q_metadata_extract) and the filename mix plants duplicate ----ABXCD
+# claimants, invalid ----WWWWW codes, and a preserved ----AAABA that
+# collides with fresh sequential allocation — so the oracle exercises the
+# whole registry state machine. Oracle = GOLDEN table from the sequential
+# pure-Python execution (scripts/gen_goldens.py, rename_corpus_sequential).
 # ---------------------------------------------------------------------------
+
+_RENAME_COURT = "Court of Appeals of Georgia"
+
+
+def rename_input_py(doc_id: int, text: str) -> tuple[str, str]:
+    """(source_file, full_text) rename-pipeline input derivation — the
+    pure-Python twin of :func:`_rename_input_cols` (golden generator)."""
+    toks = [t for t in (text or "").split(" ") if t]
+    if doc_id % 4 != 0 and len(toks) >= 2:
+        cap = toks[0][:1].upper() + toks[0][1:]
+        cap2 = toks[1][:1].upper() + toks[1][1:]
+        header = (
+            f"{cap} v. {cap2}\n{_RENAME_COURT}\n"
+            f"July 3, {1900 + doc_id % 100}, Decided\n"
+            f"{100 + doc_id % 800} Ga. App. {1 + doc_id % 900}"
+        )
+        full = header + "\n" + (text or "")
+    else:
+        full = text or ""
+    if doc_id % 17 == 0:
+        source_file = f"{doc_id}----ABXCD.pdf"
+    elif doc_id % 23 == 1:
+        source_file = f"{doc_id}----WWWWW.pdf"
+    elif doc_id % 100 == 3:
+        source_file = f"{doc_id}----AAABA.pdf"
+    else:
+        source_file = f"{doc_id}.pdf"
+    return source_file, full
+
+
+def _rename_input_cols(df: DataFrame) -> DataFrame:
+    """Columnar twin of :func:`rename_input_py` (pure JVM expressions)."""
+    did = F.col("doc_id").cast("bigint")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    t1 = F.element_at(toks, 1)
+    t2 = F.element_at(toks, 2)
+    cap = F.concat(F.upper(F.substring(t1, 1, 1)), F.substring(t1, 2, 1 << 24))
+    cap2 = F.concat(F.upper(F.substring(t2, 1, 1)), F.substring(t2, 2, 1 << 24))
+    header = F.concat_ws(
+        "\n",
+        F.concat(cap, F.lit(" v. "), cap2),
+        F.lit(_RENAME_COURT),
+        F.format_string("July 3, %d, Decided", (did % 100) + 1900),
+        F.format_string("%d Ga. App. %d", (did % 800) + 100, (did % 900) + 1),
+    )
+    use_header = ((did % 4) != 0) & (F.size(toks) >= 2)
+    full = F.when(use_header, F.concat(header, F.lit("\n"), F.col("text"))).otherwise(
+        F.col("text")
+    )
+    source_file = (
+        F.when(did % 17 == 0, F.format_string("%d----ABXCD.pdf", did))
+        .when(did % 23 == 1, F.format_string("%d----WWWWW.pdf", did))
+        .when(did % 100 == 3, F.format_string("%d----AAABA.pdf", did))
+        .otherwise(F.format_string("%d.pdf", did))
+    )
+    return df.withColumn("text", full).withColumn("source_file", source_file)
+
 
 def spark_rename_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.rename import rename_documents
     from .sources import flat_to_spans
 
-    df = flat_to_spans(_docs(spark, sf_dir)).withColumn(
-        "source_file", F.concat("doc_id", F.lit(".pdf"))
-    )
+    df = flat_to_spans(_rename_input_cols(_docs(spark, sf_dir).select("doc_id", "text")))
     out = rename_documents(df)
     return out.select(
-        "doc_id",
+        F.col("doc_id").cast("bigint").alias("doc_id"),
         "document_type",
+        F.floor(F.col("confidence") * 1_000_000).cast("bigint").alias("confidence_micros"),
         "case_name",
         "year",
+        "metadata_ok",
+        F.col("code_index").cast("bigint").alias("code_index"),
         "unique_code",
         "new_filename",
         "rename_success",
+        "error_message",
     )
+
+
+def _golden_sql(filename: str) -> str:
+    """Inline a committed golden parquet as a typed VALUES oracle.
+
+    VALUES (not read_parquet) so the oracle runs on any DuckDB connection
+    regardless of external-file access configuration.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(os.path.dirname(__file__), "data", "goldens", filename)
+    t = pq.read_table(path)
+    cols = t.column_names
+    types = {
+        "int64": "BIGINT",
+        "bool": "BOOLEAN",
+        "string": "VARCHAR",
+        "large_string": "VARCHAR",
+    }
+
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, int):
+            return str(v)
+        return "'" + str(v).replace("'", "''") + "'"
+
+    data = [c.to_pylist() for c in (t[c] for c in cols)]
+    rows = ", ".join(
+        "(" + ", ".join(lit(data[j][i]) for j in range(len(cols))) + ")"
+        for i in range(t.num_rows)
+    )
+    casts = ", ".join(
+        "CAST(%s AS %s) AS %s" % (c, types[str(t.schema.field(c).type)], c)
+        for c in cols
+    )
+    return "SELECT %s FROM (VALUES %s) AS g(%s)" % (casts, rows, ", ".join(cols))
 
 
 # ---------------------------------------------------------------------------
@@ -1888,7 +2017,11 @@ ORACLE_SQL = {
     "q_docs_events_join": _DOCS_EVENTS_JOIN_SQL,
     "q_code_assign": _CODE_ASSIGN_SQL,
     "q_source_stats": _SOURCE_STATS_SQL,
-    # q_convert_pipeline intentionally has no oracle (kernel semantics)
+    # golden oracles: sequential pure-Python execution of the same kernels,
+    # committed as parquet (scripts/gen_goldens.py; valid at the driver's
+    # sf=0.01 comparison point)
+    "q_convert_pipeline": _golden_sql("convert_sf0_01.parquet"),
+    "q_rename_pipeline": _golden_sql("rename_sf0_01.parquet"),
     "q_line_ops": _LINE_OPS_SQL,
     "q_running_tokens": _RUNNING_SQL,
     "q_multizone": _MULTIZONE_SQL,
