@@ -597,10 +597,12 @@ def spark_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_lsh_sql() -> str:
+def _lsh_bucket_sql_expr(n_planes: int = _LSH_PLANES) -> str:
+    """DuckDB twin of operators/similarity.py:lsh_bucket_col (same md5-derived
+    sign planes, inlined as literals)."""
     from .functions.hashing import lsh_plane_signs
 
-    planes = lsh_plane_signs(_LSH_PLANES, _LSH_DIM)
+    planes = lsh_plane_signs(n_planes, _LSH_DIM)
     bits = []
     for row in planes:
         lit = "[" + ", ".join(str(s) for s in row) + "]"
@@ -609,7 +611,11 @@ def _ann_lsh_sql() -> str:
             "i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT) * (%s)[i])) > 0 "
             "THEN '1' ELSE '0' END" % (_LSH_DIM + 1, lit)
         )
-    bucket = " || ".join(bits)
+    return " || ".join(bits)
+
+
+def _ann_lsh_sql() -> str:
+    bucket = _lsh_bucket_sql_expr()
     return """
 WITH b AS (
   SELECT vec_id, {bucket} AS bucket FROM embeddings
@@ -1233,22 +1239,36 @@ GROUP BY doc_id
 
 # ---------------------------------------------------------------------------
 # q_embed_neardup — embedding-cosine near-duplicate pairs (training-data op):
-# label-blocked self-join (the blocking key bounds the quadratic term — at
-# scale this is the LSH/IVF bucket id from q_ann_lsh_buckets), integer-
-# quantized cosine^2 so both engines agree exactly. Threshold cos^2 >= 0.1.
+# self-join blocked on the sign-LSH BUCKET (operators/similarity.py:
+# lsh_bucket_col — 2^8 buckets whose cardinality scales with the corpus, so
+# the quadratic term stays bounded at 100 TB), with label as a secondary
+# equality predicate. Integer-quantized cosine^2 so both engines agree
+# exactly. Threshold cos^2 >= 0.1. A first() Aggregate barrier materializes
+# the computed bucket before the self-join so Catalyst cannot re-inline the
+# 8-plane expression into join-key predicates (same 13x pathology measured
+# on the minhash band join, operators/dedup.py).
 # ---------------------------------------------------------------------------
 
 _NEARDUP_SCALE = 128  # |v| < 1 → |q| <= 128; dot < 2^20, dot^2*1e6 < 2^60: no overflow
 _NEARDUP_THR = 100_000  # cos^2 in micros
+# 4 sign planes = 16 buckets: collision prob (1 - theta/pi)^4 keeps real
+# near-dups (small theta) while bounding each bucket's quadratic term; more
+# bands/multi-probe is the recall knob at scale (similarity.py docstring).
+_NEARDUP_PLANES = 4
 
 
 def spark_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import lsh_bucket_col
+
     qe = F.expr(
         "transform(embedding, v -> cast(floor(cast(v as double) * %d) as bigint))"
         % _NEARDUP_SCALE
     )
     emb = _embeddings(spark, sf_dir).select(
-        F.col("vec_id").cast("bigint").alias("vec_id"), F.col("label"), qe.alias("qe")
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("label"),
+        qe.alias("qe"),
+        lsh_bucket_col("embedding", _NEARDUP_PLANES, _LSH_DIM).alias("bucket"),
     )
     emb = emb.withColumn(
         "nrm",
@@ -1258,10 +1278,19 @@ def spark_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ),
     )
+    # Aggregate barrier on the unique key (see header comment)
+    emb = emb.groupBy("vec_id").agg(
+        F.first("label").alias("label"),
+        F.first("qe").alias("qe"),
+        F.first("bucket").alias("bucket"),
+        F.first("nrm").alias("nrm"),
+    )
     a, b = emb.alias("a"), emb.alias("b")
     j = a.join(
         b,
-        (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
     )
     dot = F.aggregate(
         F.zip_with(F.col("a.qe"), F.col("b.qe"), lambda x, y: x * y),
@@ -1284,26 +1313,31 @@ def spark_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NEARDUP_SQL = """
+def _neardup_sql() -> str:
+    return """
 WITH q AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id, label,
-         list_transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * {s}) AS BIGINT)) AS qe
+         list_transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * {s}) AS BIGINT)) AS qe,
+         {bucket} AS bucket
   FROM embeddings
 ), n AS (
-  SELECT vec_id, label, qe,
+  SELECT vec_id, label, qe, bucket,
          list_sum(list_transform(qe, x -> x * x)) AS nrm
   FROM q
 ), p AS (
   SELECT a.vec_id AS a, b.vec_id AS b,
          CAST(list_sum(list_transform(range(1, len(a.qe) + 1), i -> a.qe[i] * b.qe[i])) AS BIGINT) AS dot,
          CAST(a.nrm * b.nrm AS BIGINT) AS nprod
-  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+  FROM n a JOIN n b ON a.bucket = b.bucket AND a.label = b.label AND a.vec_id < b.vec_id
 )
 SELECT a, b,
        CAST((dot * dot * 1000000) // nprod AS BIGINT) AS cos_sq_micros
 FROM p
 WHERE dot > 0 AND (dot * dot * 1000000) // nprod >= {thr}
-""".format(s=_NEARDUP_SCALE, thr=_NEARDUP_THR)
+""".format(s=_NEARDUP_SCALE, thr=_NEARDUP_THR, bucket=_lsh_bucket_sql_expr(_NEARDUP_PLANES))
+
+
+_NEARDUP_SQL = _neardup_sql()
 
 
 # ---------------------------------------------------------------------------
