@@ -193,6 +193,59 @@ def jaccard_verify(
     return out.filter(F.col("jaccard_micros") >= threshold_micros)
 
 
+def connected_canonical(
+    verified: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """(node, canonical) for every node appearing in verified pairs, where
+    canonical = min doc_id of the node's CONNECTED COMPONENT (transitive:
+    A~B, B~C => one component even when A~C was never verified).
+
+    Iterative min-label propagation to a fixpoint, run only over the
+    verified-pair node set (tiny vs the corpus — pairs above a high Jaccard
+    threshold). Each round shuffles just the edge list; lineage is truncated
+    per round with localCheckpoint so plans stay flat. Convergence is
+    O(component diameter) rounds — near-dup chains are short in practice;
+    for adversarial long chains at 100 TB switch to large-star/small-star
+    (O(log n) rounds), which this loop structure accommodates.
+    """
+    edges = verified.select("a", "b")
+    edges = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy(edges["a"].alias("node"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, on="node", how="left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("lbl", "old_lbl"), on="node"
+            )
+            .filter(F.col("lbl") != F.col("old_lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("lbl").alias("canonical"))
+
+
 def near_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -203,17 +256,23 @@ def near_dedup(
     max_bucket_size: int | None = None,
 ) -> DataFrame:
     """End-to-end near-dup marking: docs keep ``canonical_doc_id`` =
-    min(doc_id) over themselves and their verified near-duplicates."""
+    min(doc_id) of their connected component in the verified near-duplicate
+    graph (transitive chains collapse to ONE canonical id).
+
+    The component computation runs only over docs that have at least one
+    verified neighbor; everyone else is their own canonical via coalesce —
+    so the corpus-wide cost is one equi-join against the (small) label
+    table, broadcastable by AQE at scale.
+    """
     sigs = minhash_signatures(df, text_col, id_col, n_bands=n_bands, band_rows=band_rows)
     pairs = lsh_candidate_pairs(sigs, id_col, n_bands=n_bands, max_bucket_size=max_bucket_size)
     verified = jaccard_verify(sigs, pairs, id_col, threshold_micros)
-    # neighbor edges in both directions + self so every doc has a row
-    edges = (
-        verified.select(F.col("a").alias(id_col), F.col("b").alias("nbr"))
-        .unionByName(verified.select(F.col("b").alias(id_col), F.col("a").alias("nbr")))
-        .unionByName(df.select(F.col(id_col), F.col(id_col).alias("nbr")))
-    )
-    canon = edges.groupBy(id_col).agg(F.min("nbr").alias("canonical_doc_id"))
-    return df.join(canon, on=id_col, how="left").withColumn(
-        "is_near_duplicate", F.col(id_col) != F.col("canonical_doc_id")
+    labels = connected_canonical(verified).withColumnRenamed("node", id_col)
+    return (
+        df.join(labels, on=id_col, how="left")
+        .withColumn("canonical_doc_id", F.coalesce("canonical", F.col(id_col)))
+        .drop("canonical")
+        .withColumn(
+            "is_near_duplicate", F.col(id_col) != F.col("canonical_doc_id")
+        )
     )

@@ -1692,7 +1692,7 @@ def spark_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NEAR_DEDUP_SQL = """
-WITH t AS (
+WITH RECURSIVE t AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
          list_filter(string_split(text, ' '), x -> x <> '') AS tokens
   FROM documents
@@ -1715,17 +1715,20 @@ WITH t AS (
   WHERE (CAST(len(list_intersect(x.sset, y.sset)) AS BIGINT) * 1000000)
         // (len(x.sset) + len(y.sset) - len(list_intersect(x.sset, y.sset))) >= 500000
 ), e AS (
-  SELECT a AS doc_id, b AS nbr FROM v
+  SELECT a AS src, b AS dst FROM v
   UNION ALL
-  SELECT b AS doc_id, a AS nbr FROM v
-  UNION ALL
+  SELECT b AS src, a AS dst FROM v
+), reach(src, dst) AS (
+  -- transitive closure of the verified-pair graph: connected components
   SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
 )
-SELECT doc_id,
-       CAST(min(nbr) AS BIGINT) AS canonical_doc_id,
-       min(nbr) <> doc_id AS is_near_duplicate
-FROM e
-GROUP BY doc_id
+SELECT src AS doc_id,
+       CAST(min(dst) AS BIGINT) AS canonical_doc_id,
+       min(dst) <> src AS is_near_duplicate
+FROM reach
+GROUP BY src
 """
 
 

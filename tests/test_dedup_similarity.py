@@ -101,6 +101,48 @@ def test_near_dedup_end_to_end(spark, docs):
     assert out[5]["canonical_doc_id"] == 5
 
 
+def test_near_dedup_transitive_chain_collapses(spark):
+    """A~B and B~C verified but A~C below threshold: connected-components
+    canonicalization must still put all three in ONE group (the round-1
+    single-pass min-neighbor split them)."""
+    # B overlaps heavily with both A and C; A and C share less than half
+    # their shingles with each other.
+    words_a = [f"w{i}" for i in range(0, 30)]
+    words_b = [f"w{i}" for i in range(8, 38)]
+    words_c = [f"w{i}" for i in range(16, 46)]
+    far = ["zebra", "quartz", "ox", "jazz", "vex", "glyph", "crwth", "pyx"] * 4
+    rows = [
+        (1, " ".join(words_a)),
+        (2, " ".join(words_b)),
+        (3, " ".join(words_c)),
+        (4, " ".join(far)),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in near_dedup(df, threshold_micros=400_000, n_bands=4).collect()
+    }
+    # sanity: the chain is genuinely transitive (A-C direct Jaccard below
+    # the 0.4 threshold: |A∩C| = 14 shingles-ish of ~28 each)
+    assert out[1]["canonical_doc_id"] == 1
+    assert out[2]["canonical_doc_id"] == 1 and out[2]["is_near_duplicate"]
+    assert out[3]["canonical_doc_id"] == 1 and out[3]["is_near_duplicate"]
+    assert out[4]["canonical_doc_id"] == 4 and not out[4]["is_near_duplicate"]
+
+
+def test_connected_canonical_long_chain(spark):
+    from modern_document_converter_for_ai_library_spark.operators.dedup import (
+        connected_canonical,
+    )
+
+    # 0-1-2-...-7 path plus an isolated 100-101 pair
+    edges = [(i, i + 1) for i in range(7)] + [(100, 101)]
+    verified = spark.createDataFrame(edges, ["a", "b"])
+    labels = {r["node"]: r["canonical"] for r in connected_canonical(verified).collect()}
+    assert all(labels[i] == 0 for i in range(8))
+    assert labels[100] == 100 and labels[101] == 100  # separate component
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     import numpy as np
