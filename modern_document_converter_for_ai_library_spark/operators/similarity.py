@@ -37,6 +37,30 @@ def _quantized_dot(a, b):
     )
 
 
+def _quantized_sqdist(a, b):
+    """Exact integer squared Euclidean distance between quantized vectors.
+
+    Used for k-means cell assignment/probing: the corpus embeddings are
+    unit vectors, so Euclidean NN == cosine NN for them, but Lloyd MEANS are
+    sub-unit — argmax-dot against unnormalized means is norm-biased (it
+    measured WORSE than the seed baseline), while argmin-distance is the
+    metric Lloyd actually optimizes. Magnitudes: diff < 2^22, squared < 2^44,
+    x dim(64) < 2^50 — no bigint overflow.
+    """
+
+    def _q(col, i):
+        return F.floor(F.element_at(col, i).cast("double") * QSCALE)
+
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.size(a)),
+            lambda i: (_q(a, i) - _q(b, i)) * (_q(a, i) - _q(b, i)),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -82,24 +106,56 @@ def lsh_bucket_col(vec_col: str, n_planes: int, dim: int):
     return F.concat(*bits)
 
 
+def _argmax_cell(
+    corpus: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Nearest-centroid assignment: broadcast crossJoin against K centroids
+    (K dots per vector, embarrassingly parallel) + argmax window keyed by
+    vector id. Ties break toward the lowest cell."""
+    from pyspark.sql import Window
+
+    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        "cell",
+        _quantized_sqdist(F.col(vec_col), F.col("cvec")).alias("cdist"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.asc("cdist"), F.asc("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "cell")
+    )
+
+
 def ivf_build(
     corpus: DataFrame,
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lloyd_iterations: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF (inverted-file) index build: deterministic coarse centroids +
-    nearest-centroid cell assignment.
+    ``lloyd_iterations`` k-means refinement rounds + nearest-centroid cell
+    assignment. Returns (assigned, centroids): assigned = corpus + ``cell``.
 
-    Centroids are the ``n_centroids`` lowest-id corpus vectors — a
-    deterministic stand-in for k-means (at 100 TB one or two Lloyd
-    iterations over a sample refine them; assignment below is unchanged).
-    Assignment is a broadcast crossJoin against K centroids (K dots per
-    vector, embarrassingly parallel) + an argmax window keyed by vector id.
-    Returns (assigned, centroids): assigned = corpus + ``cell`` column.
+    Seeds are the ``n_centroids`` lowest-id corpus vectors; each Lloyd round
+    then (a) assigns every vector to its nearest centroid and (b) replaces
+    each centroid with its cell's element-wise mean. The mean is computed in
+    EXACT integer arithmetic over the quantized components (bigint sums are
+    associative — float summation order would make centroids, and therefore
+    cell boundaries, nondeterministic across partitionings) and mapped back
+    to doubles via an exact power-of-two division, so
+    ``floor(cvec * QSCALE)`` round-trips to the integer mean and every
+    engine reproduces identical cells. Per round the cluster-side work is
+    one posexplode + groupBy((cell, dim)) shuffle of K*dim rows to the
+    driver — centroid tables are tiny by construction. Empty cells keep
+    their previous centroid.
     """
     from pyspark.sql import Window
+    from pyspark.sql import types as T
 
+    spark = corpus.sparkSession
     centroids = (
         corpus.orderBy(id_col)
         .limit(n_centroids)
@@ -111,18 +167,40 @@ def ivf_build(
             F.col(vec_col).alias("cvec"),
         )
     )
-    scored = corpus.crossJoin(F.broadcast(centroids)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        "cell",
-        _quantized_dot(F.col(vec_col), F.col("cvec")).alias("cdot"),
+    qe = F.expr(
+        "transform(%s, v -> cast(floor(cast(v as double) * %d) as bigint))"
+        % (vec_col, QSCALE)
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("cdot"), F.asc("cell"))
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, "cell")
-    )
+    for _ in range(lloyd_iterations):
+        assigned = _argmax_cell(corpus, centroids, id_col, vec_col)
+        sums = (
+            assigned.select("cell", F.posexplode(qe).alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("c"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = (r["s"], r["c"])
+        new_rows = []
+        for r in centroids.collect():
+            cell, prev = r["cell"], r["cvec"]
+            if cell in by_cell:
+                d = by_cell[cell]
+                vec = [(d[p][0] // d[p][1]) / QSCALE for p in range(len(prev))]
+            else:
+                vec = [float(x) for x in prev]
+            new_rows.append((cell, vec))
+        centroids = spark.createDataFrame(
+            sorted(new_rows),
+            T.StructType(
+                [
+                    T.StructField("cell", T.IntegerType(), False),
+                    T.StructField("cvec", T.ArrayType(T.DoubleType()), False),
+                ]
+            ),
+        )
+    assigned = _argmax_cell(corpus, centroids, id_col, vec_col)
     return assigned, centroids
 
 
@@ -146,9 +224,9 @@ def ivf_search(
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     qc = q.crossJoin(F.broadcast(centroids)).select(
         "query_id", "qvec", "cell",
-        _quantized_dot(F.col("qvec"), F.col("cvec")).alias("cdot"),
+        _quantized_sqdist(F.col("qvec"), F.col("cvec")).alias("cdist"),
     )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("cdot"), F.asc("cell"))
+    wq = Window.partitionBy("query_id").orderBy(F.asc("cdist"), F.asc("cell"))
     probes = (
         qc.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= n_probe)

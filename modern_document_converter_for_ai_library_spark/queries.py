@@ -1733,21 +1733,27 @@ GROUP BY src
 
 
 # ---------------------------------------------------------------------------
-# q_ivf_topk — IVF (inverted-file) ANN scale path: deterministic coarse
-# centroids (16 lowest-id vectors), nearest-centroid cell assignment, probe
-# the query's 4 nearest cells, exact integer-quantized rescoring inside
-# them (operators/similarity.py:ivf_build/ivf_search).
+# q_ivf_topk — IVF (inverted-file) ANN scale path: deterministic seed
+# centroids (16 lowest-id vectors) refined by 2 exact-integer Lloyd rounds
+# (squared-Euclidean assignment — the corpus vectors are unit-norm, so
+# Euclidean NN == cosine NN, and Lloyd means stay meaningful), probe the
+# query's 4 nearest cells, exact integer-quantized dot rescoring inside
+# them (operators/similarity.py:ivf_build/ivf_search). The oracle unrolls
+# the two Lloyd rounds as CTE pairs with the identical integer arithmetic.
 # ---------------------------------------------------------------------------
 
 _IVF_K = 16
 _IVF_PROBE = 4
+_IVF_LLOYD = 2
 
 
 def spark_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ivf_build, ivf_search
 
     emb = _embeddings(spark, sf_dir)
-    assigned, centroids = ivf_build(emb, n_centroids=_IVF_K)
+    assigned, centroids = ivf_build(
+        emb, n_centroids=_IVF_K, lloyd_iterations=_IVF_LLOYD
+    )
     q = emb.orderBy("vec_id").limit(1)
     out = ivf_search(assigned, centroids, q, k=10, n_probe=_IVF_PROBE)
     return out.select(
@@ -1757,38 +1763,73 @@ def spark_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_SQL = """
+def _ivf_sql() -> str:
+    sqd = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+    rounds = []
+    prev = "c1"
+    for r in range(1, _IVF_LLOYD + 1):
+        nxt = f"c{r + 1}"
+        rounds.append(
+            """s{r} AS (
+  SELECT v.vec_id, v.qe, c.cell, {dist} AS cdist
+  FROM v, {prev} c
+), a{r} AS (
+  SELECT vec_id, qe, cell FROM (
+    SELECT vec_id, qe, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cdist ASC, cell ASC) AS rn
+    FROM s{r}
+  ) WHERE rn = 1
+), u{r} AS (
+  SELECT cell, i AS pos, qe[i] AS val FROM a{r}, range(1, 65) t(i)
+), m{r} AS (
+  SELECT cell, pos,
+         CAST(FLOOR(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+  FROM u{r} GROUP BY cell, pos
+), {nxt}p AS (
+  SELECT cell, list(cv ORDER BY pos) AS cvec FROM m{r} GROUP BY cell
+), {nxt} AS (
+  SELECT {prev}.cell, COALESCE({nxt}p.cvec, {prev}.cvec) AS cvec
+  FROM {prev} LEFT JOIN {nxt}p USING (cell)
+)""".format(
+                r=r,
+                prev=prev,
+                nxt=nxt,
+                dist=sqd.format(a="v.qe", b="c.cvec"),
+            )
+        )
+        prev = nxt
+    return """
 WITH v AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qe
   FROM embeddings
-), c AS (
+), c1 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cell, qe AS cvec
   FROM (SELECT vec_id, qe FROM v ORDER BY vec_id LIMIT {k})
-), scored AS (
-  SELECT v.vec_id, v.qe, c.cell,
-         list_sum(list_transform(range(1, len(v.qe) + 1), i -> v.qe[i] * c.cvec[i])) AS cdot
-  FROM v, c
-), asg AS (
+), {rounds}, sf AS (
+  SELECT v.vec_id, v.qe, c.cell, {fdist} AS cdist
+  FROM v, {fin} c
+), af AS (
   SELECT vec_id, qe, cell FROM (
     SELECT vec_id, qe, cell,
-           row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cell ASC) AS rn
-    FROM scored
+           row_number() OVER (PARTITION BY vec_id ORDER BY cdist ASC, cell ASC) AS rn
+    FROM sf
   ) WHERE rn = 1
 ), qq AS (
   SELECT qe AS qv FROM v ORDER BY vec_id LIMIT 1
 ), probes AS (
   SELECT cell FROM (
     SELECT c.cell,
-           row_number() OVER (
-             ORDER BY list_sum(list_transform(range(1, len(c.cvec) + 1), i -> qq.qv[i] * c.cvec[i])) DESC,
-                      c.cell ASC) AS rn
-    FROM c, qq
+           row_number() OVER (ORDER BY {pdist} ASC, c.cell ASC) AS rn
+    FROM {fin} c, qq
   ) WHERE rn <= {p}
 ), cand AS (
-  SELECT asg.vec_id,
-         list_sum(list_transform(range(1, len(asg.qe) + 1), i -> asg.qe[i] * qq.qv[i])) AS qdot
-  FROM asg JOIN probes USING (cell), qq
+  SELECT af.vec_id,
+         list_sum(list_transform(range(1, 65), i -> af.qe[i] * qq.qv[i])) AS qdot
+  FROM af JOIN probes USING (cell), qq
 )
 SELECT CAST(vec_id AS BIGINT) AS vec_id,
        CAST(qdot AS BIGINT) AS qdot,
@@ -1796,7 +1837,17 @@ SELECT CAST(vec_id AS BIGINT) AS vec_id,
 FROM cand
 ORDER BY qdot DESC, vec_id ASC
 LIMIT 10
-""".format(k=_IVF_K, p=_IVF_PROBE)
+""".format(
+        k=_IVF_K,
+        p=_IVF_PROBE,
+        rounds=", ".join(rounds),
+        fin=prev,
+        fdist=sqd.format(a="v.qe", b="c.cvec"),
+        pdist=sqd.format(a="qq.qv", b="c.cvec"),
+    )
+
+
+_IVF_SQL = _ivf_sql()
 
 
 # ---------------------------------------------------------------------------

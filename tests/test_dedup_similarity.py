@@ -159,6 +159,28 @@ def vectors(spark):
     return spark.createDataFrame(rows, ["vec_id", "embedding"])
 
 
+def test_ivf_lloyd_improves_recall(spark):
+    """Two exact-integer Lloyd rounds must beat the id-seed baseline on
+    recall@10 for queries that are NOT the seed vectors themselves (seed
+    vectors trivially own their cells, which is why the comparison uses
+    vec_ids 100..115; measured 49/160 -> 66/160 at n_probe=2, sf0.01)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qs = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 116))
+    truth = brute_force_topk(emb, qs, k=10)
+    tset = {(r["query_id"], r["vec_id"]) for r in truth.collect()}
+
+    def recall(lloyd):
+        assigned, cents = ivf_build(emb, n_centroids=16, lloyd_iterations=lloyd)
+        got = ivf_search(assigned, cents, qs, k=10, n_probe=2)
+        gset = {(r["query_id"], r["vec_id"]) for r in got.collect()}
+        return len(gset & tset)
+
+    base, refined = recall(0), recall(2)
+    assert refined > base, (base, refined)
+
+
 def test_brute_force_topk(spark, vectors):
     q = vectors.filter(F.col("vec_id") == 0)
     out = brute_force_topk(vectors, q, k=4).collect()
@@ -176,17 +198,32 @@ def test_lsh_ann_recalls_planted_neighbors(spark, vectors):
     assert {0, 1, 2, 3} <= ids
 
 
-def test_ivf_recalls_planted_neighbors(spark, vectors):
+def test_ivf_recalls_planted_neighbors(spark):
+    import numpy as np
+
+    # DIVERSE seed centroids (ids 0..3 random) — seeding them with
+    # near-identical vectors makes cell membership tie-break noise. The
+    # planted cluster lives at ids 10..13.
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(64)]) for i in range(4)]
+    base = rng.randn(64)
+    for j, i in enumerate([10, 11, 12, 13]):
+        rows.append((i, [float(x) for x in base + rng.randn(64) * 0.01]))
+    for i in range(14, 30):
+        rows.append((i, [float(x) for x in rng.randn(64)]))
+    vectors = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
     assigned, centroids = ivf_build(vectors, n_centroids=4)
-    # every vector lands in exactly one cell
-    rows = assigned.collect()
-    assert len(rows) == vectors.count()
-    assert {r["cell"] for r in rows} <= {1, 2, 3, 4}
-    q = vectors.filter(F.col("vec_id") == 0)
-    out = ivf_search(assigned, centroids, q, k=4, n_probe=2).collect()
+    arows = assigned.collect()
+    assert len(arows) == len(rows)  # every vector lands in exactly one cell
+    assert {r["cell"] for r in arows} <= {1, 2, 3, 4}
+    # the tiny perturbations of vec 10 share its cell (continuity)
+    cells = {r["vec_id"]: r["cell"] for r in arows}
+    assert cells[11] == cells[10] and cells[12] == cells[10] and cells[13] == cells[10]
+    q = vectors.filter(F.col("vec_id") == 10)
+    out = ivf_search(assigned, centroids, q, k=4, n_probe=1).collect()
     ids = {r["vec_id"] for r in out}
-    # the tiny perturbations of vec 0 share its nearest centroid
-    assert {0, 1, 2, 3} <= ids
+    assert {10, 11, 12, 13} <= ids
 
 
 def test_ivf_full_probe_equals_exact(spark, vectors):
