@@ -67,25 +67,65 @@ def reporters_dim(spark: SparkSession) -> DataFrame:
     )
 
 
+def _court_tier(court_key: str) -> int:
+    """Category priority from the legacy extractor's fixed iteration order
+    (zOld-Code/step1…/court_extractor.py:58-130): SCOTUS, then courts of
+    appeals, then district courts, then state courts."""
+    if court_key == "federal/supreme_court":
+        return 0
+    if court_key.startswith("federal/courts_of_appeals/"):
+        return 1
+    if court_key.startswith("federal/district_courts/"):
+        return 2
+    return 3
+
+
 def resolve_courts(
     df: DataFrame, text_col: str = "text", spark: SparkSession | None = None
 ) -> DataFrame:
-    """Attach bluebook/filename_code for the first court mentioned in text.
+    """Attach bluebook/filename_code for the court mentioned in text.
 
-    Plan: one combined regexp_extract (JVM, codegen) + one broadcast hash
-    join on the matched literal — no per-row Python, no shuffle of ``df``.
+    Category-priority matching, NOT leftmost-in-text: the reference tries
+    federal courts before state courts no matter where they appear
+    (court_extractor.py:58-80), so the extraction is a coalesce over one
+    combined regex per tier. Within a tier, longest-first alternation makes
+    overlapping literals ('supreme court of georgia' vs 'supreme court')
+    resolve to the most specific court. Plan: four regexp_extracts (JVM,
+    codegen) + one broadcast hash join on the matched literal — no per-row
+    Python, no shuffle of ``df``. Differential coverage vs the ACTUAL
+    legacy extractor: tests/test_dims.py.
     """
     spark = spark or df.sparkSession
     dim = courts_dim(spark)
-    literals = [r["pattern_lc"] for r in dim.select("pattern_lc").distinct().collect()]
-    # longest-first so overlapping literals ('supreme court of georgia' vs
-    # 'supreme court') resolve to the most specific court
-    literals.sort(key=len, reverse=True)
-    combined = "(?i)(" + "|".join(re.escape(l) for l in literals) + ")"
-    matched = df.withColumn(
-        "court_match_lc", F.lower(F.regexp_extract(F.col(text_col), combined, 1))
+    rows = dim.collect()
+    tiers: dict[int, list[str]] = {0: [], 1: [], 2: [], 3: []}
+    for r in rows:
+        tiers[_court_tier(r["court_key"])].append(r["pattern_lc"])
+    extracts = []
+    for t in sorted(tiers):
+        if not tiers[t]:
+            continue
+        lits = sorted(set(tiers[t]), key=len, reverse=True)
+        combined = "(?i)(" + "|".join(re.escape(l) for l in lits) + ")"
+        extracts.append(
+            F.nullif(
+                F.lower(F.regexp_extract(F.col(text_col), combined, 1)), F.lit("")
+            )
+        )
+    matched = df.withColumn("court_match_lc", F.coalesce(*extracts))
+    # deterministic pattern->court dedup: when one literal serves several
+    # courts, the lowest (tier, court_key) — i.e. the reference's iteration
+    # order — wins
+    best: dict[str, tuple] = {}
+    for r in sorted(rows, key=lambda r: (_court_tier(r["court_key"]), r["court_key"])):
+        best.setdefault(
+            r["pattern_lc"],
+            (r["court_key"], r["pattern_lc"], r["bluebook"], r["filename_code"]),
+        )
+    dedup_dim = spark.createDataFrame(
+        sorted(best.values()),
+        ["court_key", "pattern_lc", "bluebook", "filename_code"],
     )
-    dedup_dim = dim.dropDuplicates(["pattern_lc"])
     return matched.join(
         F.broadcast(dedup_dim),
         matched["court_match_lc"] == dedup_dim["pattern_lc"],

@@ -53,3 +53,158 @@ def test_resolve_reporters(spark, docs):
     assert out[5]["reporter_abbrev"] == "U.S."
     assert out[5]["reporter_official"] is True
     assert out[3]["reporter_abbrev"] is None
+
+
+# ---------------------------------------------------------------------------
+# DIFFERENTIAL: resolve_courts vs the ACTUAL legacy court extractor
+# (zOld-Code/step1…/court_extractor.py) over the full 202-court table
+# ---------------------------------------------------------------------------
+
+def _zold_extractor():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "zold_court_extractor",
+        "/root/reference/zOld-Code/step1--Base_FILENAME--a-caselaw/src/extractors/court_extractor.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.CourtExtractor()
+
+
+def _literalize(pat: str) -> str:
+    import re
+
+    return re.sub(r"\\\.\??", ".", pat).replace("\\", "")
+
+
+def _ref_equiv_code(court_key: str, bluebook: str, ref) -> str | None:
+    """Map our dim row to the code the legacy extractor would emit: it
+    regenerates filename_code from bluebook (court_extractor.py:42-55),
+    reverses circuit codes ('1st_Cir' -> 'Cir_1', :96-103), and builds
+    district codes as STATE_DIRECTION from its own state map (:105-135)."""
+    if court_key == "federal/supreme_court":
+        return "US"
+    if court_key.startswith("federal/courts_of_appeals/"):
+        code = bluebook.replace(".", "").replace(" ", "_")
+        if "_Cir" in code:
+            num = (
+                code.split("_")[0]
+                .replace("st", "")
+                .replace("nd", "")
+                .replace("rd", "")
+                .replace("th", "")
+            )
+            return f"Cir_{num}"
+        return code
+    if court_key.startswith("federal/district_courts/"):
+        _, _, state, district = court_key.split("/")
+        dirmap = {
+            "Northern": "ND", "Southern": "SD", "Eastern": "ED",
+            "Western": "WD", "Middle": "MD", "Central": "CD",
+        }
+        d = "D"
+        for word, abbrev in dirmap.items():
+            if word in district:
+                d = abbrev
+                break
+        st = ref._get_state_abbreviation(state.replace("_", " "))
+        return f"{st.upper()}_{d}" if st else None
+    return bluebook.replace(".", "").replace(" ", "_")
+
+
+# The reference GENERATES state-court patterns from the court-type key and
+# drops qualifiers, so 'Court of Appeals of Texas' first matches Texas's
+# criminal_appeals entry (dict order) -> Tex_Crim_App. Our dim keeps the
+# JSON's explicit per-court patterns and resolves Tex_App — a deliberate
+# divergence from a reference bug, demonstrated by
+# test_reference_state_pattern_collapse below.
+_KNOWN_DIVERGENT_TEXTS = {
+    "Court of Appeals of Texas",
+    "Texas Court of Appeals",
+}
+
+
+def test_resolve_courts_differential_full_table(spark):
+    import json
+
+    ref = _zold_extractor()
+    dims = json.load(
+        open(
+            "modern_document_converter_for_ai_library_spark/data/legal_dims.json"
+        )
+    )["courts"]
+    cases = []
+    for c in dims:
+        k = c["court_key"]
+        if k == "federal/supreme_court" or k.startswith("federal/courts_of_appeals/"):
+            for p in c["patterns"]:
+                cases.append((k, "IN THE " + _literalize(p) + "\nsome body"))
+        elif k.startswith("federal/district_courts/"):
+            cases.append(
+                (k, "United States District Court for the " + c["full_name"] + "\nsome body")
+            )
+        else:
+            for p in c["patterns"]:
+                cases.append((k, _literalize(p) + "\nsome body"))
+
+    df = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(cases)], ["i", "text"]
+    )
+    ours = {
+        r["i"]: (r["court_key"], r["bluebook"])
+        for r in resolve_courts(df).collect()
+    }
+
+    both = ref_only = 0
+    covered_courts = set()
+    disagreements = []
+    for i, (k, t) in enumerate(cases):
+        ref_code = ref.extract_from_pdf(t)
+        our_key, our_bb = ours.get(i, (None, None))
+        if ref_code is None:
+            continue  # ref gap (generated state patterns) — ours may still resolve
+        if our_key is None:
+            ref_only += 1
+            disagreements.append(("ref_only", k, t.splitlines()[0], ref_code))
+            continue
+        both += 1
+        covered_courts.add(k)
+        if t.splitlines()[0] in _KNOWN_DIVERGENT_TEXTS:
+            continue
+        if _ref_equiv_code(our_key, our_bb, ref) != ref_code:
+            disagreements.append(
+                ("mismatch", k, t.splitlines()[0], ref_code, our_key, our_bb)
+            )
+    assert not disagreements, disagreements[:10]
+    assert ref_only == 0
+    assert both >= 240 and len(covered_courts) >= 190, (both, len(covered_courts))
+
+
+def test_resolve_courts_federal_beats_state_regardless_of_position(spark):
+    """court_extractor.py:58-80 tries federal categories before state courts
+    no matter where they occur in the text — leftmost-match would get this
+    wrong."""
+    ref = _zold_extractor()
+    text = "Supreme Court of Georgia\nOn writ to the SUPREME COURT OF THE UNITED STATES\n"
+    assert ref.extract_from_pdf(text) == "US"
+    df = spark.createDataFrame([(0, text)], ["i", "text"])
+    row = resolve_courts(df).collect()[0]
+    assert row["court_key"] == "federal/supreme_court"
+
+    text2 = "Court of Appeals of Georgia\nAppeal from the Eleventh Circuit\n"
+    ref_code = ref.extract_from_pdf(text2)
+    df2 = spark.createDataFrame([(0, text2)], ["i", "text"])
+    row2 = resolve_courts(df2).collect()[0]
+    assert ref_code == "Cir_11"
+    assert row2["court_key"] == "federal/courts_of_appeals/11th"
+
+
+def test_reference_state_pattern_collapse(spark):
+    """Pin the reference bug behind _KNOWN_DIVERGENT_TEXTS: its generated
+    state patterns ignore the criminal/civil qualifier, so the plain Texas
+    Court of Appeals resolves to criminal_appeals (first in dict order)."""
+    ref = _zold_extractor()
+    assert ref.extract_from_pdf("Court of Appeals of Texas\n") == "Tex_Crim_App"
+    df = spark.createDataFrame([(0, "Court of Appeals of Texas\n")], ["i", "text"])
+    assert resolve_courts(df).collect()[0]["court_key"] == "state/Texas/appeals"
