@@ -139,14 +139,21 @@ def balance_by_size(
     small = sized.filter(F.col("_n_chars") <= giant_threshold).repartition(
         num_partitions, F.col("doc_id")
     )
-    # giant tier: ROUND-ROBIN repartition. RoundRobinPartitioning places rows
-    # into partitions cyclically, so no partition receives two giants until
-    # every partition has one — a guarantee hash placement cannot give.
+    # giant tier: ROUND-ROBIN repartition FROM A SINGLE PARTITION. Spark's
+    # RoundRobinPartitioning cycles per input partition starting at a
+    # per-task random offset, so giants spread across several input
+    # partitions could still collide; funneling the (tiny, by construction)
+    # giant tier through one shuffle partition first makes the cycle global
+    # — at most ceil(K/N) giants per output partition, guaranteed. The
+    # filter itself still runs parallel; only the already-filtered giant
+    # rows pass through the 1-partition barrier.
     # (An earlier variant computed rank-mod-N into a `_part` column and
     # repartitioned BY that column; repartition hashes the column value, so
     # two distinct ranks could still collide into one partition.)
-    giants = sized.filter(F.col("_n_chars") > giant_threshold).repartition(
-        num_partitions
+    giants = (
+        sized.filter(F.col("_n_chars") > giant_threshold)
+        .repartition(1)
+        .repartition(num_partitions)
     )
     # union is narrow (no shuffle): the kernel stage sees both tiers'
     # partitions as-is, giants isolated from the hashed bulk

@@ -109,12 +109,27 @@ def _lowered_equiv(pat: str) -> re.Pattern | None:
     (plain search is 2-3x faster than IGNORECASE in CPython's re).
 
     Only safe when lowercasing the pattern source cannot change its meaning:
-    reject patterns containing any backslash-uppercase escape (``\\W \\S \\B
-    \\D`` … would silently become their complements). ASCII literal chars and
-    ``[A-Z]``-style ranges lowercase correctly for this purpose.
+
+    - reject patterns containing any backslash-uppercase escape (``\\W \\S
+      \\B \\D`` … would silently become their complements);
+    - reject character-class ranges unless both endpoints are same-case
+      letters or neither is uppercase: ``[A-z]``.lower() -> ``[a-z]``
+      silently drops ``[\\]^_\```, ``[?-Z]`` -> ``[?-z]`` widens. The scan is
+      conservative (any ``x-y`` trigram in a pattern containing ``[``) —
+      a false reject only costs the fast path, never correctness.
+
+    ASCII literal chars and ``[A-Z]``-style ranges lowercase correctly for
+    this purpose.
     """
     if re.search(r"\\[A-Z]", pat):
         return None
+    if "[" in pat:
+        for m in re.finditer(r"(.)-(.)", pat):
+            a, b = m.group(1), m.group(2)
+            if a.isupper() and b.isupper():
+                continue  # [A-Z] -> [a-z]: the intended equivalence
+            if a.isupper() or b.isupper():
+                return None  # mixed-case or punct-to-upper range
     try:
         return re.compile(pat.lower())
     except re.error:

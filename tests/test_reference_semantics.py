@@ -556,3 +556,18 @@ def test_margin_filter():
         ["short", "Decided May 1", "A long enough line to clear the threshold."]
     )
     assert kept == ["Decided May 1", "A long enough line to clear the threshold."]
+
+
+def test_lowered_equiv_rejects_unsafe_class_ranges():
+    from modern_document_converter_for_ai_library_spark.reference_semantics.classify import (
+        _lowered_equiv,
+    )
+
+    # safe: same-case letter ranges and lowercase-only patterns
+    assert _lowered_equiv(r"[A-Z]{3}") is not None
+    assert _lowered_equiv(r"foo[a-z]+bar") is not None
+    # unsafe: lowercasing changes the class extent
+    assert _lowered_equiv(r"[A-z]") is None
+    assert _lowered_equiv(r"[?-Z]") is None
+    # unsafe: backslash-uppercase escapes complement on lowering
+    assert _lowered_equiv(r"\Wfoo") is None
