@@ -93,7 +93,7 @@ def generate_corpus(path: str, n_docs: int, seed: int = 42) -> None:
     assert total == n_docs
 
 
-def timed_run(corpus: str, cpus: int) -> dict:
+def timed_run(corpus: str, cpus: int, balance: int = 0) -> dict:
     """One measured job in a fresh JVM (subprocess) so no warm state leaks
     between the two parallelism levels. Reports the best of 3 steady-state
     runs (the sandbox microVM shows significant host-side noise)."""
@@ -127,13 +127,14 @@ n = df.count()
 # Python-worker pool warmup: a sample convert forks and imports the
 # kernel on every core so the measured region is steady-state throughput
 convert_documents(df.sample(0.02, seed=1)).write.format("noop").mode("overwrite").save()
+balance = {balance} or None
 times = []
 for _ in range(3):  # best-of-3: the sandbox VM shows 20-30% host noise
     t0 = time.perf_counter()
-    convert_documents(df).write.format("noop").mode("overwrite").save()
+    convert_documents(df, balance_partitions=balance).write.format("noop").mode("overwrite").save()
     times.append(time.perf_counter() - t0)
 dt = min(times)
-print(json.dumps({{"cpus": {cpus}, "n_docs": n, "sec": round(dt, 3),
+print(json.dumps({{"cpus": {cpus}, "n_docs": n, "balance": {balance}, "sec": round(dt, 3),
                    "docs_per_sec": round(n / dt, 2),
                    "all_runs_sec": [round(t, 2) for t in times]}}))
 spark.stop()
@@ -151,6 +152,14 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=8, help="small parallelism (big = 4N)")
     ap.add_argument("--corpus", default="/tmp/mdcal_bench_corpus")
     ap.add_argument("--md", default=None, help="write/refresh this markdown report")
+    ap.add_argument(
+        "--ab-balance",
+        type=int,
+        default=None,
+        metavar="P",
+        help="instead of the N/4N study, A/B the 4N level with "
+        "balance_by_size(P) vs plain scan placement",
+    )
     args = ap.parse_args()
 
     marker = os.path.join(args.corpus, f".complete_{args.docs}")
@@ -161,6 +170,23 @@ def main() -> None:
         shutil.rmtree(args.corpus, ignore_errors=True)
         generate_corpus(args.corpus, args.docs)
         open(marker, "w").close()
+
+    if args.ab_balance is not None:
+        plain = timed_run(args.corpus, args.n * 4, balance=0)
+        balanced = timed_run(args.corpus, args.n * 4, balance=args.ab_balance)
+        print(
+            json.dumps(
+                {
+                    "ab": "balance_by_size",
+                    "plain": plain,
+                    "balanced": balanced,
+                    "speedup": round(
+                        balanced["docs_per_sec"] / plain["docs_per_sec"], 4
+                    ),
+                }
+            )
+        )
+        return
 
     small = timed_run(args.corpus, args.n)
     big = timed_run(args.corpus, args.n * 4)
