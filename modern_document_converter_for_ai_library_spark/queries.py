@@ -1851,6 +1851,93 @@ _IVF_SQL = _ivf_sql()
 
 
 # ---------------------------------------------------------------------------
+# q_boilerplate — Boilerpipe-style block classification (north rule:
+# "text-density + link-density block scoring"): deterministic blocks are
+# derived from each doc's tokens (8-token chunks; a token is link-like by a
+# position rule with per-block modulus 2+b%3, so densities 1/2, 2/3, 3/4
+# exercise every branch of the WSDM-2010 decision tree), then
+# operators/boilerplate.py:classify_blocks runs the REAL lag/lead
+# tree — integer cross-multiplied link-density thresholds, so DuckDB
+# reproduces it exactly.
+# ---------------------------------------------------------------------------
+
+def spark_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.boilerplate import classify_blocks
+
+    df = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.posexplode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("pos", "token"),
+    )
+    b = F.floor(F.col("pos") / 8).cast("int")
+    link = (
+        (F.col("pos") + F.col("doc_id")) % (2 + b % 3) != 0
+    ).cast("int")
+    blocks = (
+        df.withColumn("block_no", b)
+        .withColumn("is_link", link)
+        .groupBy("doc_id", "block_no")
+        .agg(
+            F.count("*").cast("int").alias("n_words"),
+            F.sum("is_link").cast("int").alias("n_link_words"),
+        )
+    )
+    classified = classify_blocks(blocks)
+    return classified.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_blocks"),
+        F.sum(F.col("is_content").cast("bigint")).alias("n_content_blocks"),
+        F.sum(
+            F.when(F.col("is_content"), F.col("n_words").cast("bigint")).otherwise(
+                F.lit(0)
+            )
+        ).alias("content_words"),
+    )
+
+
+_BOILERPLATE_SQL = """
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tokens
+  FROM documents
+), e AS (
+  SELECT doc_id, unnest(range(0, len(tokens))) AS pos FROM t
+), f AS (
+  SELECT doc_id,
+         CAST(pos // 8 AS INT) AS block_no,
+         CASE WHEN (pos + doc_id) % (2 + (pos // 8) % 3) <> 0 THEN 1 ELSE 0 END AS is_link
+  FROM e
+), blk AS (
+  SELECT doc_id, block_no,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(is_link) AS BIGINT) AS n_link_words
+  FROM f GROUP BY doc_id, block_no
+), ctx AS (
+  SELECT doc_id, block_no, n_words, n_link_words,
+         COALESCE(lag(n_words) OVER w, 0) AS prev_words,
+         COALESCE(lag(n_link_words) OVER w, 0) AS prev_links,
+         COALESCE(lead(n_words) OVER w, 0) AS next_words
+  FROM blk
+  WINDOW w AS (PARTITION BY doc_id ORDER BY block_no)
+), c AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_link_words * 1000000 > n_words * 333333 THEN FALSE
+              WHEN prev_links * 1000000 > prev_words * 555556
+                THEN (n_words > 40 OR next_words > 17)
+              ELSE (n_words > 16 OR next_words > 15 OR prev_words > 4)
+         END AS is_content
+  FROM ctx
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(CASE WHEN is_content THEN 1 ELSE 0 END) AS BIGINT) AS n_content_blocks,
+       CAST(sum(CASE WHEN is_content THEN n_words ELSE 0 END) AS BIGINT) AS content_words
+FROM c
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_salted_host_agg — explicit skew salting (north rule: "explicit salting
 # of skewed hosts"): a skewed host column is derived (60% of docs on one hot
 # host), the hot key is split across 8 salts, and the aggregation runs in
@@ -2085,6 +2172,7 @@ SPARK_QUERIES = {
     "q_ivf_topk": spark_ivf_topk,
     "q_salted_host_agg": spark_salted_host_agg,
     "q_events_hourly": spark_events_hourly,
+    "q_boilerplate": spark_boilerplate,
 }
 
 ORACLE_SQL = {
@@ -2125,4 +2213,5 @@ ORACLE_SQL = {
     "q_ivf_topk": _IVF_SQL,
     "q_salted_host_agg": _SALTED_HOST_SQL,
     "q_events_hourly": _EVENTS_HOURLY_SQL,
+    "q_boilerplate": _BOILERPLATE_SQL,
 }
