@@ -106,25 +106,43 @@ def lsh_bucket_col(vec_col: str, n_planes: int, dim: int):
     return F.concat(*bits)
 
 
+def _quantize(col):
+    return F.transform(
+        col, lambda v: F.floor(v.cast("double") * QSCALE).cast("bigint")
+    )
+
+
+def _qe_sqdist(qa, qb):
+    """Squared Euclidean distance between two ALREADY-quantized bigint
+    arrays — one zip_with pass, no per-element re-quantization."""
+    return F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
 def _argmax_cell(
-    corpus: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+    qcorpus: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
     """Nearest-centroid assignment: broadcast crossJoin against K centroids
-    (K dots per vector, embarrassingly parallel) + argmax window keyed by
-    vector id. Ties break toward the lowest cell."""
-    from pyspark.sql import Window
-
-    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+    (K distances per vector, embarrassingly parallel) + min_by partial
+    aggregation keyed by vector id (map-side combine — no sort window).
+    Ties break toward the lowest cell via lexicographic (cdist, cell)
+    struct ordering. ``qcorpus`` must carry a prequantized ``_qe`` column
+    (quantize once, reuse across Lloyd rounds)."""
+    qcent = centroids.select("cell", _quantize(F.col("cvec")).alias("_cqe"))
+    scored = qcorpus.crossJoin(F.broadcast(qcent)).select(
         F.col(id_col),
         F.col(vec_col),
+        "_qe",
         "cell",
-        _quantized_sqdist(F.col(vec_col), F.col("cvec")).alias("cdist"),
+        _qe_sqdist(F.col("_qe"), F.col("_cqe")).alias("cdist"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.asc("cdist"), F.asc("cell"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, "cell")
+    return scored.groupBy(id_col).agg(
+        F.first(vec_col).alias(vec_col),
+        F.first("_qe").alias("_qe"),
+        F.min_by("cell", F.struct("cdist", "cell")).alias("cell"),
     )
 
 
@@ -167,14 +185,17 @@ def ivf_build(
             F.col(vec_col).alias("cvec"),
         )
     )
-    qe = F.expr(
-        "transform(%s, v -> cast(floor(cast(v as double) * %d) as bigint))"
-        % (vec_col, QSCALE)
+    qcorpus = corpus.select(
+        F.col(id_col), F.col(vec_col), _quantize(F.col(vec_col)).alias("_qe")
     )
+    if lloyd_iterations:
+        # three assignment passes (2 rounds + final) read the same
+        # quantized vectors — materialize them once
+        qcorpus = qcorpus.persist()
     for _ in range(lloyd_iterations):
-        assigned = _argmax_cell(corpus, centroids, id_col, vec_col)
+        assigned = _argmax_cell(qcorpus, centroids, id_col, vec_col)
         sums = (
-            assigned.select("cell", F.posexplode(qe).alias("pos", "val"))
+            assigned.select("cell", F.posexplode("_qe").alias("pos", "val"))
             .groupBy("cell", "pos")
             .agg(F.sum("val").alias("s"), F.count("*").alias("c"))
             .collect()
@@ -200,7 +221,8 @@ def ivf_build(
                 ]
             ),
         )
-    assigned = _argmax_cell(corpus, centroids, id_col, vec_col)
+    # keep the quantized column: ivf_search rescoring reuses it
+    assigned = _argmax_cell(qcorpus, centroids, id_col, vec_col)
     return assigned, centroids
 
 
@@ -221,22 +243,36 @@ def ivf_search(
     """
     from pyspark.sql import Window
 
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    qc = q.crossJoin(F.broadcast(centroids)).select(
-        "query_id", "qvec", "cell",
-        _quantized_sqdist(F.col("qvec"), F.col("cvec")).alias("cdist"),
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _quantize(F.col(vec_col)).alias("_qq"),
+    )
+    qcent = centroids.select("cell", _quantize(F.col("cvec")).alias("_cqe"))
+    qc = q.crossJoin(F.broadcast(qcent)).select(
+        "query_id", "_qq", "cell",
+        _qe_sqdist(F.col("_qq"), F.col("_cqe")).alias("cdist"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.asc("cdist"), F.asc("cell"))
     probes = (
         qc.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= n_probe)
-        .select("query_id", "qvec", "cell")
+        .select("query_id", "_qq", "cell")
     )
-    cand = probes.join(assigned, on="cell")
+    if "_qe" in assigned.columns:
+        qassigned = assigned.select(F.col(id_col), "cell", "_qe")
+    else:
+        qassigned = assigned.select(
+            F.col(id_col), "cell", _quantize(F.col(vec_col)).alias("_qe")
+        )
+    cand = probes.join(qassigned, on="cell")
     scored = cand.select(
         "query_id",
         F.col(id_col),
-        _quantized_dot(F.col(vec_col), F.col("qvec")).alias("qdot"),
+        F.aggregate(
+            F.zip_with(F.col("_qe"), F.col("_qq"), lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("qdot"),
     )
     wk = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.asc(id_col))
     return (
