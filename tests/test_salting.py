@@ -78,7 +78,10 @@ def test_balance_by_size_spreads_giants(spark):
         return (f"d{i:03d}", [{"kind": "text", "text": "x" * size, "media_ref": "", "offset": 0}])
 
     rows = [doc(i, 100) for i in range(40)] + [doc(100 + i, 2_000_000) for i in range(4)]
-    df = spark.createDataFrame(rows, schema=schema)
+    # scatter giants across MANY input partitions: RoundRobinPartitioning
+    # cycles per input partition from a random offset, so without the
+    # single-partition barrier giants from different inputs can collide
+    df = spark.createDataFrame(rows, schema=schema).repartition(13)
     out = balance_by_size(df, num_partitions=4, giant_threshold=1_000_000)
     per_part = (
         out.withColumn("pid", F.spark_partition_id())
