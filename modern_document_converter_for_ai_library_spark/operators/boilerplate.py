@@ -69,6 +69,7 @@ BLOCKS_SCHEMA = T.StructType(
         T.StructField("text", T.StringType()),
         T.StructField("n_words", T.IntegerType()),
         T.StructField("n_link_words", T.IntegerType()),
+        T.StructField("n_chars", T.IntegerType()),
     ]
 )
 
@@ -99,6 +100,7 @@ def html_blocks_py(doc_id: str, html: str) -> list[dict]:
                 "text": text,
                 "n_words": len(_words(text)),
                 "n_link_words": link_words,
+                "n_chars": len(text),
             }
         )
     return out
@@ -142,8 +144,62 @@ def content_flag_col(
     )
 
 
-def classify_blocks(blocks: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Adds ``is_content`` via lag/lead block features (one shuffle on doc)."""
+def density_flag_col(
+    curr_words,
+    curr_links,
+    curr_lines,
+    prev_words,
+    prev_links,
+    prev_lines,
+    next_words,
+    next_lines,
+):
+    """The WSDM-2010 DensityRules tree — the TEXT-DENSITY variant of the
+    classifier (text density = words per 80-column wrapped line):
+
+        curr.linkDensity > 0.333333                   -> boilerplate
+        elif prev.linkDensity > 0.555556:
+            content iff next.textDensity > 11
+        elif curr.textDensity > 9:
+            content iff next.textDensity > 0
+        else:
+            content iff next.textDensity > 10
+                     or prev.textDensity > 4
+
+    Densities are never materialized as floats: every threshold is an
+    integer cross-multiplication (words > T * lines), and our wrapped-line
+    count is ``max(1, ceil(n_chars / 80))`` (documented precisely so both
+    engines and the sequential twin agree byte-for-byte).
+    """
+    curr_ld_high = curr_links * 1_000_000 > curr_words * 333_333
+    prev_ld_high = prev_links * 1_000_000 > prev_words * 555_556
+    next_td = lambda t: next_words > t * next_lines  # noqa: E731
+    return F.when(curr_ld_high, F.lit(False)).otherwise(
+        F.when(prev_ld_high, next_td(11)).otherwise(
+            F.when(curr_words > 9 * curr_lines, next_words > 0).otherwise(
+                next_td(10) | (prev_words > 4 * prev_lines)
+            )
+        )
+    )
+
+
+def wrapped_lines_col(n_chars):
+    """max(1, ceil(n_chars / 80)) — the 80-column wrap count, computed as
+    (n + 79) / 80 truncated (all-positive, so trunc == floor == exact
+    integer ceiling; no float-threshold ambiguity cross-engine)."""
+    return F.greatest(
+        F.lit(1).cast("bigint"), ((n_chars + 79) / 80).cast("bigint")
+    )
+
+
+def classify_blocks(
+    blocks: DataFrame, id_col: str = "doc_id", classifier: str = "num_words"
+) -> DataFrame:
+    """Adds ``is_content`` via lag/lead block features (one shuffle on doc).
+
+    ``classifier``: "num_words" (NumWordsRules) or "density" (DensityRules —
+    requires an ``n_chars`` column for the 80-column wrapped-line counts).
+    """
     w = Window.partitionBy(id_col).orderBy("block_no")
     zero = F.lit(0)
     curr_w = F.col("n_words").cast("bigint")
@@ -151,17 +207,38 @@ def classify_blocks(blocks: DataFrame, id_col: str = "doc_id") -> DataFrame:
     prev_w = F.coalesce(F.lag("n_words").over(w), zero).cast("bigint")
     prev_l = F.coalesce(F.lag("n_link_words").over(w), zero).cast("bigint")
     next_w = F.coalesce(F.lead("n_words").over(w), zero).cast("bigint")
-    return blocks.withColumn(
-        "is_content", content_flag_col(curr_w, curr_l, prev_w, prev_l, next_w)
-    )
+    if classifier == "num_words":
+        flag = content_flag_col(curr_w, curr_l, prev_w, prev_l, next_w)
+    elif classifier == "density":
+        curr_c = F.col("n_chars").cast("bigint")
+        prev_c = F.coalesce(F.lag("n_chars").over(w), zero).cast("bigint")
+        next_c = F.coalesce(F.lead("n_chars").over(w), zero).cast("bigint")
+        flag = density_flag_col(
+            curr_w,
+            curr_l,
+            wrapped_lines_col(curr_c),
+            prev_w,
+            prev_l,
+            wrapped_lines_col(prev_c),
+            next_w,
+            wrapped_lines_col(next_c),
+        )
+    else:
+        raise ValueError(f"unknown classifier: {classifier!r}")
+    return blocks.withColumn("is_content", flag)
 
 
 def strip_boilerplate_html(
-    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    classifier: str = "num_words",
 ) -> DataFrame:
     """(doc_id, content_text, n_blocks, n_content_blocks): cleaned main
     content per document, boilerplate blocks dropped, order preserved."""
-    classified = classify_blocks(html_to_blocks(df, html_col, id_col), id_col)
+    classified = classify_blocks(
+        html_to_blocks(df, html_col, id_col), id_col, classifier=classifier
+    )
     kept = F.array_sort(
         F.collect_list(
             F.when(
@@ -178,19 +255,39 @@ def strip_boilerplate_html(
     )
 
 
-def classify_blocks_py(blocks: list[dict]) -> list[bool]:
+def classify_blocks_py(
+    blocks: list[dict], classifier: str = "num_words"
+) -> list[bool]:
     """Sequential twin of classify_blocks (golden generation / tests)."""
+
+    def lines(chars: int) -> int:
+        return max(1, (chars + 79) // 80)
+
     flags = []
     n = len(blocks)
     for i, b in enumerate(blocks):
         cw, cl = b["n_words"], b["n_link_words"]
-        pw = blocks[i - 1]["n_words"] if i > 0 else 0
-        pl = blocks[i - 1]["n_link_words"] if i > 0 else 0
-        nw = blocks[i + 1]["n_words"] if i < n - 1 else 0
+        prev = blocks[i - 1] if i > 0 else {"n_words": 0, "n_link_words": 0, "n_chars": 0}
+        nxt = blocks[i + 1] if i < n - 1 else {"n_words": 0, "n_link_words": 0, "n_chars": 0}
+        pw, pl = prev["n_words"], prev["n_link_words"]
+        nw = nxt["n_words"]
         if cl * 1_000_000 > cw * 333_333:
             flags.append(False)
-        elif pl * 1_000_000 > pw * 555_556:
-            flags.append(cw > 40 or nw > 17)
+        elif classifier == "num_words":
+            if pl * 1_000_000 > pw * 555_556:
+                flags.append(cw > 40 or nw > 17)
+            else:
+                flags.append(cw > 16 or nw > 15 or pw > 4)
+        elif classifier == "density":
+            if pl * 1_000_000 > pw * 555_556:
+                flags.append(nw > 11 * lines(nxt["n_chars"]))
+            elif cw > 9 * lines(b["n_chars"]):
+                flags.append(nw > 0)
+            else:
+                flags.append(
+                    nw > 10 * lines(nxt["n_chars"])
+                    or pw > 4 * lines(prev["n_chars"])
+                )
         else:
-            flags.append(cw > 16 or nw > 15 or pw > 4)
+            raise ValueError(classifier)
     return flags

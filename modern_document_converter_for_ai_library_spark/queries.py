@@ -1938,6 +1938,100 @@ GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# q_boilerplate_density — the TEXT-DENSITY variant (WSDM-2010 DensityRules):
+# same derived blocks as q_boilerplate plus per-block char counts; text
+# density = words per 80-column wrapped line, evaluated by integer
+# cross-multiplication on both engines (operators/boilerplate.py:
+# density_flag_col / wrapped_lines_col).
+# ---------------------------------------------------------------------------
+
+def spark_boilerplate_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.boilerplate import classify_blocks
+
+    df = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.posexplode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("pos", "token"),
+    )
+    b = F.floor(F.col("pos") / 8).cast("int")
+    link = ((F.col("pos") + F.col("doc_id")) % (2 + b % 3) != 0).cast("int")
+    blocks = (
+        df.withColumn("block_no", b)
+        .withColumn("is_link", link)
+        .groupBy("doc_id", "block_no")
+        .agg(
+            F.count("*").cast("int").alias("n_words"),
+            F.sum("is_link").cast("int").alias("n_link_words"),
+            # block chars = token lengths + single joining spaces
+            (F.sum(F.length("token")) + F.count("*") - 1)
+            .cast("int")
+            .alias("n_chars"),
+        )
+    )
+    classified = classify_blocks(blocks, classifier="density")
+    return classified.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_blocks"),
+        F.sum(F.col("is_content").cast("bigint")).alias("n_content_blocks"),
+        F.sum(
+            F.when(F.col("is_content"), F.col("n_words").cast("bigint")).otherwise(
+                F.lit(0)
+            )
+        ).alias("content_words"),
+    )
+
+
+_BOILERPLATE_DENSITY_SQL = """
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tokens
+  FROM documents
+), e AS (
+  SELECT doc_id,
+         unnest(range(0, len(tokens))) AS pos,
+         unnest(tokens) AS token
+  FROM t
+), f AS (
+  SELECT doc_id, token,
+         CAST(pos // 8 AS INT) AS block_no,
+         CASE WHEN (pos + doc_id) % (2 + (pos // 8) % 3) <> 0 THEN 1 ELSE 0 END AS is_link
+  FROM e
+), blk AS (
+  SELECT doc_id, block_no,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(is_link) AS BIGINT) AS n_link_words,
+         CAST(sum(length(token)) + count(*) - 1 AS BIGINT) AS n_chars
+  FROM f GROUP BY doc_id, block_no
+), ctx AS (
+  SELECT doc_id, block_no, n_words, n_link_words,
+         GREATEST(1, (n_chars + 79) // 80) AS lines,
+         COALESCE(lag(n_words) OVER w, 0) AS prev_words,
+         COALESCE(lag(n_link_words) OVER w, 0) AS prev_links,
+         GREATEST(1, (COALESCE(lag(n_chars) OVER w, 0) + 79) // 80) AS prev_lines,
+         COALESCE(lead(n_words) OVER w, 0) AS next_words,
+         GREATEST(1, (COALESCE(lead(n_chars) OVER w, 0) + 79) // 80) AS next_lines
+  FROM blk
+  WINDOW w AS (PARTITION BY doc_id ORDER BY block_no)
+), c AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_link_words * 1000000 > n_words * 333333 THEN FALSE
+              WHEN prev_links * 1000000 > prev_words * 555556
+                THEN next_words > 11 * next_lines
+              WHEN n_words > 9 * lines THEN next_words > 0
+              ELSE (next_words > 10 * next_lines OR prev_words > 4 * prev_lines)
+         END AS is_content
+  FROM ctx
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(CASE WHEN is_content THEN 1 ELSE 0 END) AS BIGINT) AS n_content_blocks,
+       CAST(sum(CASE WHEN is_content THEN n_words ELSE 0 END) AS BIGINT) AS content_words
+FROM c
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_salted_host_agg — explicit skew salting (north rule: "explicit salting
 # of skewed hosts"): a skewed host column is derived (60% of docs on one hot
 # host), the hot key is split across 8 salts, and the aggregation runs in
@@ -2173,6 +2267,7 @@ SPARK_QUERIES = {
     "q_salted_host_agg": spark_salted_host_agg,
     "q_events_hourly": spark_events_hourly,
     "q_boilerplate": spark_boilerplate,
+    "q_boilerplate_density": spark_boilerplate_density,
 }
 
 ORACLE_SQL = {
@@ -2214,4 +2309,5 @@ ORACLE_SQL = {
     "q_salted_host_agg": _SALTED_HOST_SQL,
     "q_events_hourly": _EVENTS_HOURLY_SQL,
     "q_boilerplate": _BOILERPLATE_SQL,
+    "q_boilerplate_density": _BOILERPLATE_DENSITY_SQL,
 }

@@ -103,6 +103,56 @@ def test_columnar_tree_equals_sequential(spark):
     assert got == expected
 
 
+def test_columnar_density_tree_equals_sequential(spark):
+    rnd = random.Random(7)
+    rows = []
+    expected = {}
+    for d in range(20):
+        blocks = []
+        for b in range(rnd.randint(1, 10)):
+            w = rnd.choice([1, 4, 9, 10, 11, 12, 20, 45, 80])
+            l = rnd.choice([0, w // 3, (w + 2) // 3, w // 2, w])
+            # chars chosen so densities straddle the 9/10/11 words-per-line
+            # thresholds: short lines (high density) and long (low)
+            c = rnd.choice([w * 5, w * 9, 81, 160, 240, 800])
+            blocks.append(
+                {
+                    "doc_id": f"d{d}",
+                    "block_no": b,
+                    "n_words": w,
+                    "n_link_words": min(l, w),
+                    "n_chars": c,
+                }
+            )
+        for b, flag in zip(blocks, classify_blocks_py(blocks, classifier="density")):
+            expected[(b["doc_id"], b["block_no"])] = flag
+        rows.extend(
+            (b["doc_id"], b["block_no"], b["n_words"], b["n_link_words"], b["n_chars"])
+            for b in blocks
+        )
+    df = spark.createDataFrame(
+        rows, ["doc_id", "block_no", "n_words", "n_link_words", "n_chars"]
+    ).repartition(4)
+    got = {
+        (r["doc_id"], r["block_no"]): r["is_content"]
+        for r in classify_blocks(df, classifier="density").collect()
+    }
+    assert got == expected
+
+
+def test_strip_boilerplate_density_classifier(spark):
+    rows = [(f"d{i}", _page(i)) for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "html"])
+    out = {
+        r["doc_id"]: r
+        for r in strip_boilerplate_html(df, classifier="density").collect()
+    }
+    for i in range(3):
+        r = out[f"d{i}"]
+        assert "standard of review" in r["content_text"]
+        assert "Home News About" not in r["content_text"]
+
+
 def test_html_to_blocks_plan_is_one_arrow_stage(spark):
     df = spark.createDataFrame([("d0", _page(0))], ["doc_id", "html"])
     plan = html_to_blocks(df)._jdf.queryExecution().executedPlan().toString()
