@@ -134,23 +134,42 @@ def resolve_courts(
 
 
 def resolve_reporters(
-    df: DataFrame, text_col: str = "text", spark: SparkSession | None = None
+    df: DataFrame,
+    text_col: str = "text",
+    spark: SparkSession | None = None,
+    header_chars: int | None = 1000,
 ) -> DataFrame:
     """First-match reporter citation by priority order (official reporters
     first) — a coalesce over priority-ordered regexp_extract columns, then a
-    broadcast join for reporter metadata."""
+    broadcast join for reporter metadata.
+
+    ``header_chars`` reproduces the legacy extractor's two-pass search
+    (reporter_extractor.py:137-180): the full priority sweep runs over the
+    first N characters (the case header) FIRST, and only if nothing matched
+    there over the whole text — so a low-priority citation in the header
+    beats a high-priority one buried in the body, exactly as the reference
+    avoids picking up case citations from the body. None disables the
+    header pass. All still one pure-column coalesce."""
     spark = spark or df.sparkSession
     dim = reporters_dim(spark)
     ordered = sorted(
         dim.collect(), key=lambda r: (r["priority"], not r["official"])
     )
-    extracts = [
-        F.when(
-            F.col(text_col).rlike(r["pattern"]), F.lit(r["abbreviation"])
-        ).otherwise(F.lit(None))
-        for r in ordered
-    ]
-    first = F.coalesce(*extracts) if extracts else F.lit(None)
+
+    def _sweep(col):
+        extracts = [
+            F.when(col.rlike(r["pattern"]), F.lit(r["abbreviation"])).otherwise(
+                F.lit(None)
+            )
+            for r in ordered
+        ]
+        return F.coalesce(*extracts) if extracts else F.lit(None)
+
+    if header_chars:
+        header = F.substring(F.col(text_col), 1, header_chars)
+        first = F.coalesce(_sweep(header), _sweep(F.col(text_col)))
+    else:
+        first = _sweep(F.col(text_col))
     matched = df.withColumn("reporter_abbrev", first)
     dedup_dim = dim.dropDuplicates(["abbreviation"]).select(
         F.col("abbreviation").alias("reporter_abbrev"),

@@ -55,6 +55,30 @@ def test_resolve_reporters(spark, docs):
     assert out[3]["reporter_abbrev"] is None
 
 
+def test_resolve_reporters_header_first(spark):
+    """The legacy extractor sweeps the first 1000 chars before the body
+    (reporter_extractor.py:137-180): a body-only high-priority citation
+    must lose to a header citation, but still match when the header is
+    clean."""
+    filler = ("x " * 600)[:1100]  # pushes the body citation past 1000 chars
+    rows = [
+        # header cites S.E.2d; body cites U.S. (higher priority) — header wins
+        (1, "Smith v. Jones, 759 S.E.2d 654\n" + filler + " see 564 U.S. 91"),
+        # no header citation; body U.S. is found by the fallback sweep
+        (2, filler + " cited at 564 U.S. 91"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in resolve_reporters(df).collect()}
+    assert out[1]["reporter_abbrev"] == "S.E.2d"
+    assert out[2]["reporter_abbrev"] == "U.S."
+    # disabling the header pass restores whole-text priority order
+    out_flat = {
+        r["doc_id"]: r
+        for r in resolve_reporters(df, header_chars=None).collect()
+    }
+    assert out_flat[1]["reporter_abbrev"] == "U.S."
+
+
 # ---------------------------------------------------------------------------
 # DIFFERENTIAL: resolve_courts vs the ACTUAL legacy court extractor
 # (zOld-Code/step1…/court_extractor.py) over the full 202-court table
