@@ -47,16 +47,25 @@ def main(argv: list[str] | None = None) -> int:
         run_resumable_convert,
     )
 
+    from modern_document_converter_for_ai_library_spark.sources.catalog import (
+        current_snapshot_id,
+        read_documents,
+        write_documents,
+    )
+
     spark = get_spark(app_name=f"mdcal-{args.mode}", master=args.master)
     try:
-        inp = spark.read.parquet(args.input)
+        # input/output accept Iceberg identifiers (catalog.db.table) or
+        # parquet paths — sources/catalog.py resolves per target
+        inp = read_documents(spark, args.input)
+        snapshot = args.snapshot or current_snapshot_id(spark, args.input)
         if args.mode == "convert":
             result = run_resumable_convert(
                 spark,
                 inp,
                 args.output,
                 args.manifest,
-                input_snapshot=args.snapshot,
+                input_snapshot=snapshot,
                 balance_partitions=args.balance_partitions,
             )
         else:
@@ -65,7 +74,7 @@ def main(argv: list[str] | None = None) -> int:
             )
 
             out = rename_documents(inp, start_index=args.start_index)
-            out.write.mode("overwrite").parquet(args.output)
+            write_documents(out, args.output, mode="overwrite")
             result = {"mode": "rename", "n_docs": out.count()}
         print(json.dumps(result))
         return 0

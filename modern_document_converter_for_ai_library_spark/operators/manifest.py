@@ -64,9 +64,11 @@ def resume_pending(input_df: DataFrame, output_path: str) -> DataFrame:
 
     ``input_df`` must already carry ``input_hash`` (see with_input_hash).
     """
+    from ..sources.catalog import read_documents
+
     spark = input_df.sparkSession
     try:
-        done = spark.read.parquet(output_path).select("doc_id", "input_hash")
+        done = read_documents(spark, output_path).select("doc_id", "input_hash")
     except Exception:
         return input_df  # no output yet -> everything pending
     return input_df.join(done, on=["doc_id", "input_hash"], how="left_anti")
@@ -98,17 +100,19 @@ def commit_with_manifest(
     The output is materialized once (cached) so the data write and the
     metrics aggregation see identical rows.
     """
+    from ..sources.catalog import write_documents
+
     run_id = run_id or uuid.uuid4().hex[:12]
     out_df = out_df.persist()
     try:
-        out_df.write.mode("append").parquet(output_path)
+        write_documents(out_df, output_path, mode="append")
         metrics = (
             partition_metrics(out_df)
             .withColumn("run_id", F.lit(run_id))
             .withColumn("input_snapshot", F.lit(input_snapshot))
             .select(*MANIFEST_COLS)
         )
-        metrics.coalesce(1).write.mode("append").parquet(manifest_path)
+        write_documents(metrics.coalesce(1), manifest_path, mode="append")
     finally:
         out_df.unpersist()
     return run_id
