@@ -83,6 +83,64 @@ def test_media_features_join(spark, media_df):
     assert out["d3"]["n_media"] is None  # doc without media
 
 
+def test_resize_media_plumbing(spark, media_df):
+    from modern_document_converter_for_ai_library_spark.operators.multimodal import (
+        resize_media,
+    )
+
+    out = {r["media_ref"]: r for r in resize_media(media_df, 32, 24).collect()}
+    assert len(out) == 3
+    for r in out.values():
+        assert r["resize_ok"] and (r["width"], r["height"]) == (32, 24)
+        assert len(bytes(r["content"])) == 32 * 24  # target-area sized blob
+    # deterministic across partitionings
+    again = {
+        r["media_ref"]: bytes(r["content"])
+        for r in resize_media(media_df.repartition(3), 32, 24).collect()
+    }
+    assert {k: bytes(v["content"]) for k, v in out.items()} == again
+    plan = resize_media(media_df, 32, 24)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1 and "BatchEvalPython" not in plan
+
+
+def test_sample_frames_plumbing(spark, media_df):
+    from modern_document_converter_for_ai_library_spark.operators.multimodal import (
+        decode_media,
+        sample_frames,
+    )
+
+    n_frames = {
+        r["media_ref"]: r["n_frames"]
+        for r in decode_media(media_df, decoder="fake").collect()
+    }
+    out = sample_frames(media_df, every_n=3).collect()
+    # only the video row explodes into frames
+    assert {r["media_ref"] for r in out} == {"media://d1/1"}
+    expected = len(range(0, n_frames["media://d1/1"], 3))
+    assert len(out) == expected
+    frames = sorted(out, key=lambda r: r["frame_no"])
+    assert [r["frame_no"] for r in frames] == list(
+        range(0, n_frames["media://d1/1"], 3)
+    )
+    # fake timeline: 10 fps
+    assert frames[1]["ts_micros"] == 3 * 100_000
+    # cap respected
+    capped = sample_frames(media_df, every_n=1, max_frames=4).collect()
+    assert len(capped) == min(4, n_frames["media://d1/1"])
+
+
+def test_resize_and_frames_real_decoder_marked_stub(spark, media_df):
+    from modern_document_converter_for_ai_library_spark.operators.multimodal import (
+        resize_media,
+        sample_frames,
+    )
+
+    with pytest.raises(NotImplementedError, match="STUB"):
+        resize_media(media_df, 8, 8, decoder="pillow")
+    with pytest.raises(NotImplementedError, match="STUB"):
+        sample_frames(media_df, decoder="ffmpeg")
+
+
 # ---------------------------------------------------------------------------
 # streaming variant
 # ---------------------------------------------------------------------------
