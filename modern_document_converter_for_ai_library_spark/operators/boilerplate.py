@@ -228,14 +228,59 @@ def classify_blocks(
     return blocks.withColumn("is_content", flag)
 
 
+STRIP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("content_text", T.StringType()),
+        T.StructField("n_blocks", T.LongType()),
+        T.StructField("n_content_blocks", T.LongType()),
+    ]
+)
+
+
 def strip_boilerplate_html(
     df: DataFrame,
     html_col: str = "html",
     id_col: str = "doc_id",
     classifier: str = "num_words",
+    mode: str = "kernel",
 ) -> DataFrame:
     """(doc_id, content_text, n_blocks, n_content_blocks): cleaned main
-    content per document, boilerplate blocks dropped, order preserved."""
+    content per document, boilerplate blocks dropped, order preserved.
+
+    ``mode="kernel"`` (default, the 100 TB path): a document's blocks are
+    already colocated inside its own row, so segmentation AND the
+    (prev, curr, next) classification run in ONE Arrow stage — the whole
+    strip is map-only, zero shuffles. ``mode="columnar"`` routes through the
+    exploded block table + lag/lead windows + groupBy reassembly (two
+    shuffles of block rows) — for inputs that are already block tables or
+    when per-block flags must be inspected. Both modes share the same
+    classifier code paths and are asserted equal in tests.
+    """
+    if mode == "kernel":
+
+        def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cols = [f.name for f in STRIP_SCHEMA.fields]
+            for pdf in batches:
+                rows = []
+                for doc_id, doc_html in zip(pdf[id_col], pdf[html_col]):
+                    blocks = html_blocks_py(str(doc_id), doc_html)
+                    flags = classify_blocks_py(blocks, classifier=classifier)
+                    kept = [b["text"] for b, f_ in zip(blocks, flags) if f_]
+                    rows.append(
+                        {
+                            "doc_id": str(doc_id),
+                            "content_text": "\n\n".join(kept),
+                            "n_blocks": len(blocks),
+                            "n_content_blocks": len(kept),
+                        }
+                    )
+                yield pd.DataFrame(rows, columns=cols)
+
+        return df.select(id_col, html_col).mapInPandas(
+            _batches, schema=STRIP_SCHEMA
+        )
+
     classified = classify_blocks(
         html_to_blocks(df, html_col, id_col), id_col, classifier=classifier
     )

@@ -103,6 +103,36 @@ def test_columnar_tree_equals_sequential(spark):
     assert got == expected
 
 
+def test_kernel_mode_equals_columnar_mode(spark):
+    """The map-only kernel strip (zero shuffles) and the exploded
+    block-table path must produce identical documents."""
+    rows = [(f"d{i}", _page(i, n_paras=2 + i % 3)) for i in range(8)]
+    df = spark.createDataFrame(rows, ["doc_id", "html"]).repartition(3)
+    for classifier in ("num_words", "density"):
+        kernel = {
+            r["doc_id"]: (r["content_text"], r["n_blocks"], r["n_content_blocks"])
+            for r in strip_boilerplate_html(
+                df, classifier=classifier, mode="kernel"
+            ).collect()
+        }
+        columnar = {
+            r["doc_id"]: (r["content_text"], r["n_blocks"], r["n_content_blocks"])
+            for r in strip_boilerplate_html(
+                df, classifier=classifier, mode="columnar"
+            ).collect()
+        }
+        assert kernel == columnar
+
+
+def test_kernel_mode_is_map_only(spark):
+    df = spark.createDataFrame([("d0", _page(0))], ["doc_id", "html"])
+    plan = (
+        strip_boilerplate_html(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # zero shuffles end-to-end
+    assert plan.count("MapInPandas") == 1
+
+
 def test_columnar_density_tree_equals_sequential(spark):
     rnd = random.Random(7)
     rows = []
