@@ -37,29 +37,6 @@ def _quantized_dot(a, b):
     )
 
 
-def _quantized_sqdist(a, b):
-    """Exact integer squared Euclidean distance between quantized vectors.
-
-    Used for k-means cell assignment/probing: the corpus embeddings are
-    unit vectors, so Euclidean NN == cosine NN for them, but Lloyd MEANS are
-    sub-unit — argmax-dot against unnormalized means is norm-biased (it
-    measured WORSE than the seed baseline), while argmin-distance is the
-    metric Lloyd actually optimizes. Magnitudes: diff < 2^22, squared < 2^44,
-    x dim(64) < 2^50 — no bigint overflow.
-    """
-
-    def _q(col, i):
-        return F.floor(F.element_at(col, i).cast("double") * QSCALE)
-
-    return F.aggregate(
-        F.transform(
-            F.sequence(F.lit(1), F.size(a)),
-            lambda i: (_q(a, i) - _q(b, i)) * (_q(a, i) - _q(b, i)),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-
 
 def brute_force_topk(
     corpus: DataFrame,
@@ -114,7 +91,14 @@ def _quantize(col):
 
 def _qe_sqdist(qa, qb):
     """Squared Euclidean distance between two ALREADY-quantized bigint
-    arrays — one zip_with pass, no per-element re-quantization."""
+    arrays — one zip_with pass, no per-element re-quantization.
+
+    Why Euclidean for k-means cells: the corpus embeddings are unit
+    vectors, so Euclidean NN == cosine NN for them, but Lloyd MEANS are
+    sub-unit — argmax-dot against unnormalized means is norm-biased (it
+    measured WORSE than the seed baseline), while argmin-distance is the
+    metric Lloyd actually optimizes. Magnitudes: diff < 2^22, squared
+    < 2^44, x dim(64) < 2^50 — no bigint overflow."""
     return F.aggregate(
         F.zip_with(qa, qb, lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("bigint"),
