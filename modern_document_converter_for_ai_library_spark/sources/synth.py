@@ -196,6 +196,60 @@ def _make_doc(rng: np.random.RandomState, i: int) -> tuple[str, str, list[dict]]
     return doc_id, source_file, spans
 
 
+_HTML_NAV_LINKS = ["Home", "News", "Opinions", "Dockets", "About", "Contact"]
+_HTML_RELATED = [
+    "Related: Smith v. Jones",
+    "See also Abbott Labs",
+    "More from this court",
+    "Subscribe to updates",
+]
+
+
+def _make_html_doc(rng: np.random.RandomState, i: int) -> tuple[str, str]:
+    """One deterministic synthetic web page: nav/breadcrumb/footer
+    boilerplate around an article whose paragraph count is heavy-tailed —
+    the input shape for the HTML boilerplate-strip job."""
+    doc_id = f"page_{i:07d}"
+    nav = " ".join(
+        f'<a href="/{w.lower()}">{w}</a>'
+        for w in rng.choice(_HTML_NAV_LINKS, 4, replace=False)
+    )
+    crumbs = ' &gt; '.join(
+        f'<a href="/s{k}">Section {k}</a>' for k in range(rng.randint(2, 5))
+    )
+    n_paras = max(1, int(rng.lognormal(mean=1.6, sigma=0.8)))
+    paras = []
+    for p in range(n_paras):
+        n_sent = 1 + rng.randint(4)
+        body = " ".join(
+            _BODY_SENTENCES[rng.randint(len(_BODY_SENTENCES))]
+            for _ in range(n_sent)
+        )
+        if rng.rand() < 0.15:  # inline citation link inside a real paragraph
+            body += ' as held in <a href="/case">the earlier appeal</a>.'
+        paras.append(f"<p>{body}</p>")
+    related = "".join(
+        f'<li><a href="/r{k}">{_HTML_RELATED[rng.randint(len(_HTML_RELATED))]}</a></li>'
+        for k in range(rng.randint(2, 6))
+    )
+    html = (
+        "<html><head><title>doc</title><script>var a=1;</script></head><body>"
+        f"<nav>{nav}</nav><div class='crumbs'>{crumbs}</div>"
+        f"<article><h1>{_CASE_CAPTIONS[rng.randint(len(_CASE_CAPTIONS))]}</h1>"
+        + "".join(paras)
+        + f"</article><ul class='related'>{related}</ul>"
+        f"<footer>{nav} &copy; 2024</footer></body></html>"
+    )
+    return doc_id, html
+
+
+def synth_html_pandas(n_docs: int, seed: int = 42) -> pd.DataFrame:
+    """Deterministic synthetic HTML corpus (doc_id, html)."""
+    rng = np.random.RandomState(seed)
+    rows = [_make_html_doc(rng, i) for i in range(n_docs)]
+    return pd.DataFrame(rows, columns=["doc_id", "html"])
+
+
 def synth_documents_pandas(n_docs: int, seed: int = 42) -> pd.DataFrame:
     """Generate the corpus as a pandas DataFrame (used by tests + goldens)."""
     rng = np.random.RandomState(seed)

@@ -52,28 +52,41 @@ def _arrow_schema():
 def _write_chunk(args: tuple) -> int:
     """One worker: generate [start, end) with a chunk-derived rng and write
     one parquet part. Deterministic: rng = RandomState(seed + chunk_idx)."""
-    path, seed, chunk_idx, start, end = args
+    path, seed, chunk_idx, start, end, job = args
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from modern_document_converter_for_ai_library_spark.sources.synth import _make_doc
-
     rng = np.random.RandomState(seed + chunk_idx)
-    rows = [_make_doc(rng, i) for i in range(start, end)]
-    table = pa.Table.from_pydict(
-        {
-            "doc_id": [r[0] for r in rows],
-            "source_file": [r[1] for r in rows],
-            "spans": [r[2] for r in rows],
-        },
-        schema=_arrow_schema(),
-    )
+    if job == "html":
+        from modern_document_converter_for_ai_library_spark.sources.synth import (
+            _make_html_doc,
+        )
+
+        rows = [_make_html_doc(rng, i) for i in range(start, end)]
+        table = pa.Table.from_pydict(
+            {"doc_id": [r[0] for r in rows], "html": [r[1] for r in rows]},
+            schema=pa.schema([("doc_id", pa.string()), ("html", pa.string())]),
+        )
+    else:
+        from modern_document_converter_for_ai_library_spark.sources.synth import (
+            _make_doc,
+        )
+
+        rows = [_make_doc(rng, i) for i in range(start, end)]
+        table = pa.Table.from_pydict(
+            {
+                "doc_id": [r[0] for r in rows],
+                "source_file": [r[1] for r in rows],
+                "spans": [r[2] for r in rows],
+            },
+            schema=_arrow_schema(),
+        )
     pq.write_table(table, os.path.join(path, f"part-{chunk_idx:04d}.parquet"))
     return end - start
 
 
-def generate_corpus(path: str, n_docs: int, seed: int = 42) -> None:
+def generate_corpus(path: str, n_docs: int, seed: int = 42, job: str = "convert") -> None:
     """Parallel deterministic generation: 128 chunks, each with an
     independent rng seeded by (seed + chunk index) so the corpus content is
     a pure function of (seed, n_docs) regardless of worker count or
@@ -84,7 +97,7 @@ def generate_corpus(path: str, n_docs: int, seed: int = 42) -> None:
     os.makedirs(path, exist_ok=True)
     n_chunks = 128
     bounds = [
-        (path, seed, c, c * n_docs // n_chunks, (c + 1) * n_docs // n_chunks)
+        (path, seed, c, c * n_docs // n_chunks, (c + 1) * n_docs // n_chunks, job)
         for c in range(n_chunks)
     ]
     workers = min(16, os.cpu_count() or 4)
@@ -93,7 +106,7 @@ def generate_corpus(path: str, n_docs: int, seed: int = 42) -> None:
     assert total == n_docs
 
 
-def timed_run(corpus: str, cpus: int, balance: int = 0) -> dict:
+def timed_run(corpus: str, cpus: int, balance: int = 0, job: str = "convert") -> dict:
     """One measured job in a fresh JVM (subprocess) so no warm state leaks
     between the two parallelism levels. Reports the best of 3 steady-state
     runs (the sandbox microVM shows significant host-side noise)."""
@@ -102,6 +115,12 @@ import json, time, sys
 sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
 from modern_document_converter_for_ai_library_spark.plans import get_spark
 from modern_document_converter_for_ai_library_spark.operators import convert_documents
+from modern_document_converter_for_ai_library_spark.operators.boilerplate import strip_boilerplate_html
+
+def run_job(d, balance=None):
+    if "{job}" == "html":
+        return strip_boilerplate_html(d)
+    return convert_documents(d, balance_partitions=balance)
 
 import os
 # Heap scales with parallelism (2 GB/core) — the faithful local stand-in for
@@ -126,12 +145,12 @@ df = spark.read.parquet({corpus!r})
 n = df.count()
 # Python-worker pool warmup: a sample convert forks and imports the
 # kernel on every core so the measured region is steady-state throughput
-convert_documents(df.sample(0.02, seed=1)).write.format("noop").mode("overwrite").save()
+run_job(df.sample(0.02, seed=1)).write.format("noop").mode("overwrite").save()
 balance = {balance} or None
 times = []
 for _ in range(3):  # best-of-3: the sandbox VM shows 20-30% host noise
     t0 = time.perf_counter()
-    convert_documents(df, balance_partitions=balance).write.format("noop").mode("overwrite").save()
+    run_job(df, balance).write.format("noop").mode("overwrite").save()
     times.append(time.perf_counter() - t0)
 dt = min(times)
 print(json.dumps({{"cpus": {cpus}, "n_docs": n, "balance": {balance}, "sec": round(dt, 3),
@@ -153,6 +172,13 @@ def main() -> None:
     ap.add_argument("--corpus", default="/tmp/mdcal_bench_corpus")
     ap.add_argument("--md", default=None, help="write/refresh this markdown report")
     ap.add_argument(
+        "--job",
+        choices=["convert", "html"],
+        default="convert",
+        help="which end-to-end kernel job to measure (html = "
+        "strip_boilerplate_html over the synthetic web-page corpus)",
+    )
+    ap.add_argument(
         "--ab-balance",
         type=int,
         default=None,
@@ -162,18 +188,23 @@ def main() -> None:
     )
     args = ap.parse_args()
 
-    marker = os.path.join(args.corpus, f".complete_{args.docs}")
+    marker = os.path.join(args.corpus, f".complete_{args.job}_{args.docs}")
+    if args.job == "convert" and not os.path.exists(marker):
+        # round-1 corpora predate job-tagged markers
+        legacy = os.path.join(args.corpus, f".complete_{args.docs}")
+        if os.path.exists(legacy):
+            marker = legacy
     if not os.path.exists(marker):
         print(f"generating {args.docs}-doc corpus at {args.corpus} ...", file=sys.stderr)
         import shutil
 
         shutil.rmtree(args.corpus, ignore_errors=True)
-        generate_corpus(args.corpus, args.docs)
+        generate_corpus(args.corpus, args.docs, job=args.job)
         open(marker, "w").close()
 
     if args.ab_balance is not None:
-        plain = timed_run(args.corpus, args.n * 4, balance=0)
-        balanced = timed_run(args.corpus, args.n * 4, balance=args.ab_balance)
+        plain = timed_run(args.corpus, args.n * 4, balance=0, job=args.job)
+        balanced = timed_run(args.corpus, args.n * 4, balance=args.ab_balance, job=args.job)
         print(
             json.dumps(
                 {
@@ -188,8 +219,8 @@ def main() -> None:
         )
         return
 
-    small = timed_run(args.corpus, args.n)
-    big = timed_run(args.corpus, args.n * 4)
+    small = timed_run(args.corpus, args.n, job=args.job)
+    big = timed_run(args.corpus, args.n * 4, job=args.job)
     efficiency = round((big["docs_per_sec"] / small["docs_per_sec"]) / 4, 4)
     report = {
         "n_docs": small["n_docs"],

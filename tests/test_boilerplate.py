@@ -188,3 +188,56 @@ def test_html_to_blocks_plan_is_one_arrow_stage(spark):
     plan = html_to_blocks(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert plan.count("MapInPandas") == 1
+
+
+def test_html_blocks_fuzz_invariants():
+    """Property fuzz over adversarial HTML-ish strings: segmentation never
+    crashes and per-block counters stay consistent."""
+    import random
+
+    rnd = random.Random(1234)
+    frags = [
+        "<p>", "</p>", "<div class='x'>", "</div>", "<a href='/x'>", "</a>",
+        "<br>", "<hr/>", "plain words here", "&amp;", "&gt;", "&#39;",
+        "<script>bad()</script>", "<!-- c -->", "<a>", "word", "<td", ">",
+        "<", "<<>>", "</a weird>", "\n", "\t", "<A HREF=X>CAPS</A>",
+        "<p", "unclosed <a href", "text with <b>inline</b> tags",
+    ]
+    for _ in range(300):
+        html = "".join(rnd.choice(frags) for _ in range(rnd.randint(0, 40)))
+        blocks = html_blocks_py("d", html)
+        for i, b in enumerate(blocks):
+            assert b["block_no"] == i
+            assert b["n_words"] >= 1  # empty blocks are dropped
+            assert 0 <= b["n_link_words"]
+            assert b["n_chars"] == len(b["text"])
+            assert "<script" not in b["text"].lower()
+        # both classifiers accept whatever the segmenter produced
+        assert len(classify_blocks_py(blocks)) == len(blocks)
+        assert len(classify_blocks_py(blocks, classifier="density")) == len(blocks)
+
+
+def test_html_strip_feeds_convert_pipeline(spark):
+    """Interop: boilerplate-stripped web content flows into the convert
+    pipeline (HTML -> content_text -> spans -> convert kernel)."""
+    from modern_document_converter_for_ai_library_spark.operators import (
+        convert_documents,
+    )
+    from modern_document_converter_for_ai_library_spark.sources import flat_to_spans
+    from pyspark.sql import functions as F
+
+    rows = [(f"d{i}", _page(i)) for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "html"])
+    content = strip_boilerplate_html(df).withColumnRenamed("content_text", "text")
+    spans = flat_to_spans(content.select("doc_id", "text"))
+    out = convert_documents(
+        spans.withColumn(
+            "source_file", F.concat(F.col("doc_id"), F.lit(".html"))
+        )
+    ).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["success"]
+        texts = [s["text"] for s in r["spans"]]
+        assert any("standard of review" in t for t in texts)
+        assert not any("Home News About" in t for t in texts)
