@@ -1733,6 +1733,91 @@ GROUP BY src
 
 
 # ---------------------------------------------------------------------------
+# q_near_dedup_chain — transitive-chain collapse at the ORACLE level: docs
+# are grouped in threes with sliding 24-token windows (4-token shift), so
+# within a group A~B and B~C clear the Jaccard threshold while A~C does NOT
+# (shingle J: adjacent 18/26≈0.69 >= 0.6, ends 14/30≈0.47 < 0.6) — only
+# CONNECTED-COMPONENT canonicalization puts all three in one group. Both
+# engines compute identical bands (n_bands=2, r=2), so parity holds even
+# where LSH misses an edge.
+# ---------------------------------------------------------------------------
+
+_CHAIN_THR = 600_000
+
+
+def _chain_text_col():
+    g = (F.col("doc_id") / 3).cast("bigint")
+    m = F.col("doc_id") % 3
+    start = m * 4
+    toks = F.transform(
+        F.sequence(start, start + 23),
+        lambda k: F.concat(F.lit("g"), g.cast("string"), F.lit("w"), k.cast("string")),
+    )
+    return F.array_join(toks, " ")
+
+
+def spark_near_dedup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import near_dedup
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        _chain_text_col().alias("text"),
+    )
+    out = near_dedup(
+        docs, threshold_micros=_CHAIN_THR, n_bands=2, band_rows=2
+    )
+    return out.select(
+        "doc_id",
+        F.col("canonical_doc_id").cast("bigint").alias("canonical_doc_id"),
+        "is_near_duplicate",
+    )
+
+
+_NEAR_DEDUP_CHAIN_SQL = """
+WITH RECURSIVE t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_transform(range(CAST((doc_id % 3) * 4 AS BIGINT),
+                              CAST((doc_id % 3) * 4 + 24 AS BIGINT)),
+                        k -> 'g' || CAST(doc_id // 3 AS VARCHAR) || 'w' || CAST(k AS VARCHAR)) AS tokens
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(range(1, len(tokens) - 1),
+                          i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]),
+           x -> md5(x)) AS hashes
+  FROM t WHERE len(tokens) >= 3
+), m AS (
+  SELECT doc_id,
+         list_aggregate(list_transform(hashes, h -> substring(h, 1, 8)), 'min')
+           || list_aggregate(list_transform(hashes, h -> substring(h, 9, 8)), 'min') AS band_0,
+         list_aggregate(list_transform(hashes, h -> substring(h, 17, 8)), 'min')
+           || list_aggregate(list_transform(hashes, h -> substring(h, 25, 8)), 'min') AS band_1,
+         list_distinct(hashes) AS sset
+  FROM s
+), v AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM m x JOIN m y ON (x.band_0 = y.band_0 OR x.band_1 = y.band_1) AND x.doc_id < y.doc_id
+  WHERE (CAST(len(list_intersect(x.sset, y.sset)) AS BIGINT) * 1000000)
+        // (len(x.sset) + len(y.sset) - len(list_intersect(x.sset, y.sset))) >= {thr}
+), e AS (
+  SELECT a AS src, b AS dst FROM v
+  UNION ALL
+  SELECT b AS src, a AS dst FROM v
+), reach(src, dst) AS (
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+)
+SELECT src AS doc_id,
+       CAST(min(dst) AS BIGINT) AS canonical_doc_id,
+       min(dst) <> src AS is_near_duplicate
+FROM reach
+GROUP BY src
+""".format(thr=_CHAIN_THR)
+
+
+# ---------------------------------------------------------------------------
 # q_ivf_topk — IVF (inverted-file) ANN scale path: deterministic seed
 # centroids (16 lowest-id vectors) refined by 2 exact-integer Lloyd rounds
 # (squared-Euclidean assignment — the corpus vectors are unit-norm, so
@@ -2263,6 +2348,7 @@ SPARK_QUERIES = {
     "q_code_discovery": spark_code_discovery,
     "q_rename_pipeline": spark_rename_pipeline,
     "q_near_dedup": spark_near_dedup,
+    "q_near_dedup_chain": spark_near_dedup_chain,
     "q_ivf_topk": spark_ivf_topk,
     "q_salted_host_agg": spark_salted_host_agg,
     "q_events_hourly": spark_events_hourly,
@@ -2305,6 +2391,7 @@ ORACLE_SQL = {
     "q_frontmatter": _FRONTMATTER_SQL,
     "q_code_discovery": _CODE_DISCOVERY_SQL,
     "q_near_dedup": _NEAR_DEDUP_SQL,
+    "q_near_dedup_chain": _NEAR_DEDUP_CHAIN_SQL,
     "q_ivf_topk": _IVF_SQL,
     "q_salted_host_agg": _SALTED_HOST_SQL,
     "q_events_hourly": _EVENTS_HOURLY_SQL,

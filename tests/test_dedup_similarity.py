@@ -130,6 +130,28 @@ def test_near_dedup_transitive_chain_collapses(spark):
     assert out[4]["canonical_doc_id"] == 4 and not out[4]["is_near_duplicate"]
 
 
+def test_chain_query_exhibits_transitive_collapse(spark):
+    """q_near_dedup_chain's derived corpus plants 3-doc chains (A~B, B~C,
+    A!~C by construction); assert genuinely TRANSITIVE collapses happen:
+    some member-2 doc shares its group's canonical even though its direct
+    Jaccard to member 0 is below the threshold."""
+    from modern_document_converter_for_ai_library_spark.queries import (
+        spark_near_dedup_chain,
+    )
+
+    out = spark_near_dedup_chain(spark, "/root/testdata/sf0.01").collect()
+    by_id = {r["doc_id"]: r["canonical_doc_id"] for r in out}
+    transitive = [
+        d
+        for d, canon in by_id.items()
+        if d % 3 == 2 and canon == d - 2  # member 2 collapsed onto member 0
+    ]
+    assert transitive, "no transitive chain collapsed — LSH/thresholds broken"
+    # construction invariant: A-C shingle Jaccard 14/30 < 0.6 (the direct
+    # edge never verifies), so every such collapse went THROUGH member 1
+    assert 14 * 1_000_000 // 30 < 600_000
+
+
 def test_connected_canonical_long_chain(spark):
     from modern_document_converter_for_ai_library_spark.operators.dedup import (
         connected_canonical,
