@@ -193,6 +193,53 @@ def jaccard_verify(
     return out.filter(F.col("jaccard_micros") >= threshold_micros)
 
 
+def simhash_pairs(
+    sketches: DataFrame,
+    id_col: str = "doc_id",
+    bits_col: str = "simhash_bits",
+    n_bits: int = 16,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(a, b, hamming) pairs with Hamming distance <= ``max_hamming`` over
+    SimHash bit-strings, via the banded pigeonhole trick: split the sketch
+    into ``n_bands`` equal slices — any pair within distance n_bands-1 must
+    agree on at least one slice, so candidates come from per-band equi-joins
+    (shuffle keyed by band value, never all-pairs) and only candidates pay
+    the exact Hamming check. Requires ``max_hamming < n_bands`` for the
+    recall guarantee. The 16-bit/4-band defaults match the cross-engine
+    q_simhash sketch; production sketches are 64-bit with 16-bit bands —
+    same plan shape, bucket cardinality 2^16 per band.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError("pigeonhole guarantee needs max_hamming < n_bands")
+    w = n_bits // n_bands
+    slim = sketches.select(F.col(id_col), F.col(bits_col))
+    left = slim.select(F.col(id_col).alias("a"), F.col(bits_col).alias("abits"))
+    right = slim.select(F.col(id_col).alias("b"), F.col(bits_col).alias("bbits"))
+    pairs = None
+    for k in range(n_bands):
+        band_a = F.substring("abits", 1 + k * w, w)
+        band_b = F.substring("bbits", 1 + k * w, w)
+        p = left.join(
+            right, (band_a == band_b) & (F.col("a") < F.col("b"))
+        ).select("a", "b", "abits", "bbits")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    cand = pairs.distinct()
+    diff_terms = [
+        F.when(
+            F.substring("abits", i + 1, 1) != F.substring("bbits", i + 1, 1), 1
+        ).otherwise(0)
+        for i in range(n_bits)
+    ]
+    hamming = sum(diff_terms[1:], diff_terms[0])
+    return (
+        cand.withColumn("hamming", hamming.cast("bigint"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
 def connected_canonical(
     verified: DataFrame, max_iter: int = 25
 ) -> DataFrame:

@@ -522,6 +522,48 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# q_simhash_pairs — SimHash near-duplicate pairs: banded Hamming-distance
+# join over the 16-bit sketches (operators/dedup.py:simhash_pairs — any pair
+# within distance n_bands-1 shares a band slice, pigeonhole), exact Hamming
+# verify on candidates only. The 16-bit demo sketch saturates on the shared
+# synthetic vocabulary (most pairs sit within 6 bits), so the query uses
+# max_hamming=0 — exact sketch collision, the selective tier (242 pairs at
+# sf0.01); production 64-bit sketches use distance 3 with 16-bit bands.
+# ---------------------------------------------------------------------------
+
+def spark_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_pairs
+
+    return simhash_pairs(
+        spark_simhash(spark, sf_dir), n_bands=2, max_hamming=0
+    )
+
+
+_SIMHASH_PAIRS_SQL = """
+WITH s AS ({simhash}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         x.simhash_bits AS abits, y.simhash_bits AS bbits
+  FROM s x JOIN s y
+    ON x.doc_id < y.doc_id
+   AND (substring(x.simhash_bits, 1, 8) = substring(y.simhash_bits, 1, 8)
+     OR substring(x.simhash_bits, 9, 8) = substring(y.simhash_bits, 9, 8))
+)
+SELECT a, b,
+       CAST({hamming} AS BIGINT) AS hamming
+FROM cand
+WHERE {hamming} <= 0
+""".format(
+    simhash=_SIMHASH_SQL.strip(),
+    hamming=" + ".join(
+        "CASE WHEN substring(abits, %d, 1) <> substring(bbits, %d, 1) "
+        "THEN 1 ELSE 0 END" % (i + 1, i + 1)
+        for i in range(16)
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
 # q_lsh_jaccard_pairs — near-dup scale path: banded LSH collisions verified
 # with exact shingle-set Jaccard (integer-quantized). Band uses r=2 rows
 # (concat of two minhash permutations → collision prob ~J^2): with r=1 the
@@ -2325,6 +2367,7 @@ SPARK_QUERIES = {
     "q_fingerprint": spark_fingerprint,
     "q_minhash": spark_minhash,
     "q_simhash": spark_simhash,
+    "q_simhash_pairs": spark_simhash_pairs,
     "q_lsh_jaccard_pairs": spark_lsh_jaccard_pairs,
     "q_ann_lsh_buckets": spark_ann_lsh_buckets,
     "q_ann_topk": spark_ann_topk,
@@ -2365,6 +2408,7 @@ ORACLE_SQL = {
     "q_fingerprint": _FINGERPRINT_SQL,
     "q_minhash": _MINHASH_SQL,
     "q_simhash": _SIMHASH_SQL,
+    "q_simhash_pairs": _SIMHASH_PAIRS_SQL,
     "q_lsh_jaccard_pairs": _LSH_PAIRS_SQL,
     "q_ann_lsh_buckets": _ANN_LSH_SQL,
     "q_ann_topk": _ANN_SQL,

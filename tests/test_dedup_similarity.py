@@ -264,3 +264,34 @@ def test_lsh_ann_subset_of_exact(spark, vectors):
     exact = {(r["vec_id"], r["qdot"]) for r in brute_force_topk(vectors, q, k=21).collect()}
     approx = {(r["vec_id"], r["qdot"]) for r in lsh_bucketed_ann(vectors, q, k=21).collect()}
     assert approx <= exact  # same scores, candidate set restricted by bucket
+
+
+def test_simhash_pairs_pigeonhole_and_hamming(spark):
+    from modern_document_converter_for_ai_library_spark.operators.dedup import (
+        simhash_pairs,
+    )
+
+    rows = [
+        (1, "1010101010101010"),
+        (2, "1010101010101011"),  # hamming 1 to doc 1
+        (3, "1010101010101101"),  # hamming 3 to doc 1, 2 to doc 2
+        (4, "0101010101010101"),  # hamming 16 to doc 1 (no shared band)
+        (5, "1010010101011010"),  # shares band 1 with doc 1 but hamming 8
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "simhash_bits"])
+    out = {(r["a"], r["b"]): r["hamming"] for r in simhash_pairs(df).collect()}
+    # exact expectation: all (and only) pairs with hamming <= 3
+    def ham(x, y):
+        return sum(a != b for a, b in zip(x, y))
+
+    sketches = dict(rows)
+    expected = {
+        (i, j): ham(sketches[i], sketches[j])
+        for i in sketches
+        for j in sketches
+        if i < j and ham(sketches[i], sketches[j]) <= 3
+    }
+    assert out == expected
+    assert out[(1, 2)] == 1 and out[(1, 3)] == 3 and out[(2, 3)] == 2
+    with pytest.raises(ValueError):
+        simhash_pairs(df, n_bands=4, max_hamming=4)  # guarantee violated
