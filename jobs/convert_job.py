@@ -53,6 +53,9 @@ def main(argv: list[str] | None = None) -> int:
         write_documents,
     )
 
+    from pyspark.sql import SparkSession
+
+    pre_existing = SparkSession.getActiveSession() is not None
     spark = get_spark(app_name=f"mdcal-{args.mode}", master=args.master)
     try:
         # input/output accept Iceberg identifiers (catalog.db.table) or
@@ -79,7 +82,9 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(result))
         return 0
     finally:
-        spark.stop()
+        if not pre_existing:
+            # keep an embedding caller's (e.g. test harness) session alive
+            spark.stop()
 
 
 if __name__ == "__main__":

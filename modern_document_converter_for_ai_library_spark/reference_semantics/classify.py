@@ -104,7 +104,7 @@ _PRESCAN: dict[str, tuple[tuple[str, ...], bool]] = {
 }
 
 def _lowered_equiv(pat: str) -> re.Pattern | None:
-    """Case-SENSITIVE compile of the lowercased pattern, usable in place of
+    r"""Case-SENSITIVE compile of the lowercased pattern, usable in place of
     an IGNORECASE search when the subject text is ASCII and already lowered
     (plain search is 2-3x faster than IGNORECASE in CPython's re).
 

@@ -1,0 +1,62 @@
+"""End-to-end dedup job entry point (jobs/dedup_job.py): survivors +
+duplicate map over a corpus with planted exact and near duplicates."""
+
+import json
+import sys
+
+import duckdb
+
+
+def test_dedup_job_end_to_end(spark, tmp_path, capsys, monkeypatch):
+    sys.path.insert(0, "/root/repo")
+    import jobs.dedup_job as job
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the harbor"),
+        (2, "the quick brown fox jumps over the lazy dog near the harbor"),
+        (3, "the quick brown fox jumps over the lazy dog near the harbors"),
+        (4, "completely different content about gardening and fresh bread"),
+        (5, "another unrelated text mentioning sailing ships and coastal towns"),
+    ]
+    inp = str(tmp_path / "in")
+    outp = str(tmp_path / "out")
+    dmap = str(tmp_path / "dupmap")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(inp)
+
+    # get_spark returns the active session, so the job reuses the fixture
+    rc = job.main(
+        [
+            "--input", inp, "--output", outp, "--dupmap", dmap,
+            "--tier", "near", "--threshold", "0.7",
+        ]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["n_docs"] == 5
+    assert report["n_survivors"] == 3  # 2 and 3 collapse onto 1
+    assert 0 < report["duplicate_rate"] < 1
+
+    surv = duckdb.sql(f"SELECT doc_id FROM read_parquet('{outp}/*.parquet') ORDER BY 1").fetchall()
+    assert [r[0] for r in surv] == [1, 4, 5]
+    dm = {
+        r[0]: (r[1], r[2])
+        for r in duckdb.sql(
+            f"SELECT * FROM read_parquet('{dmap}/*.parquet')"
+        ).fetchall()
+    }
+    assert dm[2] == (1, True) and dm[3] == (1, True)
+    assert dm[1] == (1, False)
+
+
+def test_dedup_job_exact_tier(spark, tmp_path, capsys):
+    sys.path.insert(0, "/root/repo")
+    import jobs.dedup_job as job
+
+    rows = [(1, "same text"), (2, "same text"), (3, "other text")]
+    inp = str(tmp_path / "in2")
+    outp = str(tmp_path / "out2")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(inp)
+    rc = job.main(["--input", inp, "--output", outp, "--tier", "exact"])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["n_survivors"] == 2
