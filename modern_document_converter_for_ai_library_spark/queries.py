@@ -253,6 +253,113 @@ FROM t
 
 
 # ---------------------------------------------------------------------------
+# q_langid_ngram — character-TRIGRAM-profile language ID (the n-gram
+# heuristic tier above the stopword ratio of q_quality_langid). The testdata
+# vocabulary is synthetic, so each doc gets a deterministic language
+# template prepended (doc_id % 4 selects en/fr/de/es; repeated 1+doc_id%3
+# times) and the classifier must recover it. Trigram occurrence counts use
+# the exact substring-count identity (len(s) - len(replace(s,t,''))) / 3 —
+# identical integers in Spark and DuckDB; argmax tie-breaks in fixed
+# language order.
+# ---------------------------------------------------------------------------
+
+_LANG_TEMPLATES = {
+    "en": "the quick brown fox and the lazy dog are running through the fields",
+    "fr": "les enfants de la ville sont dans le jardin avec leurs amis et les chiens",
+    "de": "der schnelle braune fuchs und die katze schlafen in dem garten der stadt",
+    "es": "los ninos de la ciudad estan en el jardin con sus amigos y los perros",
+}
+# common character trigrams per language (public shallow-profile heuristic)
+_LANG_TRIGRAMS = {
+    "en": ["the", "ing", "nd ", " ar"],
+    "fr": ["les", " de", "ans", "eur"],
+    "de": ["der", "sch", "und", "die"],
+    "es": ["los", " el", "con", "sus"],
+}
+_LANG_ORDER = ["en", "fr", "de", "es"]
+
+
+def spark_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    did = F.col("doc_id").cast("bigint")
+    template = F.element_at(
+        F.array(*[F.lit(_LANG_TEMPLATES[l]) for l in _LANG_ORDER]),
+        (did % 4).cast("int") + 1,
+    )
+    reps = (did % 3 + 1).cast("int")
+    header = F.array_join(F.array_repeat(template, reps), " ")
+    s = F.concat(header, F.lit(" "), F.lower(F.col("text")))
+    df = _docs(spark, sf_dir).select(did.alias("doc_id"), s.alias("s"))
+
+    def count3(t):
+        return (
+            (F.length("s") - F.length(F.replace(F.col("s"), F.lit(t)))) / 3
+        ).cast("bigint")
+
+    scores = {
+        lang: sum(
+            (count3(t) for t in _LANG_TRIGRAMS[lang][1:]),
+            count3(_LANG_TRIGRAMS[lang][0]),
+        )
+        for lang in _LANG_ORDER
+    }
+    cols = [scores[lang].alias(f"score_{lang}") for lang in _LANG_ORDER]
+    df = df.select("doc_id", *cols)
+    best = F.col(f"score_{_LANG_ORDER[0]}")
+    guess = F.lit(_LANG_ORDER[0])
+    for lang in _LANG_ORDER[1:]:
+        better = F.col(f"score_{lang}") > best
+        guess = F.when(better, F.lit(lang)).otherwise(guess)
+        best = F.when(better, F.col(f"score_{lang}")).otherwise(best)
+    return df.withColumn("lang_guess", guess)
+
+
+_LANGID_SQL = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         {templates}[CAST(doc_id % 4 AS INT) + 1] AS tpl,
+         CAST(doc_id % 3 + 1 AS INT) AS reps,
+         lower(text) AS body
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         array_to_string(list_transform(range(1, reps + 1), i -> tpl), ' ')
+           || ' ' || body AS s
+  FROM d
+), sc AS (
+  SELECT doc_id, {scores}
+  FROM s
+)
+SELECT doc_id, {score_cols},
+       CASE {guess} END AS lang_guess
+FROM sc
+""".format(
+    templates="["
+    + ", ".join("'%s'" % _LANG_TEMPLATES[l] for l in _LANG_ORDER)
+    + "]",
+    scores=", ".join(
+        "CAST(%s AS BIGINT) AS score_%s"
+        % (
+            " + ".join(
+                "(length(s) - length(replace(s, '%s', ''))) // 3" % t
+                for t in _LANG_TRIGRAMS[lang]
+            ),
+            lang,
+        )
+        for lang in _LANG_ORDER
+    ),
+    score_cols=", ".join("score_%s" % l for l in _LANG_ORDER),
+    # mirror the Spark fold: a later language wins only on STRICTLY greater
+    # score than the running max of all earlier languages
+    guess=(
+        "WHEN score_es > GREATEST(score_en, score_fr, score_de) THEN 'es' "
+        "WHEN score_de > GREATEST(score_en, score_fr) THEN 'de' "
+        "WHEN score_fr > score_en THEN 'fr' "
+        "ELSE 'en'"
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
 # q_quality_langid — quality scoring + stopword language ID (training-data op)
 # ---------------------------------------------------------------------------
 
@@ -2363,6 +2470,7 @@ SPARK_QUERIES = {
     "q_normalize_chain": spark_normalize_chain,
     "q_token_stats": spark_token_stats,
     "q_quality_langid": spark_quality_langid,
+    "q_langid_ngram": spark_langid_ngram,
     "q_exact_dedup": spark_exact_dedup,
     "q_fingerprint": spark_fingerprint,
     "q_minhash": spark_minhash,
@@ -2404,6 +2512,7 @@ ORACLE_SQL = {
     "q_normalize_chain": _NORMALIZE_SQL,
     "q_token_stats": _TOKEN_STATS_SQL,
     "q_quality_langid": _QUALITY_SQL,
+    "q_langid_ngram": _LANGID_SQL,
     "q_exact_dedup": _EXACT_DEDUP_SQL,
     "q_fingerprint": _FINGERPRINT_SQL,
     "q_minhash": _MINHASH_SQL,

@@ -295,3 +295,18 @@ def test_simhash_pairs_pigeonhole_and_hamming(spark):
     assert out[(1, 2)] == 1 and out[(1, 3)] == 3 and out[(2, 3)] == 2
     with pytest.raises(ValueError):
         simhash_pairs(df, n_bands=4, max_hamming=4)  # guarantee violated
+
+
+def test_langid_ngram_recovers_planted_language(spark):
+    """The trigram-profile classifier must recover the planted template
+    language for the vast majority of docs (the synthetic English-ish body
+    can outvote a single template repetition — that tail is the realistic
+    failure mode of a shallow profile)."""
+    from modern_document_converter_for_ai_library_spark.queries import (
+        spark_langid_ngram,
+    )
+
+    rows = spark_langid_ngram(spark, "/root/testdata/sf0.01").collect()
+    langs = ["en", "fr", "de", "es"]
+    correct = sum(1 for r in rows if r["lang_guess"] == langs[r["doc_id"] % 4])
+    assert correct / len(rows) >= 0.95, correct
