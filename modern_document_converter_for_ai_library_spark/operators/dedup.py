@@ -217,6 +217,18 @@ def simhash_pairs(
     slim = sketches.select(F.col(id_col), F.col(bits_col))
     left = slim.select(F.col(id_col).alias("a"), F.col(bits_col).alias("abits"))
     right = slim.select(F.col(id_col).alias("b"), F.col(bits_col).alias("bbits"))
+    if max_hamming == 0:
+        # exact-collision tier: a distance-0 pair matches on the FULL
+        # sketch, so one equi-join replaces the banded union+distinct
+        # (measured 7.0 s -> sub-second at sf0.1: saturated demo sketches
+        # make the 4/8-bit band buckets enormous)
+        return (
+            left.join(
+                right,
+                (F.col("abits") == F.col("bbits")) & (F.col("a") < F.col("b")),
+            )
+            .select("a", "b", F.lit(0).cast("bigint").alias("hamming"))
+        )
     pairs = None
     for k in range(n_bands):
         band_a = F.substring("abits", 1 + k * w, w)
