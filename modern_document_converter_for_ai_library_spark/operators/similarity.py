@@ -136,6 +136,7 @@ def ivf_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     lloyd_iterations: int = 0,
+    lloyd_sample_mod: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF (inverted-file) index build: deterministic coarse centroids +
     ``lloyd_iterations`` k-means refinement rounds + nearest-centroid cell
@@ -173,11 +174,20 @@ def ivf_build(
         F.col(id_col), F.col(vec_col), _quantize(F.col(vec_col)).alias("_qe")
     )
     if lloyd_iterations:
-        # three assignment passes (2 rounds + final) read the same
-        # quantized vectors — materialize them once
+        # assignment passes (rounds + final) read the same quantized
+        # vectors — materialize them once
         qcorpus = qcorpus.persist()
+    # Lloyd over a deterministic 1/mod sample (the standard build-time
+    # economy: centroids refined on a sample, full corpus assigned once at
+    # the end). id-mod sampling — not rand() — so every engine/partitioning
+    # sees the identical sample and centroids stay reproducible.
+    lloyd_corpus = qcorpus
+    if lloyd_sample_mod:
+        lloyd_corpus = qcorpus.filter(
+            F.col(id_col).cast("bigint") % lloyd_sample_mod == 0
+        )
     for _ in range(lloyd_iterations):
-        assigned = _argmax_cell(qcorpus, centroids, id_col, vec_col)
+        assigned = _argmax_cell(lloyd_corpus, centroids, id_col, vec_col)
         sums = (
             assigned.select("cell", F.posexplode("_qe").alias("pos", "val"))
             .groupBy("cell", "pos")
