@@ -3,11 +3,13 @@ boilerplate strip -> spans -> resumable convert, with idempotent re-run."""
 
 import gzip
 import json
+import os
 import sys
 
 import duckdb
 
-from tests.test_warc import _record, _shard_bytes  # reuse the WARC fixtures
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from test_warc import _record, _shard_bytes  # reuse the WARC fixtures
 
 
 def test_web_extract_job_warc_end_to_end(spark, tmp_path, capsys):
