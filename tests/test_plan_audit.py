@@ -34,6 +34,11 @@ _DOCS_NEEDED = {
     "q_code_assign": {"doc_id"},
     "q_court_lookup": {"doc_id"},
     "q_source_stats": {"source", "n_chars", "doc_id"},
+    "q_boilerplate": {"doc_id", "text"},
+    "q_boilerplate_density": {"doc_id", "text"},
+    "q_langid_ngram": {"doc_id", "text"},
+    "q_simhash_pairs": {"doc_id", "text"},
+    "q_near_dedup_chain": {"doc_id"},
 }
 
 
