@@ -338,3 +338,21 @@ def test_rename_codes_dense_and_unique(spark, corpus_df):
     assert fresh == list(range(len(fresh)))  # dense 0..n-1
     codes = [r["unique_code"] for r in out if r["unique_code"] is not None]
     assert len(codes) == len(set(codes))  # globally unique, no exceptions
+
+
+@pytest.mark.parametrize("seed", [3, 11, 27])
+def test_rename_matches_sequential_randomized(spark, seed):
+    """Multi-seed equality sweep: different corpora shuffle the mix of
+    claimants, invalid codes, metadata failures, and formatting failures."""
+    pdf = synth_documents_pandas(100, seed=seed)
+    docs = [(r.doc_id, list(r.spans), r.source_file) for r in pdf.itertuples()]
+    expected = {
+        row["doc_id"]: tuple(row[c] for c in _OUT_COLS)
+        for row in rename_corpus_sequential(docs, start_index=7)
+    }
+    df = spark.createDataFrame(pdf, schema=DOCS_SCHEMA).repartition(5)
+    got = {
+        r["doc_id"]: tuple(r[c] for c in _OUT_COLS)
+        for r in rename_documents(df, start_index=7).collect()
+    }
+    assert got == expected
