@@ -253,7 +253,9 @@ def simhash_pairs(
 
 
 def connected_canonical(
-    verified: DataFrame, max_iter: int = 25
+    verified: DataFrame,
+    max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, canonical) for every node appearing in verified pairs, where
     canonical = min doc_id of the node's CONNECTED COMPONENT (transitive:
@@ -262,34 +264,54 @@ def connected_canonical(
     Iterative min-label propagation to a fixpoint, run only over the
     verified-pair node set (tiny vs the corpus — pairs above a high Jaccard
     threshold). Each round shuffles just the edge list; lineage is truncated
-    per round with localCheckpoint so plans stay flat. Convergence is
-    O(component diameter) rounds — near-dup chains are short in practice;
-    for adversarial long chains at 100 TB switch to large-star/small-star
-    (O(log n) rounds), which this loop structure accommodates.
+    per round. With ``checkpoint_dir`` set the truncation uses RELIABLE
+    ``checkpoint()`` into that directory (HDFS/object store on a cluster) so
+    an executor loss mid-iteration recovers from stable storage; the default
+    ``localCheckpoint`` keeps blocks on executors — fine for the tiny node
+    set in local mode, not survivable on a real cluster (VERDICT r2 #6).
+
+    Convergence is O(component diameter) rounds — near-dup chains are short
+    in practice; for adversarial long chains at 100 TB switch to
+    large-star/small-star (O(log n) rounds), which this loop structure
+    accommodates. A non-converged exit raises instead of silently returning
+    partial labels (the DuckDB oracle computes a full closure, so partial
+    labels would be wrong, not just approximate).
     """
+    if checkpoint_dir is not None:
+        verified.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
+            return df.checkpoint(eager=eager)
+
+    else:
+
+        def _ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
+            return df.localCheckpoint(eager=eager)
+
     edges = verified.select("a", "b")
-    edges = edges.unionByName(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=False)
-    labels = (
+    edges = _ckpt(
+        edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ),
+        eager=False,
+    )
+    labels = _ckpt(
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
-        .localCheckpoint(eager=True)
     )
+    changed = None
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["b"] == labels["node"])
             .groupBy(edges["a"].alias("node"))
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
-        new_labels = (
-            labels.join(nbr_min, on="node", how="left")
-            .select(
+        new_labels = _ckpt(
+            labels.join(nbr_min, on="node", how="left").select(
                 "node",
                 F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.join(
@@ -302,6 +324,12 @@ def connected_canonical(
         labels = new_labels
         if changed == 0:
             break
+    if changed is not None and changed != 0:
+        raise RuntimeError(
+            "connected_canonical did not converge within max_iter=%d rounds; "
+            "a duplicate chain longer than that diameter exists — raise "
+            "max_iter or switch to large-star/small-star" % max_iter
+        )
     return labels.select("node", F.col("lbl").alias("canonical"))
 
 

@@ -64,13 +64,26 @@ def resume_pending(input_df: DataFrame, output_path: str) -> DataFrame:
 
     ``input_df`` must already carry ``input_hash`` (see with_input_hash).
     """
+    from pyspark.errors import AnalysisException
+
     from ..sources.catalog import read_documents
 
     spark = input_df.sparkSession
     try:
         done = read_documents(spark, output_path).select("doc_id", "input_hash")
-    except Exception:
-        return input_df  # no output yet -> everything pending
+    except AnalysisException as e:
+        # Only a genuinely-missing target means "everything pending".
+        # Catalog misconfiguration (RuntimeError from the adapter) and
+        # transient read failures must propagate — swallowing them would
+        # reprocess and APPEND duplicate rows (ADVICE r2).
+        msg = str(e)
+        if (
+            "PATH_NOT_FOUND" in msg
+            or "TABLE_OR_VIEW_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+        ):
+            return input_df  # no output yet -> everything pending
+        raise
     return input_df.join(done, on=["doc_id", "input_hash"], how="left_anti")
 
 

@@ -90,18 +90,27 @@ def rename_documents(
     df: DataFrame,
     start_index: int = 0,
     num_partitions: Optional[int] = None,
+    cache_scope=None,
 ) -> DataFrame:
     """Run the rename flow; adds ``code_index``, ``unique_code`` and
     ``new_filename`` columns (all nullable) plus ``error_message``.
 
     Deterministic: output equals ``reference_semantics.convert.
     rename_corpus_sequential`` over the same (doc_id, spans, source_file)
-    rows, for any partitioning.
+    rows, for any partitioning. The kernel output is persisted (read by
+    three branches + winner resolution); pass a ``plans.caching.CacheScope``
+    to own its lifetime — release it after materializing the result
+    (tests/test_cache_hygiene.py). Recompute is safe either way (the kernel
+    is pure per row); the persist is a performance choice only.
     """
-    base = (
-        df.select("doc_id", "source_file", "spans")
-        .mapInPandas(_rename_batches, schema=RENAME_KERNEL_SCHEMA)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    from ..plans.caching import scoped_persist
+
+    base = scoped_persist(
+        df.select("doc_id", "source_file", "spans").mapInPandas(
+            _rename_batches, schema=RENAME_KERNEL_SCHEMA
+        ),
+        cache_scope,
+        StorageLevel.MEMORY_AND_DISK,
     )
 
     claimants = base.filter(F.col("discovered_code").isNotNull())

@@ -137,6 +137,7 @@ def ivf_build(
     vec_col: str = "embedding",
     lloyd_iterations: int = 0,
     lloyd_sample_mod: int | None = None,
+    cache_scope=None,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF (inverted-file) index build: deterministic coarse centroids +
     ``lloyd_iterations`` k-means refinement rounds + nearest-centroid cell
@@ -175,8 +176,11 @@ def ivf_build(
     )
     if lloyd_iterations:
         # assignment passes (rounds + final) read the same quantized
-        # vectors — materialize them once
-        qcorpus = qcorpus.persist()
+        # vectors — materialize them once; a CacheScope caller owns the
+        # lifetime (plans/caching.py), otherwise GC-managed
+        from ..plans.caching import scoped_persist
+
+        qcorpus = scoped_persist(qcorpus, cache_scope)
     # Lloyd over a deterministic 1/mod sample (the standard build-time
     # economy: centroids refined on a sample, full corpus assigned once at
     # the end). id-mod sampling — not rand() — so every engine/partitioning

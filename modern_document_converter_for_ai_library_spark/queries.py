@@ -2440,6 +2440,19 @@ def _golden_sql(filename: str) -> str:
     import pyarrow.parquet as pq
 
     path = os.path.join(os.path.dirname(__file__), "data", "goldens", filename)
+    if not os.path.exists(path):
+        import glob
+
+        have = sorted(
+            os.path.basename(p)
+            for p in glob.glob(
+                os.path.join(os.path.dirname(__file__), "data", "goldens", "*.parquet")
+            )
+        )
+        raise FileNotFoundError(
+            f"no committed golden {filename!r}; available: {have}. "
+            "Regenerate with scripts/gen_goldens.py for this scale factor."
+        )
     t = pq.read_table(path)
     cols = t.column_names
     types = {
@@ -2473,6 +2486,10 @@ def _golden_sql(filename: str) -> str:
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
+
+import os as _os
+
+_ORACLE_SF_TAG = _os.environ.get("SPARK_GRAFT_ORACLE_SF", "0.01").replace(".", "_")
 
 SPARK_QUERIES = {
     "q_classify_scores": spark_classify_scores,
@@ -2537,10 +2554,12 @@ ORACLE_SQL = {
     "q_code_assign": _CODE_ASSIGN_SQL,
     "q_source_stats": _SOURCE_STATS_SQL,
     # golden oracles: sequential pure-Python execution of the same kernels,
-    # committed as parquet (scripts/gen_goldens.py; valid at the driver's
-    # sf=0.01 comparison point)
-    "q_convert_pipeline": _golden_sql("convert_sf0_01.parquet"),
-    "q_rename_pipeline": _golden_sql("rename_sf0_01.parquet"),
+    # committed as parquet (scripts/gen_goldens.py). The driver compares at
+    # sf=0.01 (the default); evaluating the pair at another committed scale
+    # factor selects its golden via SPARK_GRAFT_ORACLE_SF (e.g. "0.001") —
+    # read at import because oracle_sql() is a static string contract.
+    "q_convert_pipeline": _golden_sql("convert_sf%s.parquet" % _ORACLE_SF_TAG),
+    "q_rename_pipeline": _golden_sql("rename_sf%s.parquet" % _ORACLE_SF_TAG),
     "q_line_ops": _LINE_OPS_SQL,
     "q_running_tokens": _RUNNING_SQL,
     "q_multizone": _MULTIZONE_SQL,

@@ -78,9 +78,19 @@ def parse_warc_bytes(data: bytes, shard: str = "") -> list[dict]:
                     v.strip().decode("utf-8", "replace")
                 )
         try:
-            length = int(headers.get("content-length", "0"))
-        except ValueError:
-            length = 0
+            length = int(headers["content-length"])
+            if length < 0:
+                raise ValueError(length)
+        except (KeyError, ValueError):
+            # A record without a valid Content-Length cannot be framed; a
+            # 0-length default would re-sync on the next 'WARC/' substring
+            # and fabricate phantom records out of payload bytes that
+            # happen to contain it (ADVICE r2). Drop the record and re-sync
+            # at the next record BOUNDARY — a version line preceded by the
+            # CRLFCRLF block terminator (ISO 28500) — not a bare substring.
+            term = data.find(b"\r\n\r\nWARC/", head_end + 4)
+            pos = n if term < 0 else term + 4
+            continue
         payload = data[head_end + 4 : head_end + 4 + length]
         pos = head_end + 4 + length
         warc_type = headers.get("warc-type", "")

@@ -78,6 +78,37 @@ def test_parse_warc_per_member_gzip():
     assert recs[2]["html"].startswith("<html>")
 
 
+def test_parse_warc_missing_content_length_no_phantoms():
+    """A record lacking a valid Content-Length cannot be framed; it must be
+    SKIPPED (re-sync at the record terminator), not defaulted to length 0 —
+    the 0-default re-syncs on the next 'WARC/' SUBSTRING and fabricates
+    phantom records from payload bytes (ADVICE r2)."""
+    # broken record whose payload contains a 'WARC/' decoy
+    payload = b"see WARC/1.0 spec for details"
+    broken = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: resource\r\n"
+        b"WARC-Record-ID: <urn:uuid:bad>\r\n"
+        b"\r\n" + payload + b"\r\n\r\n"
+    )
+    good = _record("ok", "https://example.com/ok")
+    recs = parse_warc_bytes(broken + good, shard="s")
+    ids = [r["doc_id"] for r in recs]
+    assert "<urn:uuid:bad>" not in ids  # unframeable record dropped
+    assert ids == ["<urn:uuid:ok>"]  # no phantom record from the decoy
+
+    # non-numeric Content-Length: same skip behavior
+    nonnum = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: resource\r\n"
+        b"WARC-Record-ID: <urn:uuid:nn>\r\n"
+        b"Content-Length: banana\r\n"
+        b"\r\n" + payload + b"\r\n\r\n"
+    )
+    recs = parse_warc_bytes(nonnum + good, shard="s")
+    assert [r["doc_id"] for r in recs] == ["<urn:uuid:ok>"]
+
+
 def test_read_warc_to_boilerplate_strip(spark, tmp_path):
     from modern_document_converter_for_ai_library_spark.operators.boilerplate import (
         strip_boilerplate_html,
