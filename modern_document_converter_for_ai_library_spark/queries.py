@@ -2484,6 +2484,230 @@ def _golden_sql(filename: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# q_article_metadata — AR1-AR6 articles-variant legacy extraction
+# (zOld-Code/step1--Base_FILENAME--b-articles/src/): authors, title, year
+# priority chain, journal/volume/issue/page, and the
+# {year}_{AuthorLast}_{Short_Title} filename. The Spark side synthesizes a
+# deterministic law-journal front-matter header per doc and runs the REAL
+# Arrow kernel (operators/articles.py, differential-tested against the
+# actual reference modules); the oracle derives the expected record in
+# closed form from the same generative model — an INDEPENDENT derivation,
+# so any kernel deviation breaks the hash. Layout per doc (7 lines):
+#   0 journal, 1 volume (3 shapes), 2 year (4 shapes incl. none),
+#   3 blank, 4 title, 5 author (all-caps + footnote marker), 6 blank.
+# ---------------------------------------------------------------------------
+
+def spark_article_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.articles import extract_article_metadata
+
+    df = _docs(spark, sf_dir).withColumn(
+        "tokens", F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    )
+    did = F.col("doc_id").cast("bigint")
+
+    def _word(pos: int, pad: str):
+        raw = F.coalesce(F.element_at("tokens", pos), F.lit(""))
+        return F.substring(
+            F.concat(F.lower(F.regexp_replace(raw, "[^A-Za-z]", "")), F.lit(pad)),
+            1,
+            8,
+        )
+
+    w1, w2 = _word(1, "xyz"), _word(2, "uvw")
+    a1c = F.concat(F.lit("K"), w1)  # 'Kalpha' — capitalized by construction
+    a2c = F.concat(F.lit("K"), w2)
+    vol = (did % 120 + 1).cast("int")
+    iss = (did % 4 + 1).cast("int")
+    pg = (did % 950 + 10).cast("int")
+    yr = (did % 126 + 1900).cast("int")
+    yr2 = (did % 100 + 1800).cast("int")
+    yrf = (did % 200 + 1800).cast("int")
+
+    journal_line = F.concat(
+        F.upper(a1c),
+        F.lit(" LAW "),
+        F.when(did % 2 == 0, F.lit("REVIEW")).otherwise(F.lit("JOURNAL")),
+    )
+    vol_line = (
+        F.when(did % 3 == 0, F.format_string("[Vol. %d:%d", vol, pg))
+        .when(did % 3 == 1, F.format_string("Vol. %d No. %d", vol, iss))
+        .otherwise(F.format_string("Volume %d Issue %d", vol, iss))
+    )
+    year_line = (
+        F.when(did % 4 == 0, F.format_string("© %d February %d", yr, yr2))
+        .when(did % 4 == 1, F.format_string("[%d]", yr))
+        .when(did % 4 == 2, F.format_string("February %d", yr))
+        .otherwise(F.lit("Filed under seal pending review"))
+    )
+    title_line = F.concat(F.lit("The "), a1c, F.lit(" of "), a2c, F.lit(" Doctrine"))
+    author_line = F.concat(
+        F.upper(a1c),
+        F.lit(" "),
+        F.upper(F.substring(w2, 1, 1)),
+        F.lit(". "),
+        F.upper(a2c),
+        F.lit("*"),
+    )
+    header = F.concat_ws(
+        "\n", journal_line, vol_line, year_line, F.lit(""), title_line, author_line, F.lit("")
+    )
+    fname = F.concat(a1c, F.lit("_Study_"), yrf.cast("string"), F.lit(".pdf"))
+
+    inp = df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        header.alias("text"),
+        fname.alias("source_file"),
+    )
+    out = extract_article_metadata(inp)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.element_at("authors", 1).alias("author"),
+        "author_slug",
+        "title",
+        "journal_name",
+        F.col("volume").cast("bigint").alias("volume"),
+        F.col("issue").cast("bigint").alias("issue"),
+        F.col("page_start").cast("bigint").alias("page_start"),
+        F.col("year").cast("bigint").alias("year"),
+        "year_source",
+        "new_filename",
+        "confidence",
+    )
+
+
+_ARTICLE_SQL = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tokens
+  FROM documents
+), w AS (
+  SELECT doc_id,
+    substring(lower(regexp_replace(coalesce(tokens[1], ''), '[^A-Za-z]', '', 'g')) || 'xyz', 1, 8) AS w1,
+    substring(lower(regexp_replace(coalesce(tokens[2], ''), '[^A-Za-z]', '', 'g')) || 'uvw', 1, 8) AS w2
+  FROM t
+), d AS (
+  SELECT doc_id, w1, w2,
+    'K' || w1 AS a1c, 'K' || w2 AS a2c,
+    doc_id % 120 + 1 AS vol, doc_id % 4 + 1 AS iss, doc_id % 950 + 10 AS pg,
+    doc_id % 126 + 1900 AS yr, doc_id % 200 + 1800 AS yrf
+  FROM w
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  upper(a1c) || ' ' || upper(substring(w2, 1, 1)) || '. ' || upper(a2c) AS author,
+  a2c AS author_slug,
+  'The ' || a1c || ' of ' || a2c || ' Doctrine' AS title,
+  upper(a1c) || ' LAW ' || CASE WHEN doc_id % 2 = 0 THEN 'REVIEW' ELSE 'JOURNAL' END AS journal_name,
+  CAST(vol AS BIGINT) AS volume,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN NULL ELSE iss END AS BIGINT) AS issue,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN pg ELSE NULL END AS BIGINT) AS page_start,
+  CAST(CASE WHEN doc_id % 4 < 3 THEN yr ELSE yrf END AS BIGINT) AS year,
+  CASE WHEN doc_id % 4 < 3 THEN 'document' ELSE 'filename' END AS year_source,
+  CAST(CASE WHEN doc_id % 4 < 3 THEN yr ELSE yrf END AS VARCHAR)
+    || '_' || a2c || '_The_' || a1c || '_' || a2c || '_Doctrine.pdf' AS new_filename,
+  CASE WHEN doc_id % 4 < 3 THEN 'HIGH' ELSE 'MEDIUM' END AS confidence
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_filename_index — IX1 legacy step-2 filename indexer distributed
+# (zOld-Code/step2--…/filename_indexer.py): columnar skip/tag
+# classification, deepest-first + case-insensitive candidate ordering, and
+# sequential ----CODE allocation via the frozen-bounds two-phase assign.
+# Five deterministic path shapes per doc exercise depth ordering, the
+# image-ext skip, and 5-letter tag recognition; the oracle enumerates
+# candidates with a window ordered the same way and encodes base-25
+# closed-form.
+# ---------------------------------------------------------------------------
+
+def spark_filename_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.indexer import index_filenames
+
+    df = _docs(spark, sf_dir).withColumn(
+        "tokens", F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    )
+    did = F.col("doc_id").cast("bigint")
+    w = F.substring(
+        F.concat(
+            F.lower(
+                F.regexp_replace(
+                    F.coalesce(F.element_at("tokens", 1), F.lit("")), "[^A-Za-z]", ""
+                )
+            ),
+            F.lit("xyz"),
+        ),
+        1,
+        8,
+    )
+    path = (
+        F.when(did % 5 == 0, F.concat(F.lit("/corpus/"), w, F.format_string("/brief_%d.pdf", did)))
+        .when(did % 5 == 1, F.format_string("/corpus/notes_%d.md", did))
+        .when(did % 5 == 2, F.format_string("/corpus/old_%d----ABXCD.pdf", did))
+        .when(did % 5 == 3, F.format_string("/corpus/img_%d.png", did))
+        .otherwise(F.concat(F.lit("/corpus/"), w, F.format_string("/deep/memo_%d.txt", did)))
+    )
+    inp = df.select(
+        did.alias("doc_id"), path.alias("path"), F.lit(False).alias("is_dir")
+    )
+    out = index_filenames(inp, start_index=0)
+    return out.select(
+        "doc_id",
+        "path",
+        "status",
+        F.col("code_index").cast("bigint").alias("code_index"),
+        "unique_code",
+        "dest",
+    )
+
+
+_FILENAME_INDEX_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tokens
+  FROM documents
+), w AS (
+  SELECT doc_id,
+    substring(lower(regexp_replace(coalesce(tokens[1], ''), '[^A-Za-z]', '', 'g')) || 'xyz', 1, 8) AS w1
+  FROM t
+), p AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, w1,
+    CASE CAST(doc_id % 5 AS INT)
+      WHEN 0 THEN '/corpus/' || w1 || '/brief_' || doc_id || '.pdf'
+      WHEN 1 THEN '/corpus/notes_' || doc_id || '.md'
+      WHEN 2 THEN '/corpus/old_' || doc_id || '----ABXCD.pdf'
+      WHEN 3 THEN '/corpus/img_' || doc_id || '.png'
+      ELSE '/corpus/' || w1 || '/deep/memo_' || doc_id || '.txt'
+    END AS path,
+    CASE CAST(doc_id % 5 AS INT)
+      WHEN 2 THEN 'already_tagged' WHEN 3 THEN 'skipped' ELSE 'renamed'
+    END AS status,
+    CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 4 WHEN 4 THEN 5 ELSE 3 END AS depth
+  FROM w
+), r AS (
+  SELECT doc_id, w1, path, status,
+    CAST(row_number() OVER (ORDER BY depth DESC, lower(path)) - 1 AS BIGINT) AS code_index
+  FROM p WHERE status = 'renamed'
+), rc AS (
+  SELECT doc_id, w1, path, status, code_index,
+    substring('{a}', CAST((code_index // 390625) % 25 AS INT) + 1, 1) ||
+    substring('{a}', CAST((code_index // 15625) % 25 AS INT) + 1, 1) ||
+    substring('{a}', CAST((code_index // 625) % 25 AS INT) + 1, 1) ||
+    substring('{a}', CAST((code_index // 25) % 25 AS INT) + 1, 1) ||
+    substring('{a}', CAST(code_index % 25 AS INT) + 1, 1) AS unique_code
+  FROM r
+)
+SELECT doc_id, path, status, code_index, unique_code,
+  CASE CAST(doc_id % 5 AS INT)
+    WHEN 0 THEN '/corpus/' || w1 || '/brief_' || doc_id || '----' || unique_code || '.pdf'
+    WHEN 1 THEN '/corpus/notes_' || doc_id || '----' || unique_code || '.md'
+    ELSE '/corpus/' || w1 || '/deep/memo_' || doc_id || '----' || unique_code || '.txt'
+  END AS dest
+FROM rc
+UNION ALL
+SELECT doc_id, path, status, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM p WHERE status <> 'renamed'
+""".replace("{a}", ALPHABET)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2531,6 +2755,8 @@ SPARK_QUERIES = {
     "q_events_hourly": spark_events_hourly,
     "q_boilerplate": spark_boilerplate,
     "q_boilerplate_density": spark_boilerplate_density,
+    "q_article_metadata": spark_article_metadata,
+    "q_filename_index": spark_filename_index,
 }
 
 ORACLE_SQL = {
@@ -2578,4 +2804,6 @@ ORACLE_SQL = {
     "q_events_hourly": _EVENTS_HOURLY_SQL,
     "q_boilerplate": _BOILERPLATE_SQL,
     "q_boilerplate_density": _BOILERPLATE_DENSITY_SQL,
+    "q_article_metadata": _ARTICLE_SQL,
+    "q_filename_index": _FILENAME_INDEX_SQL,
 }
