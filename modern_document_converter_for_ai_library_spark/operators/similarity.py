@@ -280,6 +280,32 @@ def ivf_search(
     )
 
 
+def _probe_buckets(bucket, n_planes: int, multi_probe: int):
+    """Array of bucket ids within Hamming distance ``multi_probe`` of
+    ``bucket`` (a bit-string column). multi_probe=1 yields the bucket plus
+    its ``n_planes`` single-bit flips — the classic multi-probe LSH trick:
+    a near neighbor that disagrees with the query on exactly one hyperplane
+    sign still lands in a probed bucket, so recall rises without adding
+    planes (which would split buckets further) or tables (which would
+    duplicate the corpus). Only distances 0 and 1 are supported: distance-2
+    probing is C(n_planes,2) buckets and was not needed to saturate recall
+    on the bench corpus (see BENCH/BASELINE.md)."""
+    if multi_probe not in (0, 1):
+        raise ValueError("multi_probe must be 0 or 1")
+    probes = [bucket]
+    for i in range(1, n_planes + 1):
+        ch = F.substring(bucket, i, 1)
+        flipped = F.when(ch == "1", F.lit("0")).otherwise(F.lit("1"))
+        probes.append(
+            F.concat(
+                F.substring(bucket, 1, i - 1),
+                flipped,
+                F.substring(bucket, i + 1, n_planes - i),
+            )
+        )
+    return F.array(*probes[: 1 + (n_planes if multi_probe else 0)])
+
+
 def lsh_bucketed_ann(
     corpus: DataFrame,
     queries: DataFrame,
@@ -288,19 +314,29 @@ def lsh_bucketed_ann(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multi_probe: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: exact rescoring restricted to the query's bucket.
+    """Approximate top-k: exact rescoring restricted to the query's bucket
+    (plus, with ``multi_probe=1``, every bucket one hyperplane-sign flip
+    away — see ``_probe_buckets``).
 
     At 100 TB this replaces the all-pairs crossJoin with an equi-join on the
-    bucket id (2^n_planes buckets); recall is tuned by n_planes and by
-    probing neighboring buckets (future multi-probe extension).
+    bucket id (2^n_planes buckets); recall is tuned by n_planes and
+    multi_probe. Each corpus vector lives in exactly ONE bucket and probe
+    bucket ids are distinct, so the probe explosion never duplicates a
+    candidate — no distinct() is needed after the join.
     """
     from pyspark.sql import Window
 
     bucket = lsh_bucket_col(vec_col, n_planes, dim)
     c = corpus.withColumn("bucket", bucket)
-    q = queries.withColumn("bucket", bucket).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "bucket"
+    q = (
+        queries.withColumn(
+            "bucket", F.explode(_probe_buckets(bucket, n_planes, multi_probe))
+        )
+        .select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "bucket"
+        )
     )
     joined = c.join(F.broadcast(q), on="bucket")
     scored = joined.select(

@@ -1971,13 +1971,16 @@ GROUP BY src
 # centroids (16 lowest-id vectors) refined by 2 exact-integer Lloyd rounds
 # (squared-Euclidean assignment — the corpus vectors are unit-norm, so
 # Euclidean NN == cosine NN, and Lloyd means stay meaningful), probe the
-# query's 4 nearest cells, exact integer-quantized dot rescoring inside
+# query's 8 nearest cells, exact integer-quantized dot rescoring inside
 # them (operators/similarity.py:ivf_build/ivf_search). The oracle unrolls
 # the two Lloyd rounds as CTE pairs with the identical integer arithmetic.
+# Operating point from the measured recall/latency curve
+# (scripts/ann_recall_bench.py, table in BENCH/BASELINE.md): K=16/probe=8
+# gives recall@10 129/160 (80.6%) on this corpus; probe=2 was 72/160.
 # ---------------------------------------------------------------------------
 
 _IVF_K = 16
-_IVF_PROBE = 4
+_IVF_PROBE = 8
 _IVF_LLOYD = 2
 # Lloyd refines over the deterministic 1/5 id-mod sample (the build-time
 # economy at corpus scale; measured recall@10 66->72/160 on this corpus —

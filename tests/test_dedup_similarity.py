@@ -220,6 +220,32 @@ def test_lsh_ann_recalls_planted_neighbors(spark, vectors):
     assert {0, 1, 2, 3} <= ids
 
 
+def test_lsh_ann_multi_probe_improves_recall(spark):
+    """Hamming-1 multi-probe must strictly widen the candidate set and
+    raise recall@10 on the real testdata corpus (measured 19->32/160 at
+    n_planes=8, 34->72/160 at n_planes=4 — scripts/ann_recall_bench.py)."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qs = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 116))
+    truth = brute_force_topk(emb, qs, k=10)
+    tset = {(r["query_id"], r["vec_id"]) for r in truth.collect()}
+
+    def recall(mp):
+        got = lsh_bucketed_ann(emb, qs, k=10, n_planes=8, multi_probe=mp)
+        return len({(r["query_id"], r["vec_id"]) for r in got.collect()} & tset)
+
+    base, probed = recall(0), recall(1)
+    assert probed > base, (base, probed)
+
+
+def test_lsh_ann_multi_probe_no_duplicate_candidates(spark, vectors):
+    """Probe buckets are distinct and each corpus vector lives in one
+    bucket, so a (query, vec) pair appears at most once pre-ranking."""
+    q = vectors.filter(F.col("vec_id") == 0)
+    out = lsh_bucketed_ann(vectors, q, k=1000, multi_probe=1).collect()
+    pairs = [(r["query_id"], r["vec_id"]) for r in out]
+    assert len(pairs) == len(set(pairs))
+
+
 def test_ivf_recalls_planted_neighbors(spark):
     import numpy as np
 
