@@ -43,6 +43,56 @@ def minhash_col(hashes: Column, k: int) -> Column:
     return F.array_min(F.transform(hashes, _slice))
 
 
+def simhash_col(tokens: Column, n_bits: int = 64) -> Column:
+    """Production-width SimHash bit-string from whitespace tokens.
+
+    Classic Charikar sketch: bit b of the sketch is the sign of
+    sum over tokens of (+1 if bit b of md5(token) else -1). Bit b is read
+    from md5 hex nibble b//4 with mask 8 >> (b % 4), so n_bits <= 128.
+    Pure columnar (conv + bitwise AND + aggregate over the token array) —
+    map-only, no shuffle; the groupBy formulation in q_simhash is the
+    exploded equivalent for cross-engine oracle checks. 64 bits with
+    16-bit bands is the standard near-dup shape (Manku et al., WWW'07):
+    4 band equi-joins with 2^16-cardinality keys.
+    """
+    if not 1 <= n_bits <= 128:
+        raise ValueError("md5 provides at most 128 bits")
+    hashed = F.transform(tokens, lambda t: F.md5(t))
+
+    def _contribs(h):
+        out = []
+        for b in range(n_bits):
+            nib, mask = b // 4, 8 >> (b % 4)
+            out.append(
+                F.when(
+                    F.conv(F.substring(h, nib + 1, 1), 16, 10)
+                    .cast("int")
+                    .bitwiseAND(mask)
+                    != 0,
+                    F.lit(1).cast("bigint"),
+                ).otherwise(F.lit(-1).cast("bigint"))
+            )
+        return F.array(*out)
+
+    # single fold with a finish lambda: md5 runs once per token and the
+    # 64-sum accumulator is referenced through a lambda variable, so the
+    # expression tree stays linear (64 separate aggregates would duplicate
+    # the token-hash transform per bit)
+    return F.aggregate(
+        hashed,
+        F.array_repeat(F.lit(0).cast("bigint"), n_bits),
+        lambda acc, h: F.zip_with(acc, _contribs(h), lambda a, c: a + c),
+        lambda acc: F.concat(
+            *[
+                F.when(F.element_at(acc, b + 1) > 0, F.lit("1")).otherwise(
+                    F.lit("0")
+                )
+                for b in range(n_bits)
+            ]
+        ),
+    )
+
+
 def lsh_plane_signs(n_planes: int, dim: int) -> list[list[int]]:
     """Deterministic ±1 sign matrix for random-hyperplane (SimHash) LSH over
     embeddings. Derived from md5 so any engine/driver recomputes the same

@@ -229,22 +229,35 @@ def simhash_pairs(
             )
             .select("a", "b", F.lit(0).cast("bigint").alias("hamming"))
         )
+    # pack the bit-string into 32-bit words once per side: the exact
+    # Hamming check on candidates is then XOR + bit_count per word instead
+    # of n_bits per-character comparisons (measured 84.6 s -> see
+    # BENCH/BASELINE.md on 510k 64-bit sketches)
+    def _pack(bits_col: str, prefix: str):
+        return [
+            F.conv(F.substring(bits_col, w0 + 1, min(32, n_bits - w0)), 2, 10)
+            .cast("bigint")
+            .alias(f"{prefix}{w0 // 32}")
+            for w0 in range(0, n_bits, 32)
+        ]
+
+    n_words = (n_bits + 31) // 32
+    left = left.select("a", "abits", *_pack("abits", "aw"))
+    right = right.select("b", "bbits", *_pack("bbits", "bw"))
+    word_cols = [f"aw{i}" for i in range(n_words)] + [f"bw{i}" for i in range(n_words)]
     pairs = None
     for k in range(n_bands):
         band_a = F.substring("abits", 1 + k * w, w)
         band_b = F.substring("bbits", 1 + k * w, w)
         p = left.join(
             right, (band_a == band_b) & (F.col("a") < F.col("b"))
-        ).select("a", "b", "abits", "bbits")
+        ).select("a", "b", *word_cols)
         pairs = p if pairs is None else pairs.unionByName(p)
     cand = pairs.distinct()
-    diff_terms = [
-        F.when(
-            F.substring("abits", i + 1, 1) != F.substring("bbits", i + 1, 1), 1
-        ).otherwise(0)
-        for i in range(n_bits)
-    ]
-    hamming = sum(diff_terms[1:], diff_terms[0])
+    hamming = None
+    for i in range(n_words):
+        term = F.bit_count(F.col(f"aw{i}").bitwiseXOR(F.col(f"bw{i}")))
+        hamming = term if hamming is None else hamming + term
     return (
         cand.withColumn("hamming", hamming.cast("bigint"))
         .filter(F.col("hamming") <= max_hamming)

@@ -671,6 +671,68 @@ WHERE {hamming} <= 0
 
 
 # ---------------------------------------------------------------------------
+# q_simhash64_pairs — PRODUCTION-width SimHash near-dup pairs: 64-bit
+# sketches (functions/hashing.py:simhash_col — token-md5 bit parity), 4
+# bands of 16 bits (2^16-cardinality band keys, the Manku WWW'07 shape),
+# pairs within Hamming distance 3 via packed-word XOR+bit_count verify.
+# The oracle computes the identical sketches in DuckDB but finds pairs by
+# BRUTE-FORCE all-pairs comparison — a genuinely different plan, so
+# agreement checks both the sketch math and the banded join's pigeonhole
+# completeness. Bucket-cardinality behavior at 510k sketches is measured
+# in BENCH/BASELINE.md (scripts/simhash_bench.py).
+# ---------------------------------------------------------------------------
+
+def spark_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.hashing import simhash_col, tokens_col
+    from .operators.dedup import simhash_pairs
+
+    toks = tokens_col("text")
+    sk = (
+        _docs(spark, sf_dir)
+        .filter(F.size(toks) > 0)  # the oracle's GROUP BY drops token-less docs
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            simhash_col(toks).alias("simhash_bits"),
+        )
+    )
+    return simhash_pairs(sk, n_bits=64, n_bands=4, max_hamming=3)
+
+
+def _simhash64_sql() -> str:
+    sums = []
+    bits = []
+    for b in range(64):
+        nib, mask = b // 4, 8 >> (b % 4)
+        chars = [c for c in "0123456789abcdef" if int(c, 16) & mask]
+        sums.append(
+            "SUM(CASE WHEN substring(h, %d, 1) IN (%s) THEN 1 ELSE -1 END) AS s%d"
+            % (nib + 1, ", ".join("'%s'" % c for c in chars), b)
+        )
+        bits.append("CASE WHEN s%d > 0 THEN '1' ELSE '0' END" % b)
+    ham = (
+        "len(list_filter(range(1, 65), "
+        "i -> substring(x.bits, CAST(i AS INT), 1) <> substring(y.bits, CAST(i AS INT), 1)))"
+    )
+    return """
+WITH ex AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(tok) AS h
+  FROM documents,
+       UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS u(tok)
+), g AS (
+  SELECT doc_id, {sums} FROM ex GROUP BY doc_id
+), s AS (
+  SELECT doc_id, {bits} AS bits FROM g
+)
+SELECT x.doc_id AS a, y.doc_id AS b, CAST({ham} AS BIGINT) AS hamming
+FROM s x JOIN s y ON x.doc_id < y.doc_id
+WHERE {ham} <= 3
+""".format(sums=", ".join(sums), bits=" || ".join(bits), ham=ham)
+
+
+_SIMHASH64_PAIRS_SQL = _simhash64_sql()
+
+
+# ---------------------------------------------------------------------------
 # q_lsh_jaccard_pairs — near-dup scale path: banded LSH collisions verified
 # with exact shingle-set Jaccard (integer-quantized). Band uses r=2 rows
 # (concat of two minhash permutations → collision prob ~J^2): with r=1 the
@@ -2729,6 +2791,7 @@ SPARK_QUERIES = {
     "q_minhash": spark_minhash,
     "q_simhash": spark_simhash,
     "q_simhash_pairs": spark_simhash_pairs,
+    "q_simhash64_pairs": spark_simhash64_pairs,
     "q_lsh_jaccard_pairs": spark_lsh_jaccard_pairs,
     "q_ann_lsh_buckets": spark_ann_lsh_buckets,
     "q_ann_topk": spark_ann_topk,
@@ -2773,6 +2836,7 @@ ORACLE_SQL = {
     "q_minhash": _MINHASH_SQL,
     "q_simhash": _SIMHASH_SQL,
     "q_simhash_pairs": _SIMHASH_PAIRS_SQL,
+    "q_simhash64_pairs": _SIMHASH64_PAIRS_SQL,
     "q_lsh_jaccard_pairs": _LSH_PAIRS_SQL,
     "q_ann_lsh_buckets": _ANN_LSH_SQL,
     "q_ann_topk": _ANN_SQL,
