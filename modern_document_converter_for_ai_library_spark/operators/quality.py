@@ -1,0 +1,179 @@
+"""Document-quality filters for LLM training-data pipelines.
+
+Two public-literature rule families, re-expressed as exact-integer Spark
+columns so a DuckDB oracle reproduces identical rows:
+
+  gopher_quality_signals   the per-document heuristics of Gopher
+                           (Rae et al. 2021, "Scaling Language Models",
+                           Appendix A1.1): word count bounds, mean word
+                           length bounds, symbol-to-word ratio, fraction
+                           of words with an alphabetic character, and the
+                           stopword-presence test
+  ngram_repetition_stats   the repetition family of the same appendix:
+                           fraction of characters in the most frequent
+                           word 2-gram, and fraction of characters in
+                           duplicated word 5-grams
+
+All ratios are integer micros (x * 1_000_000 // denom) — float division
+would make pass/fail flags engine-dependent at the thresholds.
+
+Scale notes: the quality signals are map-only (higher-order array
+functions over the token array — no shuffle, no Python). The repetition
+stats explode n-grams and aggregate by (doc_id, gram) then by doc_id —
+two shuffles whose key cardinality is O(total tokens), hashed across the
+cluster; this is the scalable shape (an in-array O(n^2) count would be
+map-only but quadratic in per-doc length, unbounded for book-sized docs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+
+# Gopher's stopword-presence list (Rae et al. 2021 A1.1: "contains at
+# least two of the following English words")
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+# published thresholds
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN_MICROS = 3 * MICRO
+GOPHER_MAX_MEAN_WORD_LEN_MICROS = 10 * MICRO
+GOPHER_MAX_SYMBOL_RATIO_MICROS = 100_000  # 0.1 hash-or-ellipsis per word
+GOPHER_MIN_ALPHA_RATIO_MICROS = 800_000  # 80% words need a letter
+GOPHER_MIN_STOPWORDS = 2
+TOP2_MAX_FRAC_MICROS = 200_000  # top word-2-gram chars <= 0.20
+DUP5_MAX_FRAC_MICROS = 150_000  # duplicated word-5-gram chars <= 0.15
+
+
+def _tokens(text_col: str):
+    return F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+
+
+def gopher_quality_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Adds the Gopher quality columns + ``gopher_pass``. Map-only."""
+    toks = _tokens(text_col)
+    out = df.withColumn("_toks", toks)
+    n = F.size("_toks").cast("bigint")
+    total_len = F.aggregate(
+        F.transform("_toks", lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    # '#' occurrences + '...' occurrences (ellipsis counted on the raw text)
+    hashes = F.length(text_col) - F.length(F.regexp_replace(text_col, "#", ""))
+    ellipses = (
+        F.length(text_col) - F.length(F.regexp_replace(text_col, r"\.\.\.", ""))
+    ) / 3
+    n_symbols = (hashes + ellipses).cast("bigint")
+    n_alpha = F.size(
+        F.filter("_toks", lambda t: t.rlike("[a-zA-Z]"))
+    ).cast("bigint")
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    lowered = F.transform("_toks", lambda t: F.lower(t))
+    n_stop = F.size(
+        F.filter(stop_arr, lambda s: F.array_contains(lowered, s))
+    ).cast("bigint")
+
+    nz = F.greatest(n, F.lit(1))  # guard: token-less docs fail on word count
+    mean_len = (total_len * MICRO / nz).cast("bigint")
+    sym_ratio = (n_symbols * MICRO / nz).cast("bigint")
+    alpha_ratio = (n_alpha * MICRO / nz).cast("bigint")
+    gpass = (
+        (n >= GOPHER_MIN_WORDS)
+        & (n <= GOPHER_MAX_WORDS)
+        & (mean_len >= GOPHER_MIN_MEAN_WORD_LEN_MICROS)
+        & (mean_len <= GOPHER_MAX_MEAN_WORD_LEN_MICROS)
+        & (sym_ratio < GOPHER_MAX_SYMBOL_RATIO_MICROS)
+        & (alpha_ratio >= GOPHER_MIN_ALPHA_RATIO_MICROS)
+        & (n_stop >= GOPHER_MIN_STOPWORDS)
+    )
+    return out.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len_micros"),
+        sym_ratio.alias("symbol_ratio_micros"),
+        alpha_ratio.alias("alpha_word_ratio_micros"),
+        n_stop.alias("n_gopher_stopwords"),
+        gpass.alias("gopher_pass"),
+    )
+
+
+def _grams(toks, width: int):
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (width - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(width)]
+        ),
+    )
+    # sequence(1, 0) would DESCEND ([1, 0]) — guard short docs explicitly
+    return F.when(n >= width, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _gram_frac(
+    df: DataFrame, id_col: str, toks, width: int, dup_only: bool
+) -> DataFrame:
+    """(id, frac_micros): characters in the top gram (dup_only=False) or in
+    all duplicated grams (dup_only=True), over total gram-occurrence chars.
+    Ties for the top gram break (count desc, gram asc) — deterministic."""
+    ex = df.select(F.col(id_col), F.explode(_grams(toks, width)).alias("g"))
+    counts = ex.groupBy(id_col, "g").agg(F.count("*").alias("n"))
+    chars = (F.col("n") * F.length("g")).cast("bigint")
+    if dup_only:
+        per_doc = counts.groupBy(id_col).agg(
+            F.sum(chars).alias("_total"),
+            F.sum(F.when(F.col("n") >= 2, chars).otherwise(0)).alias("_hit"),
+        )
+    else:
+        # min over the (negated count, gram) ordering key = highest count,
+        # lexicographically-first gram among ties
+        per_doc = counts.groupBy(id_col).agg(
+            F.sum(chars).alias("_total"),
+            F.min_by(
+                chars, F.struct((-F.col("n")).alias("negn"), F.col("g"))
+            ).alias("_hit"),
+        )
+    return per_doc.select(
+        F.col(id_col),
+        (F.col("_hit") * MICRO / F.greatest(F.col("_total"), F.lit(1)))
+        .cast("bigint")
+        .alias("frac_micros"),
+    )
+
+
+def ngram_repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, top2_frac_micros, dup5_frac_micros, repetition_pass).
+
+    Docs too short to form a gram of the given width contribute no
+    exploded rows; they rejoin with fraction 0 (nothing repeated)."""
+    toks = _tokens(text_col)
+    base = df.select(F.col(id_col))
+    top2 = _gram_frac(df, id_col, toks, 2, dup_only=False).withColumnRenamed(
+        "frac_micros", "top2_frac_micros"
+    )
+    dup5 = _gram_frac(df, id_col, toks, 5, dup_only=True).withColumnRenamed(
+        "frac_micros", "dup5_frac_micros"
+    )
+    out = (
+        base.join(top2, on=id_col, how="left")
+        .join(dup5, on=id_col, how="left")
+        .fillna(0, subset=["top2_frac_micros", "dup5_frac_micros"])
+    )
+    return out.select(
+        id_col,
+        "top2_frac_micros",
+        "dup5_frac_micros",
+        (
+            (F.col("top2_frac_micros") <= TOP2_MAX_FRAC_MICROS)
+            & (F.col("dup5_frac_micros") <= DUP5_MAX_FRAC_MICROS)
+        ).alias("repetition_pass"),
+    )

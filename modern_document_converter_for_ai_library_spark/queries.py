@@ -412,6 +412,213 @@ FROM s
 
 
 # ---------------------------------------------------------------------------
+# q_gopher_quality — the Gopher quality heuristics (Rae et al. 2021 A1.1)
+# as exact-integer map-only columns: word-count bounds, mean word length,
+# symbol-to-word ratio (# + ellipsis), alphabetic-word fraction, and the
+# stopword-presence test (operators/quality.py:gopher_quality_signals).
+# ---------------------------------------------------------------------------
+
+def spark_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import gopher_quality_signals
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    return gopher_quality_signals(docs)
+
+
+_GOPHER_QUALITY_SQL = """
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n,
+         CAST(COALESCE(list_sum(list_transform(toks, x -> len(x))), 0) AS BIGINT) AS total_len,
+         CAST(len(text) - len(replace(text, '#', ''))
+              + (len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT) AS n_symbols,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+         CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                              s -> list_contains(list_transform(toks, t -> lower(t)), s))) AS BIGINT) AS n_stop
+  FROM t
+), r AS (
+  SELECT doc_id, n, n_stop,
+         (total_len * 1000000) // GREATEST(n, 1) AS mean_len,
+         (n_symbols * 1000000) // GREATEST(n, 1) AS sym_ratio,
+         (n_alpha * 1000000) // GREATEST(n, 1) AS alpha_ratio
+  FROM s
+)
+SELECT doc_id,
+       n AS n_words,
+       CAST(mean_len AS BIGINT) AS mean_word_len_micros,
+       CAST(sym_ratio AS BIGINT) AS symbol_ratio_micros,
+       CAST(alpha_ratio AS BIGINT) AS alpha_word_ratio_micros,
+       n_stop AS n_gopher_stopwords,
+       (n >= 50 AND n <= 100000
+        AND mean_len >= 3000000 AND mean_len <= 10000000
+        AND sym_ratio < 100000
+        AND alpha_ratio >= 800000
+        AND n_stop >= 2) AS gopher_pass
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_repetition_stats — Gopher repetition filters: fraction of characters in
+# the most frequent word-2-gram (tie-break count desc, gram asc) and in
+# duplicated word-5-grams (operators/quality.py:ngram_repetition_stats).
+# Scale shape: explode + (doc, gram) groupBy — key cardinality O(tokens),
+# no per-doc quadratic work, no windows over whole docs.
+# ---------------------------------------------------------------------------
+
+def spark_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import ngram_repetition_stats
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    return ngram_repetition_stats(docs)
+
+
+_REPETITION_SQL = """
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), g2 AS (
+  SELECT doc_id, u.g
+  FROM t, UNNEST(list_transform(range(1, len(toks)),
+                 i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1])) AS u(g)
+  WHERE len(toks) >= 2
+), c2 AS (
+  SELECT doc_id, g, count(*) AS n FROM g2 GROUP BY doc_id, g
+), p2 AS (
+  SELECT doc_id, total, hit FROM (
+    SELECT doc_id,
+           SUM(n * len(g)) OVER (PARTITION BY doc_id) AS total,
+           n * len(g) AS hit,
+           row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, g ASC) AS rn
+    FROM c2
+  ) WHERE rn = 1
+), g5 AS (
+  SELECT doc_id, u.g
+  FROM t, UNNEST(list_transform(range(1, len(toks) - 3),
+                 i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] || ' ' ||
+                      toks[CAST(i AS INT) + 2] || ' ' || toks[CAST(i AS INT) + 3] || ' ' ||
+                      toks[CAST(i AS INT) + 4])) AS u(g)
+  WHERE len(toks) >= 5
+), c5 AS (
+  SELECT doc_id, g, count(*) AS n FROM g5 GROUP BY doc_id, g
+), p5 AS (
+  SELECT doc_id,
+         SUM(n * len(g)) AS total,
+         SUM(CASE WHEN n >= 2 THEN n * len(g) ELSE 0 END) AS hit
+  FROM c5 GROUP BY doc_id
+), f AS (
+  SELECT t.doc_id,
+         CAST(COALESCE((p2.hit * 1000000) // GREATEST(p2.total, 1), 0) AS BIGINT) AS top2_frac_micros,
+         CAST(COALESCE((p5.hit * 1000000) // GREATEST(p5.total, 1), 0) AS BIGINT) AS dup5_frac_micros
+  FROM t LEFT JOIN p2 USING (doc_id) LEFT JOIN p5 USING (doc_id)
+)
+SELECT doc_id, top2_frac_micros, dup5_frac_micros,
+       (top2_frac_micros <= 200000 AND dup5_frac_micros <= 150000) AS repetition_pass
+FROM f
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_url_normalize — crawl-style URL canonicalization (functions/urls.py):
+# lowercase scheme+host, strip fragment and default ports, drop tracking
+# params preserving the rest's order, empty path -> '/'. The messy input
+# URL is synthesized deterministically from doc_id in BOTH engines (the
+# testdata carries no URLs), exercising every rule: upper-case scheme and
+# host, default port 80/443 vs explicit :8080, empty paths, queries that
+# are all-tracking, mixed, or tracking-free.
+# ---------------------------------------------------------------------------
+
+def spark_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.urls import host_col, normalize_url_col
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id")
+    )
+    d = F.col("doc_id")
+    raw = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://Site"),
+        (d % 7).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(d % 4 == 0, F.lit(":80"))
+        .when(d % 4 == 1, F.lit(":443"))
+        .when(d % 4 == 2, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("/Docs/"), d.cast("string"))
+        ),
+        F.when(d % 5 == 0, F.lit("?utm_source=only"))
+        .when(d % 2 == 0, F.concat(F.lit("?utm_source=feed&id="), (d % 5).cast("string"), F.lit("&gclid=x&page=2")))
+        .otherwise(F.lit("?a=1&utm_campaign=z")),
+        F.lit("#Sec"),
+        (d % 3).cast("string"),
+    )
+    withu = docs.select("doc_id", raw.alias("url"))
+    return withu.select(
+        "doc_id",
+        normalize_url_col(F.col("url")).alias("url_norm"),
+        host_col(F.col("url")).alias("host"),
+    )
+
+
+_URL_NORMALIZE_SQL = r"""
+WITH r AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+    || '://Site' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM'
+    || (CASE WHEN doc_id % 4 = 0 THEN ':80' WHEN doc_id % 4 = 1 THEN ':443'
+             WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END)
+    || (CASE WHEN doc_id % 3 = 0 THEN '' ELSE '/Docs/' || CAST(doc_id AS VARCHAR) END)
+    || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=only'
+             WHEN doc_id % 2 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR) || '&gclid=x&page=2'
+             ELSE '?a=1&utm_campaign=z' END)
+    || '#Sec' || CAST(doc_id % 3 AS VARCHAR) AS url
+  FROM documents
+), p AS (
+  SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM r
+), parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(u, '^([^:/?#]+)://', 1)) AS scheme,
+         lower(regexp_extract(regexp_replace(u, '^[^:/?#]+://', ''), '^([^/?#]*)', 1)) AS hostport,
+         substring(regexp_replace(u, '^[^:/?#]+://', ''),
+                   length(regexp_extract(regexp_replace(u, '^[^:/?#]+://', ''), '^([^/?#]*)', 1)) + 1) AS pathq
+  FROM p
+), parts2 AS (
+  SELECT doc_id, scheme,
+         CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
+                THEN substring(hostport, 1, length(hostport) - 3)
+              WHEN scheme = 'https' AND hostport LIKE '%:443'
+                THEN substring(hostport, 1, length(hostport) - 4)
+              ELSE hostport END AS host,
+         regexp_extract(pathq, '^([^?]*)', 1) AS path,
+         regexp_extract(pathq, '\?(.*)$', 1) AS query,
+         regexp_extract(hostport, '^([^:]*)', 1) AS bare_host
+  FROM parts
+), fin AS (
+  SELECT doc_id, scheme, host, bare_host,
+         CASE WHEN path = '' THEN '/' ELSE path END AS path,
+         list_filter(string_split(query, '&'),
+                     kv -> kv <> '' AND NOT regexp_matches(kv, '^(utm_[^=]*|gclid|fbclid)=')) AS params
+  FROM parts2
+)
+SELECT doc_id,
+       scheme || '://' || host || path
+       || (CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END) AS url_norm,
+       bare_host AS host
+FROM fin
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_exact_dedup — exact duplicate grouping by content hash (training-data op)
 # ---------------------------------------------------------------------------
 
@@ -2785,6 +2992,9 @@ SPARK_QUERIES = {
     "q_normalize_chain": spark_normalize_chain,
     "q_token_stats": spark_token_stats,
     "q_quality_langid": spark_quality_langid,
+    "q_gopher_quality": spark_gopher_quality,
+    "q_repetition_stats": spark_repetition_stats,
+    "q_url_normalize": spark_url_normalize,
     "q_langid_ngram": spark_langid_ngram,
     "q_exact_dedup": spark_exact_dedup,
     "q_fingerprint": spark_fingerprint,
@@ -2830,6 +3040,9 @@ ORACLE_SQL = {
     "q_normalize_chain": _NORMALIZE_SQL,
     "q_token_stats": _TOKEN_STATS_SQL,
     "q_quality_langid": _QUALITY_SQL,
+    "q_gopher_quality": _GOPHER_QUALITY_SQL,
+    "q_repetition_stats": _REPETITION_SQL,
+    "q_url_normalize": _URL_NORMALIZE_SQL,
     "q_langid_ngram": _LANGID_SQL,
     "q_exact_dedup": _EXACT_DEDUP_SQL,
     "q_fingerprint": _FINGERPRINT_SQL,

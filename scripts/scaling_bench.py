@@ -58,6 +58,36 @@ def _write_chunk(args: tuple) -> int:
     import pyarrow.parquet as pq
 
     rng = np.random.RandomState(seed + chunk_idx)
+    if job == "warc":
+        # one .warc.gz shard per chunk, per-member gzip (the Common Crawl
+        # layout sources/warc.py is built for): each record is a response
+        # with an HTTP header block the parser must strip
+        import gzip
+
+        from modern_document_converter_for_ai_library_spark.sources.synth import (
+            _make_html_doc,
+        )
+
+        members = []
+        for i in range(start, end):
+            doc_id, html = _make_html_doc(rng, i)
+            body = html.encode()
+            payload = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+                + body
+            )
+            rec = (
+                f"WARC/1.0\r\n"
+                f"WARC-Type: response\r\n"
+                f"WARC-Record-ID: <urn:doc:{doc_id}>\r\n"
+                f"WARC-Target-URI: http://synth.example/{doc_id}\r\n"
+                f"Content-Type: application/http; msgtype=response\r\n"
+                f"Content-Length: {len(payload)}\r\n\r\n"
+            ).encode() + payload + b"\r\n\r\n"
+            members.append(gzip.compress(rec, compresslevel=1))
+        with open(os.path.join(path, f"shard-{chunk_idx:04d}.warc.gz"), "wb") as f:
+            f.write(b"".join(members))
+        return end - start
     if job == "html":
         from modern_document_converter_for_ai_library_spark.sources.synth import (
             _make_html_doc,
@@ -120,6 +150,19 @@ from modern_document_converter_for_ai_library_spark.operators.boilerplate import
 def run_job(d, balance=None):
     if "{job}" == "html":
         return strip_boilerplate_html(d)
+    if "{job}" == "warc":
+        # the full web_extract_job.py pipeline minus the manifest sink
+        # (noop isolates compute): parse is carried inside d's lineage, so
+        # every measured run re-executes WARC framing + gunzip too
+        from pyspark.sql import functions as F
+        from modern_document_converter_for_ai_library_spark.sources.io import flat_to_spans
+        content = strip_boilerplate_html(d)
+        kept = content.filter(
+            F.size(F.split(F.trim(F.col("content_text")), r"\\s+")) >= 5)
+        spans = flat_to_spans(
+            kept.select("doc_id", F.col("content_text").alias("text"))
+        ).withColumn("source_file", F.concat("doc_id", F.lit(".html")))
+        return convert_documents(spans.select("doc_id", "source_file", "spans"))
     return convert_documents(d, balance_partitions=balance)
 
 import os
@@ -141,7 +184,11 @@ spark = get_spark(app_name="scaling-{cpus}", master="local[{cpus}]",
                       "spark.driver.extraJavaOptions": f"-Xms{{heap}} -XX:+AlwaysPreTouch",
                   }})
 spark.range(1000).selectExpr("sum(id)").collect()  # JVM warmup
-df = spark.read.parquet({corpus!r})
+if "{job}" == "warc":
+    from modern_document_converter_for_ai_library_spark.sources.warc import read_warc_documents
+    df = read_warc_documents(spark, {corpus!r})
+else:
+    df = spark.read.parquet({corpus!r})
 n = df.count()
 # Python-worker pool warmup: a sample convert forks and imports the
 # kernel on every core so the measured region is steady-state throughput
@@ -173,10 +220,12 @@ def main() -> None:
     ap.add_argument("--md", default=None, help="write/refresh this markdown report")
     ap.add_argument(
         "--job",
-        choices=["convert", "html"],
+        choices=["convert", "html", "warc"],
         default="convert",
         help="which end-to-end kernel job to measure (html = "
-        "strip_boilerplate_html over the synthetic web-page corpus)",
+        "strip_boilerplate_html over the synthetic web-page corpus; warc = "
+        "the full web_extract_job pipeline from gzipped WARC shards: "
+        "framing -> boilerplate strip -> span shaping -> convert)",
     )
     ap.add_argument(
         "--ab-balance",
