@@ -376,3 +376,117 @@ def near_dedup(
             "is_near_duplicate", F.col(id_col) != F.col("canonical_doc_id")
         )
     )
+
+
+def passage_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 15,
+) -> DataFrame:
+    """Cross-document passage-level dedup (the C4/RefinedWeb move: drop
+    REPEATED PASSAGES — boilerplate licenses, headers, quoted blocks —
+    while keeping the documents that contain them).
+
+    Documents are chunked into non-overlapping ``chunk_tokens``-token
+    windows; for every chunk content (md5) exactly ONE occurrence
+    corpus-wide survives — the one with the smallest (doc_id, chunk_idx).
+    Output: (id, text_clean, n_chunks, n_kept) with text_clean = the
+    surviving chunks rejoined in order (empty string if nothing survives).
+
+    Plan shape: explode -> ONE window shuffle keyed by chunk hash (same
+    single-shuffle formulation as exact_dedup; the min is computed over a
+    (doc_id, chunk_idx) struct) -> groupBy(id) reassembly. Key cardinality
+    is O(total tokens / chunk_tokens); a degenerate passage repeated k
+    times corpus-wide costs a k-row hash partition, not a join fan-out.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    n_chunks = F.ceil(F.size("_toks") / chunk_tokens).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda c: F.concat_ws(
+            " ", F.slice("_toks", c * chunk_tokens + 1, chunk_tokens)
+        ),
+    )
+    ex = (
+        df.withColumn("_toks", toks)
+        .filter(F.size("_toks") > 0)  # sequence(0,-1) would descend
+        .select(
+            F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk")
+        )
+    )
+    w = Window.partitionBy(F.md5("chunk"))
+    winner = F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).over(w)
+    kept = ex.withColumn(
+        "_keep",
+        (winner[id_col] == F.col(id_col))
+        & (winner["chunk_idx"] == F.col("chunk_idx")),
+    )
+    per_doc = kept.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum(F.when(F.col("_keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct("chunk_idx", "chunk"))
+                    )
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    # docs with no tokens re-enter with zero chunks
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, on=id_col, how="left")
+        .fillna({"n_chunks": 0, "n_kept": 0, "text_clean": ""})
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination by ``ngram``-token overlap (the published
+    GPT-3/PaLM protocol shape: a training document is contaminated if it
+    shares any length-n token window with an evaluation set).
+
+    Returns (id, n_contaminated_grams, contaminated). The benchmark gram
+    set is DISTINCT hashes only — small by construction (eval suites are
+    thousands of docs, not billions) — so the membership test is a
+    broadcast semi-join against the corpus's exploded overlapping grams;
+    no shuffle touches corpus-scale data beyond the per-doc count agg.
+    """
+
+    def _overlapping_grams(frame: DataFrame, keep_id: bool) -> DataFrame:
+        toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - (ngram - 1)),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ", *[F.element_at("_toks", i + j) for j in range(ngram)]
+                )
+            ),
+        )
+        base = frame.withColumn("_toks", toks).filter(F.size("_toks") >= ngram)
+        cols = [F.col(id_col)] if keep_id else []
+        return base.select(*cols, F.explode(grams).alias("gram_hash"))
+
+    bench_grams = _overlapping_grams(benchmark, keep_id=False).distinct()
+    doc_grams = _overlapping_grams(df, keep_id=True)
+    hits = doc_grams.join(
+        F.broadcast(bench_grams), on="gram_hash", how="left_semi"
+    ).groupBy(id_col).agg(F.count("*").cast("bigint").alias("n_contaminated_grams"))
+    return (
+        df.select(F.col(id_col))
+        .join(hits, on=id_col, how="left")
+        .fillna({"n_contaminated_grams": 0})
+        .withColumn("contaminated", F.col("n_contaminated_grams") > 0)
+    )

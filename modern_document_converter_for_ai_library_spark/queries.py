@@ -619,6 +619,96 @@ FROM fin
 
 
 # ---------------------------------------------------------------------------
+# q_passage_dedup — cross-document passage dedup (C4/RefinedWeb move: drop
+# repeated passages, keep the docs): non-overlapping 15-token chunks, one
+# survivor per chunk content corpus-wide = min (doc_id, chunk_idx), docs
+# reassembled from surviving chunks (operators/dedup.py:passage_dedup —
+# one window shuffle keyed by chunk hash + one reassembly groupBy).
+# ---------------------------------------------------------------------------
+
+def spark_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import passage_dedup
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    return passage_dedup(docs, chunk_tokens=15)
+
+
+_PASSAGE_DEDUP_SQL = """
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), ch AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+         array_to_string(list_slice(toks, u.i * 15 + 1, u.i * 15 + 15), ' ') AS chunk
+  FROM t, UNNEST(range(0, CAST(ceil(len(toks) / 15.0) AS BIGINT))) AS u(i)
+  WHERE len(toks) > 0
+), w AS (
+  SELECT doc_id, chunk_idx, chunk,
+         row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, chunk_idx) AS rn
+  FROM ch
+), p AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_idx), '') AS text_clean
+  FROM w GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(p.text_clean, '') AS text_clean,
+       COALESCE(p.n_chunks, 0) AS n_chunks,
+       COALESCE(p.n_kept, 0) AS n_kept
+FROM t LEFT JOIN p USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_decontaminate — benchmark decontamination by 13-token-gram overlap (the
+# GPT-3/PaLM protocol shape). The "evaluation set" is the deterministic
+# doc_id % 97 == 0 slice of the corpus, so those docs (and any document
+# sharing a 13-gram with them — e.g. their exact duplicates) must flag.
+# Spark: broadcast semi-join of exploded overlapping gram hashes against
+# the distinct benchmark gram set (operators/dedup.py:decontaminate).
+# ---------------------------------------------------------------------------
+
+def spark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    return decontaminate(docs, bench, ngram=13)
+
+
+_DECONTAMINATE_SQL = """
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), bg AS (
+  SELECT DISTINCT md5(array_to_string(list_slice(toks, u.i, u.i + 12), ' ')) AS gram_hash
+  FROM t, UNNEST(range(1, len(toks) - 11)) AS u(i)
+  WHERE doc_id % 97 = 0 AND len(toks) >= 13
+), dg AS (
+  SELECT doc_id, md5(array_to_string(list_slice(toks, u.i, u.i + 12), ' ')) AS gram_hash
+  FROM t, UNNEST(range(1, len(toks) - 11)) AS u(i)
+  WHERE len(toks) >= 13
+), hits AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+  FROM dg WHERE gram_hash IN (SELECT gram_hash FROM bg)
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(hits.n, 0) AS n_contaminated_grams,
+       COALESCE(hits.n, 0) > 0 AS contaminated
+FROM t LEFT JOIN hits USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_exact_dedup — exact duplicate grouping by content hash (training-data op)
 # ---------------------------------------------------------------------------
 
@@ -2997,6 +3087,8 @@ SPARK_QUERIES = {
     "q_url_normalize": spark_url_normalize,
     "q_langid_ngram": spark_langid_ngram,
     "q_exact_dedup": spark_exact_dedup,
+    "q_passage_dedup": spark_passage_dedup,
+    "q_decontaminate": spark_decontaminate,
     "q_fingerprint": spark_fingerprint,
     "q_minhash": spark_minhash,
     "q_simhash": spark_simhash,
@@ -3045,6 +3137,8 @@ ORACLE_SQL = {
     "q_url_normalize": _URL_NORMALIZE_SQL,
     "q_langid_ngram": _LANGID_SQL,
     "q_exact_dedup": _EXACT_DEDUP_SQL,
+    "q_passage_dedup": _PASSAGE_DEDUP_SQL,
+    "q_decontaminate": _DECONTAMINATE_SQL,
     "q_fingerprint": _FINGERPRINT_SQL,
     "q_minhash": _MINHASH_SQL,
     "q_simhash": _SIMHASH_SQL,

@@ -336,3 +336,54 @@ def test_langid_ngram_recovers_planted_language(spark):
     langs = ["en", "fr", "de", "es"]
     correct = sum(1 for r in rows if r["lang_guess"] == langs[r["doc_id"] % 4])
     assert correct / len(rows) >= 0.95, correct
+
+
+def test_passage_dedup_planted(spark):
+    from modern_document_converter_for_ai_library_spark.operators.dedup import (
+        passage_dedup,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(15))  # one full shared chunk
+    uniq_a = " ".join(f"a{i}" for i in range(15))
+    uniq_b = " ".join(f"b{i}" for i in range(7))  # partial tail chunk
+    rows = [
+        (1, shared + " " + uniq_a),     # chunks: [shared, uniq_a]
+        (2, shared + " " + uniq_b),     # chunks: [shared(dup), uniq_b]
+        (3, shared),                    # exactly the shared chunk, nothing else
+    ]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in passage_dedup(
+            spark.createDataFrame(rows, ["doc_id", "text"]), chunk_tokens=15
+        ).collect()
+    }
+    # doc 1 wins the shared chunk (min doc_id) and keeps everything
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["text_clean"] == shared + " " + uniq_a
+    # doc 2 loses the shared chunk, keeps its tail
+    assert out[2]["n_chunks"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["text_clean"] == uniq_b
+    # doc 3 is fully covered by doc 1's copy -> empty survivor text
+    assert out[3]["n_kept"] == 0 and out[3]["text_clean"] == ""
+
+
+def test_decontaminate_planted(spark):
+    from modern_document_converter_for_ai_library_spark.operators.dedup import (
+        decontaminate,
+    )
+
+    eval_text = " ".join(f"e{i}" for i in range(20))  # 8 overlapping 13-grams
+    overlap = " ".join(f"e{i}" for i in range(13)) + " tail tail tail"
+    clean = " ".join(f"c{i}" for i in range(30))
+    short = "too short for any gram"
+    docs = spark.createDataFrame(
+        [(1, overlap), (2, clean), (3, short)], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame([(99, eval_text)], ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r.asDict() for r in decontaminate(docs, bench).collect()
+    }
+    assert out[1]["contaminated"] is True
+    assert out[1]["n_contaminated_grams"] == 1  # exactly e0..e12
+    assert out[2]["contaminated"] is False
+    assert out[3]["n_contaminated_grams"] == 0
