@@ -709,6 +709,37 @@ FROM t LEFT JOIN hits USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
+# q_sample_mix — deterministic hash-threshold domain mixing (operators/
+# sampling.py): doc kept iff md5-hash micros < its source's mixing rate.
+# Rates here derive from the source index (srcN -> ((N*7) % 10) * 10%),
+# covering 0% and 90% keys. Reproducible across engines/partitionings by
+# construction — the whole point vs rand() sampling.
+# ---------------------------------------------------------------------------
+
+def spark_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import stratified_sample
+
+    rates = {f"src{n}": ((n * 7) % 10) * 100_000 for n in range(20)}
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source"
+    )
+    return stratified_sample(docs, rates)
+
+
+_SAMPLE_MIX_SQL = r"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 1000000 AS BIGINT) AS hash_micros,
+         (CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) * 7) % 10 * 100000 AS thr
+  FROM documents
+)
+SELECT doc_id, source, hash_micros, hash_micros < thr AS sampled
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_exact_dedup — exact duplicate grouping by content hash (training-data op)
 # ---------------------------------------------------------------------------
 
@@ -3088,6 +3119,7 @@ SPARK_QUERIES = {
     "q_langid_ngram": spark_langid_ngram,
     "q_exact_dedup": spark_exact_dedup,
     "q_passage_dedup": spark_passage_dedup,
+    "q_sample_mix": spark_sample_mix,
     "q_decontaminate": spark_decontaminate,
     "q_fingerprint": spark_fingerprint,
     "q_minhash": spark_minhash,
@@ -3138,6 +3170,7 @@ ORACLE_SQL = {
     "q_langid_ngram": _LANGID_SQL,
     "q_exact_dedup": _EXACT_DEDUP_SQL,
     "q_passage_dedup": _PASSAGE_DEDUP_SQL,
+    "q_sample_mix": _SAMPLE_MIX_SQL,
     "q_decontaminate": _DECONTAMINATE_SQL,
     "q_fingerprint": _FINGERPRINT_SQL,
     "q_minhash": _MINHASH_SQL,

@@ -111,3 +111,45 @@ def test_url_normalize_hand_cases(spark):
     }
     for i, (_, want_norm, want_host) in enumerate(cases):
         assert out[i] == (want_norm, want_host), (i, out[i])
+
+
+def test_stratified_sample_properties(spark):
+    from modern_document_converter_for_ai_library_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(400)],
+        ["doc_id", "source"],
+    )
+
+    def kept(rates, salt=""):
+        out = stratified_sample(df, rates, salt=salt)
+        return {r["doc_id"] for r in out.filter("sampled").collect()}
+
+    k10 = kept({"a": 100_000, "b": 0})
+    k30 = kept({"a": 300_000, "b": 0})
+    # monotone: raising a rate only ADDS documents
+    assert k10 <= k30
+    # rate 0 keys contribute nothing
+    assert all(d % 2 == 0 for d in k30)
+    # roughly proportional (hash uniformity; 200 'a' docs, wide tolerance)
+    assert 5 <= len(k10) <= 45 and 35 <= len(k30) <= 90
+    # salt decorrelates: same rates, different salt -> different sample
+    assert kept({"a": 300_000, "b": 0}, salt="s2") != k30
+    # absent key falls back to default_micros
+    out = stratified_sample(df, {"a": 0}, default_micros=1_000_000)
+    bs = {r["doc_id"] for r in out.filter("sampled").collect()}
+    assert bs == {i for i in range(400) if i % 2 == 1}
+
+
+def test_stratified_sample_rejects_bad_rate(spark):
+    import pytest as _pytest
+
+    from modern_document_converter_for_ai_library_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
+    with _pytest.raises(ValueError):
+        stratified_sample(df, {"a": 2_000_000})
