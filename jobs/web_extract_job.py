@@ -69,17 +69,21 @@ def main(argv: list[str] | None = None) -> int:
         flat_to_spans,
     )
     from modern_document_converter_for_ai_library_spark.sources.warc import (
-        read_warc_documents,
+        read_warc_content,
     )
 
     pre_existing = SparkSession.getActiveSession() is not None
     spark = get_spark(app_name="mdcal-web-extract", master=args.master)
     try:
         if args.input_format == "warc":
-            pages = read_warc_documents(spark, args.input)
+            # fused framing+strip: one Arrow stage, raw HTML never crosses
+            # the JVM<->Python boundary twice (sources/warc.py)
+            content = read_warc_content(
+                spark, args.input, classifier=args.classifier
+            )
         else:
             pages = read_documents(spark, args.input)
-        content = strip_boilerplate_html(pages, classifier=args.classifier)
+            content = strip_boilerplate_html(pages, classifier=args.classifier)
         kept = content.filter(
             F.size(F.split(F.trim(F.col("content_text")), r"\s+"))
             >= args.min_content_words

@@ -116,6 +116,15 @@ def parse_warc_bytes(data: bytes, shard: str = "") -> list[dict]:
     return records
 
 
+def _binary_shards(spark: SparkSession, path: str, path_glob: str) -> DataFrame:
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", path_glob)
+        .load(path)
+        .select("path", "content")
+    )
+
+
 def read_warc_documents(
     spark: SparkSession,
     path: str,
@@ -135,10 +144,77 @@ def read_warc_documents(
                         rows.append(rec)
             yield pd.DataFrame(rows, columns=cols)
 
-    files = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", path_glob)
-        .load(path)
-        .select("path", "content")
+    return _binary_shards(spark, path, path_glob).mapInPandas(
+        _batches, schema=WARC_SCHEMA
     )
-    return files.mapInPandas(_batches, schema=WARC_SCHEMA)
+
+
+STRIPPED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("shard", T.StringType()),
+        T.StructField("content_text", T.StringType()),
+        T.StructField("n_blocks", T.LongType()),
+        T.StructField("n_content_blocks", T.LongType()),
+    ]
+)
+
+
+def parse_and_strip_warc(
+    binary_df: DataFrame,
+    classifier: str = "num_words",
+    keep_types: tuple[str, ...] = ("response", "resource", "conversion"),
+) -> DataFrame:
+    """FUSED WARC framing + HTTP split + boilerplate strip in ONE Arrow
+    stage over (path, content) binaryFile rows.
+
+    Why fuse: parse-then-strip as two mapInPandas operators ships every
+    page's raw HTML JVM->Python->JVM->Python — double the Arrow traffic —
+    and runs two Python workers per task slot; with the convert kernel
+    downstream that is 3 workers/slot, which oversubscribes the host at
+    high parallelism (measured: the 3-stage pipeline scaled 0.75 at
+    N=6/4N=24 where the fused 2-stage job meets the >=0.8 target — see
+    BENCH/BASELINE.md). The kernel bodies are the SAME pure functions the
+    unfused operators use (parse_warc_bytes, html_blocks_py,
+    classify_blocks_py); tests assert record-for-record equality."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..operators.boilerplate import classify_blocks_py, html_blocks_py
+
+        cols = [f.name for f in STRIPPED_SCHEMA.fields]
+        for pdf in batches:
+            rows: list[dict] = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                shard = str(p).rsplit("/", 1)[-1]
+                for rec in parse_warc_bytes(bytes(content), shard=shard):
+                    if rec["warc_type"] not in keep_types:
+                        continue
+                    blocks = html_blocks_py(rec["doc_id"], rec["html"])
+                    flags = classify_blocks_py(blocks, classifier=classifier)
+                    kept = [b["text"] for b, f_ in zip(blocks, flags) if f_]
+                    rows.append(
+                        {
+                            "doc_id": rec["doc_id"],
+                            "url": rec["url"],
+                            "shard": shard,
+                            "content_text": "\n\n".join(kept),
+                            "n_blocks": len(blocks),
+                            "n_content_blocks": len(kept),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return binary_df.mapInPandas(_batches, schema=STRIPPED_SCHEMA)
+
+
+def read_warc_content(
+    spark: SparkSession,
+    path: str,
+    path_glob: str = "*.warc*",
+    classifier: str = "num_words",
+) -> DataFrame:
+    """Convenience: shards on disk -> stripped page content, one stage."""
+    return parse_and_strip_warc(
+        _binary_shards(spark, path, path_glob), classifier=classifier
+    )

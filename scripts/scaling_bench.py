@@ -152,11 +152,14 @@ def run_job(d, balance=None):
         return strip_boilerplate_html(d)
     if "{job}" == "warc":
         # the full web_extract_job.py pipeline minus the manifest sink
-        # (noop isolates compute): parse is carried inside d's lineage, so
-        # every measured run re-executes WARC framing + gunzip too
+        # (noop isolates compute): d is the binaryFile frame, so every
+        # measured run re-executes gunzip + WARC framing + strip (FUSED in
+        # one Arrow stage) + span shaping + the convert kernel — two
+        # Python stages total, not three (see sources/warc.py)
         from pyspark.sql import functions as F
         from modern_document_converter_for_ai_library_spark.sources.io import flat_to_spans
-        content = strip_boilerplate_html(d)
+        from modern_document_converter_for_ai_library_spark.sources.warc import parse_and_strip_warc
+        content = parse_and_strip_warc(d)
         kept = content.filter(
             F.size(F.split(F.trim(F.col("content_text")), r"\\s+")) >= 5)
         spans = flat_to_spans(
@@ -185,11 +188,13 @@ spark = get_spark(app_name="scaling-{cpus}", master="local[{cpus}]",
                   }})
 spark.range(1000).selectExpr("sum(id)").collect()  # JVM warmup
 if "{job}" == "warc":
-    from modern_document_converter_for_ai_library_spark.sources.warc import read_warc_documents
-    df = read_warc_documents(spark, {corpus!r})
+    from modern_document_converter_for_ai_library_spark.sources.warc import _binary_shards, read_warc_documents
+    df = _binary_shards(spark, {corpus!r}, "*.warc*")
+    # record count measured once OUTSIDE the timed region
+    n = read_warc_documents(spark, {corpus!r}).count()
 else:
     df = spark.read.parquet({corpus!r})
-n = df.count()
+    n = df.count()
 # Python-worker pool warmup: a sample convert forks and imports the
 # kernel on every core so the measured region is steady-state throughput
 run_job(df.sample(0.02, seed=1)).write.format("noop").mode("overwrite").save()

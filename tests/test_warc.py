@@ -134,3 +134,24 @@ def test_read_warc_to_boilerplate_strip(spark, tmp_path):
     for r in content:
         assert "standard of review" in r["content_text"]
         assert "Home More" not in r["content_text"]
+
+
+def test_fused_parse_strip_equals_composed(spark, tmp_path):
+    """parse_and_strip_warc (one Arrow stage) must equal
+    strip_boilerplate_html over read_warc_documents record-for-record."""
+    from modern_document_converter_for_ai_library_spark.operators.boilerplate import (
+        strip_boilerplate_html,
+    )
+    from modern_document_converter_for_ai_library_spark.sources.warc import (
+        read_warc_content,
+    )
+
+    (tmp_path / "shard-000.warc").write_bytes(_shard_bytes())
+    composed = strip_boilerplate_html(
+        read_warc_documents(spark, str(tmp_path))
+    )
+    fused = read_warc_content(spark, str(tmp_path))
+    key = lambda r: (r["doc_id"], r["content_text"], r["n_blocks"], r["n_content_blocks"])
+    assert sorted(map(key, fused.collect())) == sorted(map(key, composed.collect()))
+    # fused carries provenance the composed path loses
+    assert all(r["shard"] == "shard-000.warc" for r in fused.collect())
