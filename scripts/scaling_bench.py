@@ -117,15 +117,24 @@ def _write_chunk(args: tuple) -> int:
 
 
 def generate_corpus(path: str, n_docs: int, seed: int = 42, job: str = "convert") -> None:
-    """Parallel deterministic generation: 128 chunks, each with an
-    independent rng seeded by (seed + chunk index) so the corpus content is
-    a pure function of (seed, n_docs) regardless of worker count or
-    scheduling. Many small files on purpose: scan parallelism must come from
-    the source, not a pre-shuffle."""
+    """Parallel deterministic generation: each chunk has an independent rng
+    seeded by (seed + chunk index) so the corpus content is a pure function
+    of (seed, n_docs) regardless of worker count or scheduling. Many small
+    files on purpose: scan parallelism must come from the source, not a
+    pre-shuffle.
+
+    WARC shards get 512 chunks, not 128: a binaryFile shard is ONE task
+    (the format cannot split), so the shard/core ratio sets the task-wave
+    granularity — at 128 shards the 4N=24-core run fits 5.33 waves and the
+    fractional tail wave quantizes ~15% of the wall away, which measured as
+    0.747 scaling efficiency with NOTHING wrong in the plan. Production
+    Common Crawl layouts have shards >> cores (tens of thousands), so the
+    512-shard corpus is the faithful shape. Parquet corpora are immune
+    (splittable by maxPartitionBytes)."""
     from multiprocessing import Pool
 
     os.makedirs(path, exist_ok=True)
-    n_chunks = 128
+    n_chunks = 512 if job == "warc" else 128
     bounds = [
         (path, seed, c, c * n_docs // n_chunks, (c + 1) * n_docs // n_chunks, job)
         for c in range(n_chunks)
