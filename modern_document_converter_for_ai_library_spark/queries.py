@@ -1011,17 +1011,17 @@ WHERE {hamming} <= 0
 # ---------------------------------------------------------------------------
 
 def spark_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.hashing import simhash_col, tokens_col
-    from .operators.dedup import simhash_pairs
+    from .operators.dedup import simhash_pairs, simhash_sketches
 
-    toks = tokens_col("text")
-    sk = (
-        _docs(spark, sf_dir)
-        .filter(F.size(toks) > 0)  # the oracle's GROUP BY drops token-less docs
-        .select(
-            F.col("doc_id").cast("bigint").alias("doc_id"),
-            simhash_col(toks).alias("simhash_bits"),
-        )
+    # explode+groupBy sketch build (whole-stage codegen) — the map-only
+    # higher-order fold simhash_col computes identical bits but evaluates
+    # interpretively (26.5 s vs ~2 s here at sf0.1, equality pinned by
+    # tests/test_simhash64.py)
+    sk = simhash_sketches(
+        _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+        ),
+        n_bits=64,
     )
     return simhash_pairs(sk, n_bits=64, n_bands=4, max_hamming=3)
 

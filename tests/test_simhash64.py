@@ -120,3 +120,26 @@ def test_simhash_pairs_production_width_guardrail(spark, sketches64):
     df = spark.createDataFrame(rows[:4], ["doc_id", "simhash_bits"])
     with pytest.raises(ValueError):
         simhash_pairs(df, n_bits=64, n_bands=4, max_hamming=4)
+
+
+def test_simhash_sketches_equals_simhash_col(spark):
+    """The codegen explode+groupBy builder and the map-only fold must
+    produce identical bit-strings (they share the nibble-mask math)."""
+    from modern_document_converter_for_ai_library_spark.operators.dedup import (
+        simhash_sketches,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(100)
+    fast = {
+        r["doc_id"]: r["simhash_bits"]
+        for r in simhash_sketches(df).collect()
+    }
+    slow = {
+        r["doc_id"]: r["sh"]
+        for r in df.select(
+            "doc_id", simhash_col(tokens_col("text")).alias("sh")
+        ).collect()
+    }
+    assert fast == slow and len(fast) == 100
