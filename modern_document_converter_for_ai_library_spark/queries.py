@@ -412,6 +412,112 @@ FROM s
 
 
 # ---------------------------------------------------------------------------
+# q_token_bpe — BPE-ish token counting: a GPT-2-style pretokenizer regex
+# (letter runs / digit runs / punctuation runs, each with an optional
+# leading space) counted via regexp_count, plus the chars/4 estimator.
+# The pattern is RE2-safe (no lookaheads) so Java regex (Spark) and RE2
+# (DuckDB) scan it identically — leftmost-first, same alternation order.
+# This is the budget-estimation tier for sequence packing / cost models;
+# exact subword ids need the real tokenizer model (out of engine scope).
+# ---------------------------------------------------------------------------
+
+_BPE_ISH_PATTERN = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def spark_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ws = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != "")).cast(
+        "bigint"
+    )
+    bpe = F.regexp_count(F.col("text"), F.lit(_BPE_ISH_PATTERN)).cast("bigint")
+    est4 = F.ceil(F.length("text") / 4).cast("bigint")
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_ish"),
+        est4.alias("est_tokens_len4"),
+        (bpe * MICRO / F.greatest(ws, F.lit(1))).cast("bigint").alias(
+            "bpe_per_ws_micros"
+        ),
+    )
+
+
+_TOKEN_BPE_SQL = """
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS ws,
+         CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT) AS bpe,
+         CAST(ceil(len(text) / 4.0) AS BIGINT) AS est4
+  FROM documents
+)
+SELECT doc_id,
+       ws AS n_ws_tokens,
+       bpe AS n_bpe_ish,
+       est4 AS est_tokens_len4,
+       CAST((bpe * 1000000) // GREATEST(ws, 1) AS BIGINT) AS bpe_per_ws_micros
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_pack_sequences — sequence packing for pretraining batches (operators/
+# packing.py): greedy first-fit-in-order within deterministic buckets
+# (here doc_id % 4 so the DuckDB oracle can mirror the layout), budget 512
+# whitespace tokens. The oracle replays the per-bucket greedy walk as a
+# RECURSIVE CTE carrying (seq, cur_tokens, pos) — prefix-dependent state
+# that plain SQL windows cannot express, which is exactly why the Spark
+# side packs inside an Arrow kernel per bucket.
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512
+
+
+def spark_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.packing import pack_sequences
+
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (F.col("doc_id") % 4).cast("bigint").alias("bucket"),
+    )
+    out = pack_sequences(
+        docs, budget_tokens=_PACK_BUDGET, bucket_col="bucket"
+    )
+    return out.select("doc_id", "n_tokens", "seq_id", "seq_pos")
+
+
+_PACK_SQL = """
+WITH RECURSIVE t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+         CAST(doc_id % 4 AS BIGINT) AS bucket
+  FROM documents
+), ordered AS (
+  SELECT doc_id, n_tokens, bucket,
+         row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+  FROM t
+), walk AS (
+  SELECT bucket, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS seq, n_tokens AS cur, CAST(0 AS BIGINT) AS pos
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.bucket, o.rn, o.doc_id, o.n_tokens,
+         CASE WHEN w.cur > 0 AND w.cur + o.n_tokens > {b}
+              THEN w.seq + 1 ELSE w.seq END,
+         CASE WHEN w.cur > 0 AND w.cur + o.n_tokens > {b}
+              THEN o.n_tokens ELSE w.cur + o.n_tokens END,
+         CASE WHEN w.cur > 0 AND w.cur + o.n_tokens > {b}
+              THEN 0 ELSE w.pos + 1 END
+  FROM walk w JOIN ordered o ON o.bucket = w.bucket AND o.rn = w.rn + 1
+)
+SELECT doc_id, n_tokens,
+       CAST(bucket * 4294967296 + seq AS BIGINT) AS seq_id,
+       pos AS seq_pos
+FROM walk
+""".format(b=_PACK_BUDGET)
+
+
+# ---------------------------------------------------------------------------
 # q_gopher_quality — the Gopher quality heuristics (Rae et al. 2021 A1.1)
 # as exact-integer map-only columns: word-count bounds, mean word length,
 # symbol-to-word ratio (# + ellipsis), alphabetic-word fraction, and the
@@ -3113,6 +3219,8 @@ SPARK_QUERIES = {
     "q_normalize_chain": spark_normalize_chain,
     "q_token_stats": spark_token_stats,
     "q_quality_langid": spark_quality_langid,
+    "q_token_bpe": spark_token_bpe,
+    "q_pack_sequences": spark_pack_sequences,
     "q_gopher_quality": spark_gopher_quality,
     "q_repetition_stats": spark_repetition_stats,
     "q_url_normalize": spark_url_normalize,
@@ -3164,6 +3272,8 @@ ORACLE_SQL = {
     "q_normalize_chain": _NORMALIZE_SQL,
     "q_token_stats": _TOKEN_STATS_SQL,
     "q_quality_langid": _QUALITY_SQL,
+    "q_token_bpe": _TOKEN_BPE_SQL,
+    "q_pack_sequences": _PACK_SQL,
     "q_gopher_quality": _GOPHER_QUALITY_SQL,
     "q_repetition_stats": _REPETITION_SQL,
     "q_url_normalize": _URL_NORMALIZE_SQL,
