@@ -518,6 +518,67 @@ FROM walk
 
 
 # ---------------------------------------------------------------------------
+# q_pii_scrub — typed PII redaction (operators/pii.py): emails, SSN-shaped
+# ids, US phones, IPv4s -> placeholder tokens, per-type counts from the
+# ORIGINAL text. The testdata carries no PII, so deterministic synthetic
+# PII is injected per doc_id residue in BOTH engines (including a doc with
+# several types at once); the scrubbed text is compared via md5.
+# ---------------------------------------------------------------------------
+
+def spark_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pii import scrub_pii
+
+    d = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(d % 7 == 0, F.concat(F.lit(" contact user"), (d % 5).cast("string"), F.lit("@example.com now")))
+        .otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit(" ssn 123-45-6789 on file")).otherwise(F.lit("")),
+        F.when(d % 13 == 0, F.concat(F.lit(" call 555-867-530"), (d % 10).cast("string"))).otherwise(F.lit("")),
+        F.when(d % 17 == 0, F.concat(F.lit(" from 10.0."), (d % 255).cast("string"), F.lit(".1"))).otherwise(F.lit("")),
+    )
+    docs = _docs(spark, sf_dir).select(
+        d.cast("bigint").alias("doc_id"), injected.alias("text")
+    )
+    out = scrub_pii(docs)
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_ssn",
+        "n_phone",
+        "n_ip",
+        F.md5("text_scrubbed").alias("scrubbed_md5"),
+    )
+
+
+_PII_SQL = r"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         text
+         || (CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id % 5 AS VARCHAR) || '@example.com now' ELSE '' END)
+         || (CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-6789 on file' ELSE '' END)
+         || (CASE WHEN doc_id % 13 = 0 THEN ' call 555-867-530' || CAST(doc_id % 10 AS VARCHAR) ELSE '' END)
+         || (CASE WHEN doc_id % 17 = 0 THEN ' from 10.0.' || CAST(doc_id % 255 AS VARCHAR) || '.1' ELSE '' END)
+         AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+       CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+               '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS scrubbed_md5
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_gopher_quality — the Gopher quality heuristics (Rae et al. 2021 A1.1)
 # as exact-integer map-only columns: word-count bounds, mean word length,
 # symbol-to-word ratio (# + ellipsis), alphabetic-word fraction, and the
@@ -843,6 +904,62 @@ WITH t AS (
 SELECT doc_id, source, hash_micros, hash_micros < thr AS sampled
 FROM t
 """
+
+
+# ---------------------------------------------------------------------------
+# q_quality_funnel — the composed keep/reject decision a real pipeline
+# makes: Gopher quality AND repetition AND language gates, with
+# FIRST-FAILED-RULE attribution in fixed priority order (gopher →
+# repetition → langid) so rejection counts decompose into a funnel.
+# Reuses the three oracled rule families; the oracle nests their SQL as
+# subqueries, so any drift in a family breaks this query too.
+# ---------------------------------------------------------------------------
+
+def spark_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import gopher_quality_signals, ngram_repetition_stats
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    g = gopher_quality_signals(docs).select("doc_id", "gopher_pass")
+    r = ngram_repetition_stats(docs).select("doc_id", "repetition_pass")
+    l = spark_quality_langid(spark, sf_dir).select(
+        "doc_id", (F.col("lang_guess") == "en").alias("lang_en")
+    )
+    out = g.join(r, on="doc_id").join(l, on="doc_id")
+    return out.select(
+        "doc_id",
+        "gopher_pass",
+        "repetition_pass",
+        "lang_en",
+        (F.col("gopher_pass") & F.col("repetition_pass") & F.col("lang_en")).alias(
+            "keep"
+        ),
+        F.when(~F.col("gopher_pass"), F.lit("gopher"))
+        .when(~F.col("repetition_pass"), F.lit("repetition"))
+        .when(~F.col("lang_en"), F.lit("langid"))
+        .otherwise(F.lit("none"))
+        .alias("first_failed_rule"),
+    )
+
+
+def _funnel_sql() -> str:
+    return """
+WITH g AS (SELECT doc_id, gopher_pass FROM ({g})),
+rep AS (SELECT doc_id, repetition_pass FROM ({r})),
+lng AS (SELECT doc_id, (lang_guess = 'en') AS lang_en FROM ({q}))
+SELECT g.doc_id, g.gopher_pass, rep.repetition_pass, lng.lang_en,
+       (g.gopher_pass AND rep.repetition_pass AND lng.lang_en) AS keep,
+       CASE WHEN NOT g.gopher_pass THEN 'gopher'
+            WHEN NOT rep.repetition_pass THEN 'repetition'
+            WHEN NOT lng.lang_en THEN 'langid'
+            ELSE 'none' END AS first_failed_rule
+FROM g JOIN rep ON g.doc_id = rep.doc_id JOIN lng ON g.doc_id = lng.doc_id
+""".format(
+        g=_GOPHER_QUALITY_SQL.strip(),
+        r=_REPETITION_SQL.strip(),
+        q=_QUALITY_SQL.strip(),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3221,6 +3338,8 @@ SPARK_QUERIES = {
     "q_quality_langid": spark_quality_langid,
     "q_token_bpe": spark_token_bpe,
     "q_pack_sequences": spark_pack_sequences,
+    "q_pii_scrub": spark_pii_scrub,
+    "q_quality_funnel": spark_quality_funnel,
     "q_gopher_quality": spark_gopher_quality,
     "q_repetition_stats": spark_repetition_stats,
     "q_url_normalize": spark_url_normalize,
@@ -3274,6 +3393,8 @@ ORACLE_SQL = {
     "q_quality_langid": _QUALITY_SQL,
     "q_token_bpe": _TOKEN_BPE_SQL,
     "q_pack_sequences": _PACK_SQL,
+    "q_pii_scrub": _PII_SQL,
+    "q_quality_funnel": _funnel_sql(),
     "q_gopher_quality": _GOPHER_QUALITY_SQL,
     "q_repetition_stats": _REPETITION_SQL,
     "q_url_normalize": _URL_NORMALIZE_SQL,

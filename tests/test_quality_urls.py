@@ -153,3 +153,29 @@ def test_stratified_sample_rejects_bad_rate(spark):
     df = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
     with _pytest.raises(ValueError):
         stratified_sample(df, {"a": 2_000_000})
+
+
+def test_scrub_pii_hand_cases(spark):
+    from modern_document_converter_for_ai_library_spark.operators.pii import (
+        scrub_pii,
+    )
+
+    cases = [
+        (0, "mail me at jane.doe+x@sub.example.org today",
+         "mail me at <EMAIL> today", dict(n_email=1)),
+        (1, "ssn 123-45-6789 phone 555-123-4567 ip 192.168.0.1",
+         "ssn <SSN> phone <PHONE> ip <IP>",
+         dict(n_ssn=1, n_phone=1, n_ip=1)),
+        # ordering: the SSN shape must NOT be half-eaten by the phone rule
+        (2, "id 111-22-3333 and 999.888.7777x",
+         "id <SSN> and 999.888.7777x", dict(n_ssn=1, n_phone=0)),
+        (3, "version 1.2.3.4 of the spec", "version <IP> of the spec",
+         dict(n_ip=1)),  # known overreach of the bare IPv4 shape
+        (4, "nothing sensitive here", "nothing sensitive here", {}),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, *_ in cases], ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in scrub_pii(df).collect()}
+    for i, _, want_text, want_counts in cases:
+        assert out[i]["text_scrubbed"] == want_text, out[i]["text_scrubbed"]
+        for k, v in want_counts.items():
+            assert out[i][k] == v, (i, k, out[i][k])
