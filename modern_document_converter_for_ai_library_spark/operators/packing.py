@@ -23,8 +23,6 @@ bucket — negligible when buckets hold thousands of documents.
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
