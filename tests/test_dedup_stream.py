@@ -79,3 +79,27 @@ def test_dedup_stream_across_batches_and_restart(spark):
     finally:
         for d in (src, out, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dedup_stream_within_watermark_variant(spark):
+    """The watermark-bounded variant must still dedup within one drain
+    (all rows share one ingest window here) — exercises the
+    dropDuplicatesWithinWatermark code path end-to-end."""
+    src = tempfile.mkdtemp(prefix="dstreamw_src_")
+    out = tempfile.mkdtemp(prefix="dstreamw_out_")
+    ckpt = tempfile.mkdtemp(prefix="dstreamw_ckpt_")
+    try:
+        _write_batch(
+            spark,
+            src,
+            "b1",
+            [_doc("a", "alpha"), _doc("a2", "alpha"), _doc("b", "beta")],
+        )
+        q = dedup_stream(spark, src, out, ckpt, within_watermark="1 hour")
+        q.awaitTermination(120)
+        rows = spark.read.parquet(out).collect()
+        hashes = [r["content_hash"] for r in rows]
+        assert len(hashes) == len(set(hashes)) == 2  # alpha once, beta once
+    finally:
+        for d in (src, out, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
