@@ -4,15 +4,21 @@ Four tiers, cheapest to richest (all engine-deterministic, see
 functions/hashing.py):
 
   exact_dedup          md5 content grouping; one shuffle on the hash
-  minhash signatures   k=4 sliced-md5 minhashes over word 3-shingles
+  minhash_bands        codegen band builder (explode -> md5 -> partial-MIN
+                       aggregate) — the corpus-scale candidate tier; no
+                       per-doc shingle arrays ever materialize
+  minhash_signatures   k=4 sliced-md5 minhashes over word 3-shingles with
+                       the shingle-hash array carried alongside (verify
+                       tier / fused single-frame path)
   lsh_candidate_pairs  banded self-join: pairs colliding on ANY band —
                        the 100 TB scale path (join fan-out is per-band
                        bucket, never all-pairs)
   jaccard_verify       exact shingle-set Jaccard on the candidates only
 
-``near_dedup`` composes them: candidates -> verified pairs -> canonical =
-min(doc_id) among verified neighbors (single-pass union-find approximation;
-full connected components would iterate — documented tradeoff).
+``near_dedup`` composes them: codegen bands for everyone -> candidate
+pairs -> exact shingle sets recomputed for candidate docs only -> verified
+pairs -> canonical = min(doc_id) of the connected component (min-label
+propagation to fixpoint over the verified-pair node set).
 """
 
 from __future__ import annotations
@@ -89,6 +95,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     n_bands: int = 4,
     max_bucket_size: int | None = None,
+    pre_aggregated: bool = False,
 ) -> DataFrame:
     """Distinct (a, b) pairs (a < b) sharing at least one band value.
 
@@ -113,11 +120,17 @@ def lsh_candidate_pairs(
     # predicates cannot be pushed through; partial aggregation keeps the
     # extra shuffle at one slim (id, bands) row per doc.
     band_cols = [f"band_{k}" for k in range(n_bands)]
-    slim = (
-        sigs.select(F.col(id_col), *band_cols)
-        .groupBy(id_col)
-        .agg(*[F.first(c).alias(c) for c in band_cols])
-    )
+    if pre_aggregated:
+        # caller guarantees the band columns already sit behind an Aggregate
+        # node (e.g. minhash_bands' groupBy-MIN output) — re-aggregating
+        # would add a second full-corpus slim shuffle for nothing
+        slim = sigs.select(F.col(id_col), *band_cols)
+    else:
+        slim = (
+            sigs.select(F.col(id_col), *band_cols)
+            .groupBy(id_col)
+            .agg(*[F.first(c).alias(c) for c in band_cols])
+        )
     pairs = None
     left = slim.select(F.col(id_col).alias("a"), *band_cols)
     right = slim.select(F.col(id_col).alias("b"), *[
@@ -323,7 +336,33 @@ def connected_canonical(
     accommodates. A non-converged exit raises instead of silently returning
     partial labels (the DuckDB oracle computes a full closure, so partial
     labels would be wrong, not just approximate).
+
+    Storage is bounded across iterations: each round's checkpoint supersedes
+    the previous round's, whose blocks are released immediately (the eager
+    checkpoint of round i+1 no longer reads them), and the edge-list
+    checkpoint is released once the loop exits. Only the FINAL label
+    checkpoint outlives the call — the caller's join still reads it lazily —
+    so peak executor storage is ~2 label snapshots + the edge list, not
+    max_iter snapshots.
     """
+
+    def _blocks(df: DataFrame):
+        # handle on the checkpointed internal RDD (the analyzed plan is a
+        # LogicalRDD immediately after checkpoint); unpersist on it frees
+        # the executor blocks. Reliable-checkpoint RDDs are not persisted
+        # in the block manager, so release degrades to a no-op there.
+        try:
+            return df._jdf.queryExecution().analyzed().rdd()
+        except Exception:
+            return None
+
+    def _release(handle) -> None:
+        if handle is not None:
+            try:
+                handle.unpersist(False)
+            except Exception:
+                pass
+
     if checkpoint_dir is not None:
         verified.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
@@ -342,11 +381,13 @@ def connected_canonical(
         ),
         eager=False,
     )
+    edges_blocks = _blocks(edges)
     labels = _ckpt(
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
     )
+    labels_blocks = _blocks(labels)
     changed = None
     for _ in range(max_iter):
         nbr_min = (
@@ -360,6 +401,7 @@ def connected_canonical(
                 F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
             )
         )
+        new_blocks = _blocks(new_labels)
         changed = (
             new_labels.join(
                 labels.withColumnRenamed("lbl", "old_lbl"), on="node"
@@ -368,9 +410,13 @@ def connected_canonical(
             .limit(1)
             .count()
         )
-        labels = new_labels
+        # new_labels is materialized (eager ckpt) and `changed` has read the
+        # old snapshot — its blocks are dead weight from here on
+        _release(labels_blocks)
+        labels, labels_blocks = new_labels, new_blocks
         if changed == 0:
             break
+    _release(edges_blocks)
     if changed is not None and changed != 0:
         raise RuntimeError(
             "connected_canonical did not converge within max_iter=%d rounds; "
@@ -388,6 +434,8 @@ def near_dedup(
     n_bands: int = 4,
     band_rows: int = 1,
     max_bucket_size: int | None = None,
+    shingle_width: int = 3,
+    candidate_tier: str = "bands",
 ) -> DataFrame:
     """End-to-end near-dup marking: docs keep ``canonical_doc_id`` =
     min(doc_id) of their connected component in the verified near-duplicate
@@ -397,11 +445,68 @@ def near_dedup(
     verified neighbor; everyone else is their own canonical via coalesce —
     so the corpus-wide cost is one equi-join against the (small) label
     table, broadcastable by AQE at scale.
+
+    ``candidate_tier`` picks how band values are produced (identical values
+    either way — pinned by test_minhash_bands_equals_signatures):
+
+      "bands" (default, the 100 TB path): codegen ``minhash_bands`` for
+        everyone (explode -> md5 -> partial-MIN aggregate, no per-doc
+        shingle arrays), then exact shingle SETS are recomputed only for
+        docs that actually appear in a candidate pair — candidates <<
+        corpus at production duplicate densities, so the expensive array
+        materialization never touches the full corpus. The candidate-pair
+        frame is persisted across its two consumers (node set + verify
+        join) and unpersisted once ``connected_canonical`` has eagerly
+        truncated all upstream lineage.
+      "fused": the original single-frame path (``minhash_signatures``
+        carries bands + shingle arrays together) — kept for A/B reference;
+        per-1M-doc numbers in BENCH/BASELINE.md.
     """
-    sigs = minhash_signatures(df, text_col, id_col, n_bands=n_bands, band_rows=band_rows)
-    pairs = lsh_candidate_pairs(sigs, id_col, n_bands=n_bands, max_bucket_size=max_bucket_size)
-    verified = jaccard_verify(sigs, pairs, id_col, threshold_micros)
-    labels = connected_canonical(verified).withColumnRenamed("node", id_col)
+    if candidate_tier == "bands":
+        bands = minhash_bands(
+            df, text_col, id_col,
+            n_bands=n_bands, shingle_width=shingle_width, band_rows=band_rows,
+        )
+        pairs = lsh_candidate_pairs(
+            bands, id_col, n_bands=n_bands,
+            max_bucket_size=max_bucket_size, pre_aggregated=True,
+        ).persist()
+        try:
+            nodes = (
+                pairs.select(F.col("a").alias(id_col))
+                .unionByName(pairs.select(F.col("b").alias(id_col)))
+                .distinct()
+            )
+            cand = df.join(nodes, on=id_col, how="leftsemi")
+            sigs = (
+                cand.withColumn("_tokens", tokens_col(text_col))
+                .filter(F.size("_tokens") >= shingle_width)
+                .select(
+                    F.col(id_col),
+                    shingle_hashes_col(
+                        F.col("_tokens"), shingle_width
+                    ).alias("shingle_hashes"),
+                )
+            )
+            verified = jaccard_verify(sigs, pairs, id_col, threshold_micros)
+            # connected_canonical checkpoints eagerly and iterates to a
+            # fixpoint with driver-side counts, so by the time it returns
+            # every job reading `pairs` has run and its lineage is truncated
+            labels = connected_canonical(verified).withColumnRenamed(
+                "node", id_col
+            )
+        finally:
+            pairs.unpersist()
+    else:
+        sigs = minhash_signatures(
+            df, text_col, id_col,
+            n_bands=n_bands, shingle_width=shingle_width, band_rows=band_rows,
+        )
+        pairs = lsh_candidate_pairs(
+            sigs, id_col, n_bands=n_bands, max_bucket_size=max_bucket_size
+        )
+        verified = jaccard_verify(sigs, pairs, id_col, threshold_micros)
+        labels = connected_canonical(verified).withColumnRenamed("node", id_col)
     return (
         df.join(labels, on=id_col, how="left")
         .withColumn("canonical_doc_id", F.coalesce("canonical", F.col(id_col)))
@@ -570,3 +675,59 @@ def simhash_sketches(
         ]
     )
     return g.select(F.col(id_col), bits.alias("simhash_bits"))
+
+
+def minhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+    shingle_width: int = 3,
+    band_rows: int = 1,
+) -> DataFrame:
+    """(id, band_0..band_{k-1}) — identical band values to
+    ``minhash_signatures`` but with the md5 + min work moved from
+    per-shingle higher-order folds (which Spark evaluates interpretively)
+    to exploded rows aggregated by codegen MIN: shingle STRINGS are still
+    built map-side by a cheap concat transform, then explode -> md5
+    (whole-stage codegen) -> groupBy(id) with map-side partial MIN
+    combine, so the only shuffle carries one slim (id, minima) row per
+    doc per partition. No ``shingle_hashes`` array: this is the
+    CANDIDATE-GENERATION tier for corpus scale — compute bands for
+    everyone cheaply, then recompute exact shingle sets only for the docs
+    that actually appear in candidate pairs (candidates << corpus at
+    production duplicate densities). Band equality with
+    minhash_signatures is pinned by test; the 1M-doc A/B is in
+    BENCH/BASELINE.md.
+    """
+    if n_bands * band_rows > 4:
+        raise ValueError("n_bands * band_rows must be <= 4 (md5 slice budget)")
+    toks = tokens_col(text_col)
+    base = df.withColumn("_toks", toks).filter(
+        F.size("_toks") >= shingle_width
+    )
+    n = F.size("_toks")
+    shingles = F.transform(
+        F.sequence(F.lit(1), n - (shingle_width - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("_toks", i + j) for j in range(shingle_width)]
+        ),
+    )
+    ex = base.select(F.col(id_col), F.explode(shingles).alias("_sh"))
+    hashed = ex.select(F.col(id_col), F.md5("_sh").alias("_h"))
+    aggs = []
+    for k in range(n_bands):
+        for j in range(band_rows):
+            aggs.append(
+                F.min(
+                    F.substring("_h", 1 + 8 * (k * band_rows + j), 8)
+                ).alias(f"_m_{k}_{j}")
+            )
+    g = hashed.groupBy(id_col).agg(*aggs)
+    bands = [
+        F.concat(*[F.col(f"_m_{k}_{j}") for j in range(band_rows)]).alias(
+            f"band_{k}"
+        )
+        for k in range(n_bands)
+    ]
+    return g.select(F.col(id_col), *bands)

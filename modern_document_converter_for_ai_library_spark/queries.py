@@ -2432,11 +2432,13 @@ FROM f
 
 
 # ---------------------------------------------------------------------------
-# q_near_dedup — end-to-end near-duplicate canonicalization: banded LSH
-# candidates (r=2) -> exact Jaccard >= 0.5 verify -> canonical_doc_id =
-# min(doc_id) over self + verified neighbors (single-pass union-find
-# approximation; operators/dedup.py:near_dedup). The testdata plants true
-# near-duplicates (23 pairs at J~0.99 at sf0.01), so merges really happen.
+# q_near_dedup — end-to-end near-duplicate canonicalization: codegen band
+# builder for the whole corpus -> banded LSH candidates (r=2) -> exact
+# shingle sets recomputed for candidate docs only -> Jaccard >= 0.5 verify
+# -> canonical_doc_id = min(doc_id) of the connected component
+# (operators/dedup.py:near_dedup, candidate_tier="bands"). The testdata
+# plants true near-duplicates (23 pairs at J~0.99 at sf0.01), so merges
+# really happen; the oracle computes a full recursive transitive closure.
 # ---------------------------------------------------------------------------
 
 def spark_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

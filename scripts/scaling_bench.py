@@ -88,7 +88,7 @@ def _write_chunk(args: tuple) -> int:
         with open(os.path.join(path, f"shard-{chunk_idx:04d}.warc.gz"), "wb") as f:
             f.write(b"".join(members))
         return end - start
-    if job == "html":
+    if job in ("html", "dedup", "minhash", "minhash_fast"):
         from modern_document_converter_for_ai_library_spark.sources.synth import (
             _make_html_doc,
         )
@@ -159,6 +159,37 @@ from modern_document_converter_for_ai_library_spark.operators.boilerplate import
 def run_job(d, balance=None):
     if "{job}" == "html":
         return strip_boilerplate_html(d)
+    if "{job}" == "dedup":
+        # shuffle-operator probe 1: exact_dedup's window over md5(text).
+        # NOTE: measured 2.6 s on 1M docs — Catalyst prunes the html column
+        # BEFORE the exchange, so only (doc_id, hash) rows shuffle (~50 MB);
+        # good plan, but too fast to evidence scaling. Kept for the record.
+        from modern_document_converter_for_ai_library_spark.operators.dedup import exact_dedup
+        return exact_dedup(d, text_col="html").select(
+            "doc_id", "canonical_doc_id", "is_duplicate")
+    if "{job}" == "minhash":
+        # shuffle-operator probe 2: the minhash LSH candidate DAG — shingle
+        # hashing map-side, the aggregate-barrier shuffle, per-band
+        # equi-joins, distinct. A genuinely multi-shuffle plan.
+        # max_bucket_size is MANDATORY on this corpus: every synthetic page
+        # shares nav/header boilerplate tokens, so the min-shingle is a
+        # boilerplate shingle for most docs and one band bucket holds ~the
+        # whole corpus — without the skew guard the pair join is ~N^2/2
+        # (measured: >38 min at 1M docs before the first level finished).
+        # This is exactly the degenerate-bucket shape the guard exists for
+        # at 100 TB; the probe exercises it at production settings.
+        from modern_document_converter_for_ai_library_spark.operators.dedup import (
+            lsh_candidate_pairs, minhash_signatures)
+        sigs = minhash_signatures(d, text_col="html", n_bands=2, band_rows=2)
+        return lsh_candidate_pairs(sigs, n_bands=2, max_bucket_size=64)
+    if "{job}" == "minhash_fast":
+        # same DAG with the codegen band builder (explode + partial-MIN
+        # aggregate) replacing the interpreted per-shingle md5 folds
+        from modern_document_converter_for_ai_library_spark.operators.dedup import (
+            lsh_candidate_pairs, minhash_bands)
+        sigs = minhash_bands(d, text_col="html", n_bands=2, band_rows=2)
+        return lsh_candidate_pairs(
+            sigs, n_bands=2, max_bucket_size=64, pre_aggregated=True)
     if "{job}" == "warc":
         # the full web_extract_job.py pipeline minus the manifest sink
         # (noop isolates compute): d is the binaryFile frame, so every
@@ -234,12 +265,13 @@ def main() -> None:
     ap.add_argument("--md", default=None, help="write/refresh this markdown report")
     ap.add_argument(
         "--job",
-        choices=["convert", "html", "warc"],
+        choices=["convert", "html", "warc", "dedup", "minhash", "minhash_fast"],
         default="convert",
         help="which end-to-end kernel job to measure (html = "
         "strip_boilerplate_html over the synthetic web-page corpus; warc = "
         "the full web_extract_job pipeline from gzipped WARC shards: "
-        "framing -> boilerplate strip -> span shaping -> convert)",
+        "framing -> boilerplate strip -> span shaping -> convert; dedup = "
+        "exact_dedup over the web-page corpus — the shuffle-operator probe)",
     )
     ap.add_argument(
         "--ab-balance",
@@ -257,6 +289,13 @@ def main() -> None:
         legacy = os.path.join(args.corpus, f".complete_{args.docs}")
         if os.path.exists(legacy):
             marker = legacy
+    if args.job in ("html", "dedup", "minhash", "minhash_fast") and not os.path.exists(marker):
+        # these four jobs share identical corpus content — reuse any sibling
+        for sib in ("html", "dedup", "minhash", "minhash_fast"):
+            sib_marker = os.path.join(args.corpus, f".complete_{sib}_{args.docs}")
+            if os.path.exists(sib_marker):
+                marker = sib_marker
+                break
     if not os.path.exists(marker):
         print(f"generating {args.docs}-doc corpus at {args.corpus} ...", file=sys.stderr)
         import shutil

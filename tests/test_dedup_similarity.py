@@ -387,3 +387,57 @@ def test_decontaminate_planted(spark):
     assert out[1]["n_contaminated_grams"] == 1  # exactly e0..e12
     assert out[2]["contaminated"] is False
     assert out[3]["n_contaminated_grams"] == 0
+
+
+def test_minhash_bands_equals_signatures(spark):
+    """The codegen explode+groupBy band builder must produce identical
+    band values to minhash_signatures for every doc (both parameterizations
+    used by the queries)."""
+    from modern_document_converter_for_ai_library_spark.operators.dedup import (
+        minhash_bands,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "text"
+    )
+    for n_bands, band_rows in ((4, 1), (2, 2)):
+        cols = [f"band_{k}" for k in range(n_bands)]
+        slow = {
+            r["doc_id"]: tuple(r[c] for c in cols)
+            for r in minhash_signatures(
+                df, n_bands=n_bands, band_rows=band_rows
+            ).select("doc_id", *cols).collect()
+        }
+        fast = {
+            r["doc_id"]: tuple(r[c] for c in cols)
+            for r in minhash_bands(
+                df, n_bands=n_bands, band_rows=band_rows
+            ).collect()
+        }
+        assert fast == slow and len(fast) > 0
+
+
+def test_near_dedup_tiers_identical(spark):
+    """The two-tier bands path (default) must mark exactly the same
+    canonical ids as the fused single-frame path, including under a
+    bucket-size cap, and must not leak its candidate-pair cache."""
+    df = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "text"
+    )
+    kw = dict(threshold_micros=500_000, n_bands=2, band_rows=2,
+              max_bucket_size=50)
+    cols = ["doc_id", "canonical_doc_id", "is_near_duplicate"]
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    fast = {r["doc_id"]: (r["canonical_doc_id"], r["is_near_duplicate"])
+            for r in near_dedup(df, candidate_tier="bands", **kw)
+            .select(*cols).collect()}
+    # the pairs cache and every superseded CC-iteration checkpoint are
+    # released inside the call; only the final component-labels checkpoint
+    # (which the returned frame reads lazily) may outlive it
+    assert jsc.getPersistentRDDs().size() - before <= 1
+    fused = {r["doc_id"]: (r["canonical_doc_id"], r["is_near_duplicate"])
+             for r in near_dedup(df, candidate_tier="fused", **kw)
+             .select(*cols).collect()}
+    assert fast == fused and len(fast) > 0
+    assert any(v[1] for v in fast.values())  # corpus has planted near-dups
