@@ -93,6 +93,35 @@ def simhash_col(tokens: Column, n_bits: int = 64) -> Column:
     )
 
 
+MERSENNE_31 = 2_147_483_647
+"""Modulus for the 2-universal minhash permutation family: the Mersenne
+prime 2^31 - 1. With x reduced mod p first and a < p, the product a*x stays
+under 2^62 — safe in a signed 64-bit BIGINT in both Spark and DuckDB, so
+the whole family is exact integer arithmetic in either engine."""
+
+
+def minhash_perm_coeffs(n_perms: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficient pairs for the production-width
+    minhash permutation family h_i(x) = (a_i * x + b_i) mod (2^31 - 1).
+
+    One base hash per shingle (first 8 hex chars of its md5 as an int)
+    fans out to ``n_perms`` permutations through this 2-universal family —
+    the standard wide-MinHash construction (Broder '97; what datasketch
+    ships) — so hashing cost stays 1x md5 per shingle regardless of
+    signature width. Coefficients derive from md5 of the permutation
+    index, so every engine/driver recomputes the same family and the
+    DuckDB oracle can inline them as literals.
+    """
+    coeffs = []
+    for i in range(n_perms):
+        da = hashlib.md5(f"minhash-a|{i}".encode()).hexdigest()
+        db = hashlib.md5(f"minhash-b|{i}".encode()).hexdigest()
+        a = int(da[:8], 16) % (MERSENNE_31 - 1) + 1
+        b = int(db[:8], 16) % MERSENNE_31
+        coeffs.append((a, b))
+    return coeffs
+
+
 def lsh_plane_signs(n_planes: int, dim: int) -> list[list[int]]:
     """Deterministic ±1 sign matrix for random-hyperplane (SimHash) LSH over
     embeddings. Derived from md5 so any engine/driver recomputes the same

@@ -7,6 +7,10 @@ functions/hashing.py):
   minhash_bands        codegen band builder (explode -> md5 -> partial-MIN
                        aggregate) — the corpus-scale candidate tier; no
                        per-doc shingle arrays ever materialize
+  minhash_wide_bands   PRODUCTION-width variant: 128 permutations via a
+                       2-universal integer family over one base hash,
+                       banded 16x8 (the steep S-curve real dedup recipes
+                       use); same codegen explode+MIN plan shape
   minhash_signatures   k=4 sliced-md5 minhashes over word 3-shingles with
                        the shingle-hash array carried alongside (verify
                        tier / fused single-frame path)
@@ -731,3 +735,144 @@ def minhash_bands(
         for k in range(n_bands)
     ]
     return g.select(F.col(id_col), *bands)
+
+
+def minhash_wide_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perms: int = 128,
+    n_bands: int = 16,
+    shingle_width: int = 3,
+) -> DataFrame:
+    """(id, band_0..band_{n_bands-1}) — PRODUCTION-width MinHash banding.
+
+    The 4-slice md5 budget of ``minhash_bands`` caps the S-curve at
+    (b<=4, r<=4); real corpus dedup (Broder '97; datasketch's defaults;
+    the SlimPajama/FineWeb recipes) uses 128 permutations banded 16x8 so
+    the collision curve 1-(1-J^r)^b is steep around J~0.8. This builder
+    gets 128 permutations for 1x md5 per shingle: base x = first 32 bits
+    of the shingle digest reduced mod p = 2^31-1, fanned out through the
+    2-universal family h_i(x) = (a_i*x + b_i) mod p
+    (functions/hashing.py:minhash_perm_coeffs — exact BIGINT arithmetic,
+    engine-portable; a*x < 2^62 by construction so nothing overflows).
+
+    Plan shape is the proven codegen tier: shingle strings built map-side,
+    explode -> md5 -> one cheap base-int column -> groupBy(id) with 128
+    partial-MIN aggregates (map-side combine; the shuffle carries one slim
+    (id, 128 bigints) row per doc per partition), then band k =
+    md5(concat of its r minima) — banding happens AFTER the Aggregate so
+    the band expressions sit behind a barrier and can't be re-inlined
+    into join predicates (the lsh_candidate_pairs pathology).
+    """
+    if n_perms % n_bands != 0:
+        raise ValueError("n_perms must be divisible by n_bands")
+    band_rows = n_perms // n_bands
+    g = minhash_wide_minima(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        n_perms=n_perms,
+        shingle_width=shingle_width,
+    )
+    bands = [
+        F.md5(
+            F.concat_ws(
+                "-",
+                *[
+                    F.col(f"_m{k * band_rows + j}").cast("string")
+                    for j in range(band_rows)
+                ],
+            )
+        ).alias(f"band_{k}")
+        for k in range(n_bands)
+    ]
+    return g.select(F.col(id_col), *bands)
+
+
+def minhash_wide_minima(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perms: int = 128,
+    shingle_width: int = 3,
+) -> DataFrame:
+    """(id, _m0.._m{n_perms-1}) per-permutation minima — the raw wide
+    signature ``minhash_wide_bands`` folds into band digests. Exposed
+    separately so signature-level consumers (cross-engine oracle queries,
+    similarity estimation between known pairs) share the exact plan."""
+    from ..functions.hashing import MERSENNE_31, minhash_perm_coeffs
+
+    coeffs = minhash_perm_coeffs(n_perms)
+    p = F.lit(MERSENNE_31)
+    base = df.withColumn("_toks", tokens_col(text_col)).filter(
+        F.size("_toks") >= shingle_width
+    )
+    n = F.size("_toks")
+    shingles = F.transform(
+        F.sequence(F.lit(1), n - (shingle_width - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("_toks", i + j) for j in range(shingle_width)]
+        ),
+    )
+    ex = base.select(F.col(id_col), F.explode(shingles).alias("_sh"))
+    hashed = ex.select(
+        F.col(id_col),
+        (
+            F.conv(F.substring(F.md5("_sh"), 1, 8), 16, 10).cast("bigint") % p
+        ).alias("_x"),
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("_x") + F.lit(b)) % p).alias(f"_m{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def minhash_wide_pairs(
+    bands_df: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = 16,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Distinct (a, b) candidate pairs colliding on >=1 of the wide bands.
+
+    ONE self-join on exploded (band_idx, band_value) rows instead of a
+    union of n_bands joins — with 16 bands the union form would re-execute
+    the band-building subtree up to 32x (the q_simhash64_pairs lesson,
+    measured 26.5 s -> 4.7 s there). The shuffle is keyed by the composite
+    band key whose cardinality scales with the corpus, never all-pairs.
+
+    ``max_bucket_size`` caps the quadratic term per band bucket (one
+    degenerate bucket of size s is s^2/2 pairs at 100 TB): the count runs
+    as a window over the SAME (band_idx, band_value) key the join shuffles
+    on, so the cap costs no extra exchange on the join side.
+    """
+    from pyspark.sql import Window
+
+    band_cols = [f"band_{k}" for k in range(n_bands)]
+    long = bands_df.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(c) for c in band_cols])).alias(
+            "band_idx", "band_value"
+        ),
+    )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band_idx", "band_value")
+        long = (
+            long.withColumn("_n", F.count("*").over(w))
+            .filter(F.col("_n") <= max_bucket_size)
+            .drop("_n")
+        )
+    left = long.select(
+        F.col(id_col).alias("a"), "band_idx", "band_value"
+    )
+    right = long.select(
+        F.col(id_col).alias("b"), "band_idx", "band_value"
+    )
+    return (
+        left.join(right, on=["band_idx", "band_value"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )

@@ -1080,6 +1080,161 @@ FROM m
 
 
 # ---------------------------------------------------------------------------
+# q_minhash128 — PRODUCTION-width MinHash: 128 permutations via the
+# 2-universal integer family over one base hash per shingle (operator:
+# dedup.minhash_wide_minima). The oracle re-derives all 128 minima with the
+# same exact BIGINT arithmetic, coefficients inlined as literals.
+# ---------------------------------------------------------------------------
+
+_MINHASH_WIDE_PERMS = 128
+_MINHASH_WIDE_BANDS = 16
+
+
+def spark_minhash128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_wide_minima
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    g = minhash_wide_minima(docs, n_perms=_MINHASH_WIDE_PERMS)
+    sig = F.md5(
+        F.concat_ws(
+            "-",
+            *[
+                F.col(f"_m{i}").cast("string")
+                for i in range(_MINHASH_WIDE_PERMS)
+            ],
+        )
+    )
+    return g.select(
+        "doc_id",
+        F.col("_m0").alias("minhash_first"),
+        F.col(f"_m{_MINHASH_WIDE_PERMS - 1}").alias("minhash_last"),
+        sig.alias("signature"),
+    )
+
+
+def _minhash_wide_sql_cte(n_perms: int) -> str:
+    """Shared DuckDB CTE chain computing the 128 per-doc minima (and the
+    distinct shingle set) with the identical mod-2^31-1 arithmetic."""
+    from .functions.hashing import MERSENNE_31, minhash_perm_coeffs
+
+    coeffs = minhash_perm_coeffs(n_perms)
+    mins = ",\n         ".join(
+        "list_aggregate(list_transform(xs, v -> (%d * v + %d) %% %d), 'min') AS m_%d"
+        % (a, b, MERSENNE_31, i)
+        for i, (a, b) in enumerate(coeffs)
+    )
+    return """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tokens
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(range(1, len(tokens) - 1),
+                          i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]),
+           x -> md5(x)) AS hashes
+  FROM t
+  WHERE len(tokens) >= 3
+), x AS (
+  SELECT doc_id,
+         list_transform(hashes,
+                        h -> ('0x' || substring(h, 1, 8))::BIGINT % {p}) AS xs,
+         list_distinct(hashes) AS sset
+  FROM s
+), m AS (
+  SELECT doc_id, sset,
+         {mins}
+  FROM x
+)""".format(p=MERSENNE_31, mins=mins)
+
+
+def _minhash128_sql() -> str:
+    # variadic concat_ws, not a || chain: DuckDB's binder caps expression
+    # nesting at 128 and a 128-element chain blows past it
+    concat = "concat_ws('-', %s)" % ", ".join(
+        "m_%d::VARCHAR" % i for i in range(_MINHASH_WIDE_PERMS)
+    )
+    return _minhash_wide_sql_cte(_MINHASH_WIDE_PERMS) + """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       m_0 AS minhash_first,
+       m_{last} AS minhash_last,
+       md5({concat}) AS signature
+FROM m
+""".format(last=_MINHASH_WIDE_PERMS - 1, concat=concat)
+
+
+_MINHASH128_SQL = _minhash128_sql()
+
+
+def spark_minhash128_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.hashing import shingle_hashes_col, tokens_col
+    from .operators.dedup import (
+        jaccard_verify,
+        minhash_wide_bands,
+        minhash_wide_pairs,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    bands = minhash_wide_bands(
+        docs, n_perms=_MINHASH_WIDE_PERMS, n_bands=_MINHASH_WIDE_BANDS
+    )
+    pairs = minhash_wide_pairs(bands, n_bands=_MINHASH_WIDE_BANDS)
+    # exact-Jaccard verify tier: shingle sets recomputed from text for the
+    # docs the candidate join touches (candidates << corpus at production
+    # duplicate densities; at query scale the projection covers all docs)
+    sets_df = docs.withColumn("_tokens", tokens_col("text")).filter(
+        F.size("_tokens") >= 3
+    ).select(
+        "doc_id",
+        shingle_hashes_col(F.col("_tokens"), 3).alias("shingle_hashes"),
+    )
+    return jaccard_verify(sets_df, pairs, threshold_micros=0).select(
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        "jaccard_micros",
+    )
+
+
+def _minhash128_pairs_sql() -> str:
+    band_rows = _MINHASH_WIDE_PERMS // _MINHASH_WIDE_BANDS
+    band_exprs = ", ".join(
+        "md5(concat_ws('-', %s))"
+        % ", ".join(
+            "m_%d::VARCHAR" % (k * band_rows + j) for j in range(band_rows)
+        )
+        for k in range(_MINHASH_WIDE_BANDS)
+    )
+    return _minhash_wide_sql_cte(_MINHASH_WIDE_PERMS) + """
+, b AS (
+  SELECT doc_id, sset, [{bands}] AS bands FROM m
+), long AS (
+  SELECT doc_id, sset, i.i AS band_idx, bands[i.i] AS band_value
+  FROM b CROSS JOIN (SELECT unnest(range(1, {nb1})) AS i) i
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM long x JOIN long y
+    ON x.band_idx = y.band_idx AND x.band_value = y.band_value
+   AND x.doc_id < y.doc_id
+)
+SELECT CAST(c.a AS BIGINT) AS a,
+       CAST(c.b AS BIGINT) AS b,
+       CAST((CAST(len(list_intersect(sa.sset, sb.sset)) AS BIGINT) * 1000000)
+            // (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)))
+            AS BIGINT) AS jaccard_micros
+FROM cand c
+JOIN x sa ON sa.doc_id = c.a
+JOIN x sb ON sb.doc_id = c.b
+""".format(bands=band_exprs, nb1=_MINHASH_WIDE_BANDS + 1)
+
+
+_MINHASH128_PAIRS_SQL = _minhash128_pairs_sql()
+
+
+# ---------------------------------------------------------------------------
 # q_simhash — 16-bit SimHash from token-hash nibble parity (near-dup sketch)
 # ---------------------------------------------------------------------------
 
@@ -3352,6 +3507,8 @@ SPARK_QUERIES = {
     "q_decontaminate": spark_decontaminate,
     "q_fingerprint": spark_fingerprint,
     "q_minhash": spark_minhash,
+    "q_minhash128": spark_minhash128,
+    "q_minhash128_pairs": spark_minhash128_pairs,
     "q_simhash": spark_simhash,
     "q_simhash_pairs": spark_simhash_pairs,
     "q_simhash64_pairs": spark_simhash64_pairs,
@@ -3407,6 +3564,8 @@ ORACLE_SQL = {
     "q_decontaminate": _DECONTAMINATE_SQL,
     "q_fingerprint": _FINGERPRINT_SQL,
     "q_minhash": _MINHASH_SQL,
+    "q_minhash128": _MINHASH128_SQL,
+    "q_minhash128_pairs": _MINHASH128_PAIRS_SQL,
     "q_simhash": _SIMHASH_SQL,
     "q_simhash_pairs": _SIMHASH_PAIRS_SQL,
     "q_simhash64_pairs": _SIMHASH64_PAIRS_SQL,

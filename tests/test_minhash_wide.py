@@ -1,0 +1,101 @@
+"""Production-width (128-permutation) MinHash: arithmetic cross-check
+against an independent pure-Python evaluation, band wiring, the S-curve
+collision behavior on planted near-dups, and the bucket-size skew cap.
+
+Reference parity note: the reference repo has no similarity/dedup code —
+this operator exists for the training-data-pipeline tier (SURVEY.md §2
+addendum); the construction is the standard Broder '97 / datasketch shape.
+"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from modern_document_converter_for_ai_library_spark.functions.hashing import (
+    MERSENNE_31,
+    minhash_perm_coeffs,
+)
+from modern_document_converter_for_ai_library_spark.operators.dedup import (
+    minhash_wide_bands,
+    minhash_wide_minima,
+    minhash_wide_pairs,
+)
+
+
+def _py_minima(text: str, n_perms: int = 128, width: int = 3) -> list[int]:
+    toks = [t for t in text.split(" ") if t]
+    shingles = [
+        " ".join(toks[i : i + width]) for i in range(len(toks) - width + 1)
+    ]
+    xs = [
+        int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % MERSENNE_31
+        for s in shingles
+    ]
+    coeffs = minhash_perm_coeffs(n_perms)
+    return [min((a * x + b) % MERSENNE_31 for x in xs) for a, b in coeffs]
+
+
+def test_wide_minima_match_pure_python(spark):
+    docs = [
+        ("1", "the quick brown fox jumps over the lazy dog tonight"),
+        ("2", "pack my box with five dozen liquor jugs right now"),
+        ("3", "a b c d e f g h i j k l m n"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = {
+        r["doc_id"]: r
+        for r in minhash_wide_minima(df, n_perms=128).collect()
+    }
+    for doc_id, text in docs:
+        expect = _py_minima(text)
+        got = [rows[doc_id][f"_m{i}"] for i in range(128)]
+        assert got == expect, doc_id
+
+
+def test_band_digests_fold_the_minima(spark):
+    df = spark.createDataFrame(
+        [("1", "the quick brown fox jumps over the lazy dog tonight")],
+        ["doc_id", "text"],
+    )
+    mins = _py_minima("the quick brown fox jumps over the lazy dog tonight")
+    row = minhash_wide_bands(df, n_perms=128, n_bands=16).collect()[0]
+    for k in range(16):
+        joined = "-".join(str(v) for v in mins[k * 8 : (k + 1) * 8])
+        assert row[f"band_{k}"] == hashlib.md5(joined.encode()).hexdigest()
+
+
+def test_scurve_planted_neardups_collide_disjoint_dont(spark):
+    # base vocab of 60 tokens; the near-dup edits the last 2 tokens ->
+    # shingle Jaccard ~0.93, so P(any of 16 bands collides) =
+    # 1-(1-J^8)^16 ~ 0.9998. The two disjoint-vocabulary docs share zero
+    # shingles (J=0): a band collision would need a full md5 collision.
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = " ".join(f"tok{i}" for i in range(58)) + " edited tail"
+    other = " ".join(f"alt{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [("1", base), ("2", near), ("3", other)], ["doc_id", "text"]
+    )
+    bands = minhash_wide_bands(df)
+    pairs = {
+        (r["a"], r["b"]) for r in minhash_wide_pairs(bands).collect()
+    }
+    assert ("1", "2") in pairs
+    assert all({"3"} - set(p) for p in pairs) or ("3" not in {x for p in pairs for x in p})
+
+
+def test_bucket_cap_drops_degenerate_bucket(spark):
+    text = " ".join(f"tok{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(str(i), text) for i in range(5)], ["doc_id", "text"]
+    )
+    bands = minhash_wide_bands(df)
+    assert minhash_wide_pairs(bands).count() == 10  # C(5,2), all collide
+    capped = minhash_wide_pairs(bands, max_bucket_size=2)
+    assert capped.count() == 0  # every bucket holds all 5 -> dropped
+
+
+def test_perm_count_must_divide_bands(spark):
+    df = spark.createDataFrame([("1", "a b c d")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        minhash_wide_bands(df, n_perms=100, n_bands=16)
