@@ -88,7 +88,7 @@ def _write_chunk(args: tuple) -> int:
         with open(os.path.join(path, f"shard-{chunk_idx:04d}.warc.gz"), "wb") as f:
             f.write(b"".join(members))
         return end - start
-    if job in ("html", "dedup", "minhash", "minhash_fast"):
+    if job in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide"):
         from modern_document_converter_for_ai_library_spark.sources.synth import (
             _make_html_doc,
         )
@@ -190,6 +190,16 @@ def run_job(d, balance=None):
         sigs = minhash_bands(d, text_col="html", n_bands=2, band_rows=2)
         return lsh_candidate_pairs(
             sigs, n_bands=2, max_bucket_size=64, pre_aggregated=True)
+    if "{job}" == "minhash_wide":
+        # production-width tier: 128 permutations via the 2-universal
+        # integer family, banded 16x8, bucket-local pair generation. The
+        # dominant cost is the 128-aggregate partial-MIN shuffle barrier;
+        # everything before it is map-side codegen. Same skew guard story
+        # as the narrow probes (boilerplate shingles degenerate buckets).
+        from modern_document_converter_for_ai_library_spark.operators.dedup import (
+            minhash_wide_bands, minhash_wide_pairs)
+        bands = minhash_wide_bands(d, text_col="html")
+        return minhash_wide_pairs(bands, max_bucket_size=64)
     if "{job}" == "warc":
         # the full web_extract_job.py pipeline minus the manifest sink
         # (noop isolates compute): d is the binaryFile frame, so every
@@ -265,7 +275,7 @@ def main() -> None:
     ap.add_argument("--md", default=None, help="write/refresh this markdown report")
     ap.add_argument(
         "--job",
-        choices=["convert", "html", "warc", "dedup", "minhash", "minhash_fast"],
+        choices=["convert", "html", "warc", "dedup", "minhash", "minhash_fast", "minhash_wide"],
         default="convert",
         help="which end-to-end kernel job to measure (html = "
         "strip_boilerplate_html over the synthetic web-page corpus; warc = "
@@ -289,9 +299,9 @@ def main() -> None:
         legacy = os.path.join(args.corpus, f".complete_{args.docs}")
         if os.path.exists(legacy):
             marker = legacy
-    if args.job in ("html", "dedup", "minhash", "minhash_fast") and not os.path.exists(marker):
+    if args.job in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide") and not os.path.exists(marker):
         # these four jobs share identical corpus content — reuse any sibling
-        for sib in ("html", "dedup", "minhash", "minhash_fast"):
+        for sib in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide"):
             sib_marker = os.path.join(args.corpus, f".complete_{sib}_{args.docs}")
             if os.path.exists(sib_marker):
                 marker = sib_marker
