@@ -462,19 +462,34 @@ def near_dedup(
         frame is persisted across its two consumers (node set + verify
         join) and unpersisted once ``connected_canonical`` has eagerly
         truncated all upstream lineage.
+      "wide": PRODUCTION-width candidates — ``minhash_wide_bands`` (128
+        permutations, 16x8 banding; ``n_bands``/``band_rows`` are ignored
+        in favor of the wide defaults) + bucket-local pair generation.
+        Higher precision at high-J thresholds (the steep 1-(1-J^8)^16
+        S-curve) at the cost of the 128-aggregate shuffle; the verify and
+        connected-component tail is identical.
       "fused": the original single-frame path (``minhash_signatures``
         carries bands + shingle arrays together) — kept for A/B reference;
         per-1M-doc numbers in BENCH/BASELINE.md.
     """
-    if candidate_tier == "bands":
-        bands = minhash_bands(
-            df, text_col, id_col,
-            n_bands=n_bands, shingle_width=shingle_width, band_rows=band_rows,
-        )
-        pairs = lsh_candidate_pairs(
-            bands, id_col, n_bands=n_bands,
-            max_bucket_size=max_bucket_size, pre_aggregated=True,
-        ).persist()
+    if candidate_tier in ("bands", "wide"):
+        if candidate_tier == "wide":
+            wide_bands = minhash_wide_bands(
+                df, text_col, id_col, shingle_width=shingle_width
+            )
+            pairs = minhash_wide_pairs(
+                wide_bands, id_col, max_bucket_size=max_bucket_size
+            ).persist()
+        else:
+            bands = minhash_bands(
+                df, text_col, id_col,
+                n_bands=n_bands, shingle_width=shingle_width,
+                band_rows=band_rows,
+            )
+            pairs = lsh_candidate_pairs(
+                bands, id_col, n_bands=n_bands,
+                max_bucket_size=max_bucket_size, pre_aggregated=True,
+            ).persist()
         try:
             nodes = (
                 pairs.select(F.col("a").alias(id_col))

@@ -99,3 +99,34 @@ def test_perm_count_must_divide_bands(spark):
     df = spark.createDataFrame([("1", "a b c d")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         minhash_wide_bands(df, n_perms=100, n_bands=16)
+
+
+def test_near_dedup_wide_tier(spark):
+    from modern_document_converter_for_ai_library_spark.operators.dedup import (
+        near_dedup,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "a slow waltz under paper lanterns in the crowded summer square"
+    )
+    rows = [
+        (1, base),
+        (2, base),  # exact duplicate
+        (3, base + " with a tiny suffix appended"),  # high-J near-dup
+        (4, "completely different content about gardening and bread recipes today"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = {
+        r["doc_id"]: r
+        for r in near_dedup(
+            df, threshold_micros=500_000, candidate_tier="wide"
+        ).collect()
+    }
+    assert jsc.getPersistentRDDs().size() - before <= 1
+    assert out[1]["canonical_doc_id"] == 1
+    assert out[2]["canonical_doc_id"] == 1 and out[2]["is_near_duplicate"]
+    assert out[3]["canonical_doc_id"] == 1 and out[3]["is_near_duplicate"]
+    assert out[4]["canonical_doc_id"] == 4 and not out[4]["is_near_duplicate"]
