@@ -13,6 +13,10 @@ columns so a DuckDB oracle reproduces identical rows:
                            fraction of characters in the most frequent
                            word 2-gram, and fraction of characters in
                            duplicated word 5-grams
+  classifier_score         linear quality-classifier scoring (the
+                           learned-filter stage): broadcast vocab weights
+                           or the feature-hashing trick, exact
+                           integer-micro arithmetic
 
 All ratios are integer micros (x * 1_000_000 // denom) — float division
 would make pass/fail flags engine-dependent at the thresholds.
@@ -186,4 +190,67 @@ def ngram_repetition_stats(
             (F.col("top2_frac_micros") <= TOP2_MAX_FRAC_MICROS)
             & (F.col("dup5_frac_micros") <= DUP5_MAX_FRAC_MICROS)
         ).alias("repetition_pass"),
+    )
+
+
+def classifier_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: DataFrame | None = None,
+    bias_micros: int = 0,
+    threshold_micros: int = 0,
+) -> DataFrame:
+    """Linear quality-classifier scoring — the learned-filter stage of a
+    training-data pipeline (the fasttext/FineWeb-Edu shape: a linear model
+    over token features decides keep/drop at corpus scale).
+
+    Two weight sources, same contract (score_micros = bias + sum of
+    per-token weights, term-frequency weighted; label = score >= threshold):
+
+    - ``weights`` given: a (token, weight_micros) vocab table. Exploded
+      tokens LEFT-join the vocab (out-of-vocab tokens weigh 0) — at scale
+      the vocab is ~1e5-1e6 rows, far under the broadcast threshold, so
+      the join is a broadcast hash join and the only shuffle is the
+      per-doc sum's partial aggregation.
+    - ``weights`` None: the feature-HASHING trick (Weinberger et al. '09,
+      the vowpal-wabbit construction): weight(tok) = a signed integer
+      derived from md5(tok) — w = ('0x'||md5[:8]) % 1000001 - 500000
+      micros. No vocab, no join, map-side only; deterministic in any
+      engine, which is what the cross-engine oracle checks.
+
+    Integer-micro weights keep the score exact (no float summation-order
+    sensitivity across partitionings).
+    """
+    toks = _tokens(text_col)
+    ex = df.select(F.col(id_col), F.explode(toks).alias("_tok"))
+    if weights is None:
+        w = (
+            F.conv(F.substring(F.md5("_tok"), 1, 8), 16, 10).cast("bigint")
+            % 1000001
+            - 500000
+        )
+        scored = ex.select(F.col(id_col), w.alias("_w"))
+    else:
+        from pyspark.sql.functions import broadcast
+
+        vocab = weights.select(
+            F.col("token").alias("_tok"),
+            F.col("weight_micros").cast("bigint").alias("_w"),
+        )
+        scored = ex.join(broadcast(vocab), on="_tok", how="left").select(
+            F.col(id_col), F.coalesce("_w", F.lit(0)).alias("_w")
+        )
+    g = scored.groupBy(id_col).agg(
+        (F.sum("_w") + F.lit(bias_micros)).cast("bigint").alias("score_micros"),
+        F.count("*").cast("bigint").alias("n_tokens"),
+    )
+    # docs with zero tokens score exactly the bias
+    return (
+        df.select(F.col(id_col))
+        .join(g, on=id_col, how="left")
+        .fillna({"score_micros": bias_micros, "n_tokens": 0})
+        .withColumn(
+            "keep", F.col("score_micros") >= F.lit(threshold_micros)
+        )
     )

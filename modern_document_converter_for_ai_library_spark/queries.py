@@ -3484,6 +3484,42 @@ FROM p WHERE status <> 'renamed'
 # registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# q_classifier_score — hashed linear quality-classifier scoring (feature-
+# hashing trick; operators/quality.py:classifier_score). The learned-filter
+# pipeline stage, with exact integer-micro weights both engines re-derive.
+# ---------------------------------------------------------------------------
+
+
+def spark_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import classifier_score
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    return classifier_score(docs, bias_micros=250_000, threshold_micros=0)
+
+
+_CLASSIFIER_SCORE_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tokens
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         COALESCE(list_sum(list_transform(tokens,
+             tok -> ('0x' || substring(md5(tok), 1, 8))::BIGINT % 1000001 - 500000)),
+           0) + 250000 AS score,
+         len(tokens) AS n
+  FROM t
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(score AS BIGINT) AS score_micros,
+       CAST(n AS BIGINT) AS n_tokens,
+       score >= 0 AS keep
+FROM s
+"""
+
+
 import os as _os
 
 _ORACLE_SF_TAG = _os.environ.get("SPARK_GRAFT_ORACLE_SF", "0.01").replace(".", "_")
@@ -3498,6 +3534,7 @@ SPARK_QUERIES = {
     "q_pii_scrub": spark_pii_scrub,
     "q_quality_funnel": spark_quality_funnel,
     "q_gopher_quality": spark_gopher_quality,
+    "q_classifier_score": spark_classifier_score,
     "q_repetition_stats": spark_repetition_stats,
     "q_url_normalize": spark_url_normalize,
     "q_langid_ngram": spark_langid_ngram,
@@ -3555,6 +3592,7 @@ ORACLE_SQL = {
     "q_pii_scrub": _PII_SQL,
     "q_quality_funnel": _funnel_sql(),
     "q_gopher_quality": _GOPHER_QUALITY_SQL,
+    "q_classifier_score": _CLASSIFIER_SCORE_SQL,
     "q_repetition_stats": _REPETITION_SQL,
     "q_url_normalize": _URL_NORMALIZE_SQL,
     "q_langid_ngram": _LANGID_SQL,

@@ -179,3 +179,46 @@ def test_scrub_pii_hand_cases(spark):
         assert out[i]["text_scrubbed"] == want_text, out[i]["text_scrubbed"]
         for k, v in want_counts.items():
             assert out[i][k] == v, (i, k, out[i][k])
+
+
+def test_classifier_score_vocab_and_hashing(spark):
+    import hashlib
+
+    from modern_document_converter_for_ai_library_spark.operators.quality import (
+        classifier_score,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "good good prose here"),
+            (2, "spam spam spam"),
+            (3, ""),  # zero tokens -> score == bias
+        ],
+        ["doc_id", "text"],
+    )
+    vocab = spark.createDataFrame(
+        [("good", 300_000), ("spam", -400_000), ("prose", 100_000)],
+        ["token", "weight_micros"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in classifier_score(
+            docs, weights=vocab, bias_micros=50_000, threshold_micros=0
+        ).collect()
+    }
+    # 2*good + prose + here(OOV=0) + bias = 600k+100k+0+50k
+    assert out[1]["score_micros"] == 750_000 and out[1]["keep"]
+    assert out[2]["score_micros"] == 3 * -400_000 + 50_000 and not out[2]["keep"]
+    assert out[3]["score_micros"] == 50_000 and out[3]["n_tokens"] == 0
+
+    # hashing-trick path equals an independent pure-Python evaluation
+    def w(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 1000001 - 500000
+
+    hashed = {
+        r["doc_id"]: r for r in classifier_score(docs).collect()
+    }
+    assert hashed[1]["score_micros"] == sum(
+        w(t) for t in "good good prose here".split()
+    )
+    assert hashed[3]["score_micros"] == 0
