@@ -3485,6 +3485,61 @@ FROM p WHERE status <> 'renamed'
 # ---------------------------------------------------------------------------
 
 # ---------------------------------------------------------------------------
+# q_events_asof — as-of join (funnel attribution): for every 'error' event,
+# the latest 'click' by the same user at-or-before it. Spark side is the
+# single-shuffle tagged-union window formulation (operators/asof.py); the
+# oracle is DuckDB's NATIVE ASOF JOIN — a genuinely different algorithm, so
+# parity checks the temporal semantics, not a shared plan.
+# ---------------------------------------------------------------------------
+
+
+def spark_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lefts = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "ts",
+    )
+    # dedupe clicks per (user, ts) so the tie policy is engine-independent
+    rights = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.col("user_id").cast("bigint").alias("user_id"), "ts")
+        .agg(F.max("event_id").cast("bigint").alias("click_id"))
+        .withColumn("click_ts", F.col("ts"))
+    )
+    out = asof_join(lefts, rights, by="user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce("r_click_id", F.lit(-1)).alias("click_id"),
+        F.coalesce(
+            "r_click_ts", F.lit("1970-01-01 00:00:00").cast("timestamp")
+        ).alias("click_ts"),
+    )
+
+
+_EVENTS_ASOF_SQL = """
+WITH l AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CAST(user_id AS BIGINT) AS user_id, ts
+  FROM events WHERE event_type = 'error'
+), r AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id, ts,
+         CAST(max(event_id) AS BIGINT) AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id, l.ts,
+       COALESCE(r.click_id, -1) AS click_id,
+       COALESCE(r.click_ts, TIMESTAMP '1970-01-01 00:00:00') AS click_ts
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_classifier_score — hashed linear quality-classifier scoring (feature-
 # hashing trick; operators/quality.py:classifier_score). The learned-filter
 # pipeline stage, with exact integer-micro weights both engines re-derive.
@@ -3552,6 +3607,7 @@ SPARK_QUERIES = {
     "q_lsh_jaccard_pairs": spark_lsh_jaccard_pairs,
     "q_ann_lsh_buckets": spark_ann_lsh_buckets,
     "q_ann_topk": spark_ann_topk,
+    "q_events_asof": spark_events_asof,
     "q_events_sessionize": spark_events_sessionize,
     "q_events_type_agg": spark_events_type_agg,
     "q_events_topk": spark_events_topk,
@@ -3610,6 +3666,7 @@ ORACLE_SQL = {
     "q_lsh_jaccard_pairs": _LSH_PAIRS_SQL,
     "q_ann_lsh_buckets": _ANN_LSH_SQL,
     "q_ann_topk": _ANN_SQL,
+    "q_events_asof": _EVENTS_ASOF_SQL,
     "q_events_sessionize": _SESSIONIZE_SQL,
     "q_events_type_agg": _EVENTS_AGG_SQL,
     "q_events_topk": _EVENTS_TOPK_SQL,
