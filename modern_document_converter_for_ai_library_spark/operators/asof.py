@@ -84,3 +84,67 @@ def asof_join(
             for c in r_payload
         ],
     )
+
+
+def interval_count_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts_col: str = "ts",
+    window_seconds: int = 600,
+    count_alias: str = "n_in_window",
+) -> DataFrame:
+    """For every left row: how many right rows share its key with
+    ``right.ts in [left.ts - window, left.ts)``. Output = left columns +
+    the count (0 when none).
+
+    A plain inequality join (l.key = r.key AND r.ts BETWEEN ...) hashes
+    only on the key: every left row meets every right row of that key
+    before the range filter — quadratic in per-key history, the classic
+    range-join blowup (closed-source Spark distros ship a RANGE_JOIN hint
+    for this; OSS Spark does not). The scalable OSS shape is BUCKET
+    BINNING: bin right rows by floor(epoch/W); a match at width W can
+    only sit in the left row's bin or the one before, so each left row
+    joins exactly 2 composite keys (key, bin) and the fan-out is bounded
+    by per-bin occupancy — proportional to event rate times W, not
+    history length. Truncated-second binning is safe for microsecond
+    timestamps: r.ts >= l.ts - W implies floor-second bins differ by at
+    most W/W = 1 for integer W (the precise range predicate still runs on
+    the raw timestamps as the join's post-match filter).
+
+    Plan: one shuffle keyed (key, bin) for the join, one partial-agg
+    shuffle keyed by the left row for the count. Left rows appear twice
+    (two candidate bins, left join) and regroup to one output row;
+    count() only counts matched right rows.
+    """
+    w = int(window_seconds)
+    if w <= 0:
+        raise ValueError("window_seconds must be positive")
+    l_cols = list(left.columns)
+    lb = F.floor(F.unix_timestamp(ts_col) / w)
+    ex_left = left.select(
+        *[F.col(c).alias(f"_l_{c}") for c in l_cols],
+        F.col(ts_col).alias("_lts"),
+        F.col(by).alias("_lby"),
+        F.explode(F.array(lb - 1, lb)).alias("_bin"),
+    )
+    tagged_r = right.select(
+        F.col(by).alias("_rby"),
+        F.floor(F.unix_timestamp(ts_col) / w).alias("_bin"),
+        F.col(ts_col).alias("_rts"),
+    )
+    cond = (
+        (F.col("_lby") == F.col("_rby"))
+        & (ex_left["_bin"] == tagged_r["_bin"])
+        & (F.col("_rts") >= F.col("_lts") - F.expr(f"INTERVAL {w} SECONDS"))
+        & (F.col("_rts") < F.col("_lts"))
+    )
+    joined = ex_left.join(tagged_r, cond, how="left")
+    return (
+        joined.groupBy(*[F.col(f"_l_{c}") for c in l_cols])
+        .agg(F.count("_rts").cast("bigint").alias(count_alias))
+        .select(
+            *[F.col(f"_l_{c}").alias(c) for c in l_cols],
+            count_alias,
+        )
+    )

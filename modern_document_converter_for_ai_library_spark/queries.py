@@ -3540,6 +3540,49 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 
 
 # ---------------------------------------------------------------------------
+# q_events_window_count — bounded-interval join via bucket binning
+# (operators/asof.py:interval_count_join): per 'error' event, the number of
+# 'click' events by the same user in the preceding 10 minutes. The oracle is
+# DuckDB's plain inequality join — fine at oracle scale, the quadratic shape
+# the binned plan exists to avoid at corpus scale.
+# ---------------------------------------------------------------------------
+
+
+def spark_events_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.asof import interval_count_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lefts = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "ts",
+    )
+    rights = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return interval_count_join(
+        lefts, rights, by="user_id", window_seconds=600,
+        count_alias="n_clicks_10m",
+    )
+
+
+_EVENTS_WINDOW_COUNT_SQL = """
+WITH l AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CAST(user_id AS BIGINT) AS user_id, ts
+  FROM events WHERE event_type = 'error'
+), r AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT l.event_id, l.user_id, l.ts,
+       CAST(count(r.ts) AS BIGINT) AS n_clicks_10m
+FROM l LEFT JOIN r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts - INTERVAL 600 SECONDS
+ AND r.ts < l.ts
+GROUP BY l.event_id, l.user_id, l.ts
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_classifier_score — hashed linear quality-classifier scoring (feature-
 # hashing trick; operators/quality.py:classifier_score). The learned-filter
 # pipeline stage, with exact integer-micro weights both engines re-derive.
@@ -3608,6 +3651,7 @@ SPARK_QUERIES = {
     "q_ann_lsh_buckets": spark_ann_lsh_buckets,
     "q_ann_topk": spark_ann_topk,
     "q_events_asof": spark_events_asof,
+    "q_events_window_count": spark_events_window_count,
     "q_events_sessionize": spark_events_sessionize,
     "q_events_type_agg": spark_events_type_agg,
     "q_events_topk": spark_events_topk,
@@ -3667,6 +3711,7 @@ ORACLE_SQL = {
     "q_ann_lsh_buckets": _ANN_LSH_SQL,
     "q_ann_topk": _ANN_SQL,
     "q_events_asof": _EVENTS_ASOF_SQL,
+    "q_events_window_count": _EVENTS_WINDOW_COUNT_SQL,
     "q_events_sessionize": _SESSIONIZE_SQL,
     "q_events_type_agg": _EVENTS_AGG_SQL,
     "q_events_topk": _EVENTS_TOPK_SQL,

@@ -83,3 +83,84 @@ def test_asof_plan_one_shuffle_no_join(spark):
     assert "Join" not in plan
     assert plan.count("Exchange") == 1  # the single key shuffle
     assert "Window" in plan
+
+
+def test_interval_count_join_boundaries(spark):
+    from datetime import datetime
+
+    from modern_document_converter_for_ai_library_spark.operators.asof import (
+        interval_count_join,
+    )
+
+    t = lambda s, us=0: datetime(2024, 1, 1, 0, 0, s, us)
+    left = spark.createDataFrame(
+        [(1, 1, t(30)), (2, 1, t(50)), (3, 2, t(30))],
+        ["event_id", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t(20)),          # within [20, 30) of left 1? 20 >= 30-10 -> yes
+            (1, t(30)),          # == l.ts -> excluded (half-open)
+            (1, t(20, 1)),       # 20.000001 -> within for left 1
+            (1, t(40)),          # == l.ts - W for left 2 -> included (closed
+                                 # lower bound), and sits in the PRIOR bin
+            (1, t(5)),           # too early for everyone
+            (2, t(29)),          # other key, within for left 3
+        ],
+        ["k", "ts"],
+    )
+    out = {
+        r["event_id"]: r["n_in_window"]
+        for r in interval_count_join(
+            left, right, by="k", window_seconds=10
+        ).collect()
+    }
+    assert out == {1: 2, 2: 1, 3: 1}
+
+
+def test_interval_count_join_matches_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    from modern_document_converter_for_ai_library_spark.operators.asof import (
+        interval_count_join,
+    )
+
+    rng = np.random.RandomState(11)
+    base = pd.Timestamp("2024-01-01")
+    lp = pd.DataFrame(
+        {
+            "event_id": np.arange(300, dtype="int64"),
+            "k": rng.randint(0, 8, 300).astype("int64"),
+            "ts": base + pd.to_timedelta(rng.randint(0, 5000, 300), unit="s")
+            + pd.to_timedelta(rng.randint(0, 1_000_000, 300), unit="us"),
+        }
+    )
+    rp = pd.DataFrame(
+        {
+            "k": rng.randint(0, 8, 500).astype("int64"),
+            "ts": base + pd.to_timedelta(rng.randint(0, 5000, 500), unit="s")
+            + pd.to_timedelta(rng.randint(0, 1_000_000, 500), unit="us"),
+        }
+    )
+    W = pd.Timedelta(seconds=60)
+    expect = {
+        row.event_id: int(
+            (
+                (rp["k"] == row.k)
+                & (rp["ts"] >= row.ts - W)
+                & (rp["ts"] < row.ts)
+            ).sum()
+        )
+        for row in lp.itertuples()
+    }
+    out = {
+        r["event_id"]: r["n_in_window"]
+        for r in interval_count_join(
+            spark.createDataFrame(lp),
+            spark.createDataFrame(rp),
+            by="k",
+            window_seconds=60,
+        ).collect()
+    }
+    assert out == expect and sum(out.values()) > 0
