@@ -3485,6 +3485,76 @@ FROM p WHERE status <> 'renamed'
 # ---------------------------------------------------------------------------
 
 # ---------------------------------------------------------------------------
+# q_source_percentiles — EXACT distributed quantiles per group via the
+# nearest-rank definition: rank_P = ceil(P/100 * n) computed in integer
+# arithmetic ((n*P + 99) // 100), value = the n_chars at that rank under a
+# total (n_chars, doc_id) order. One window shuffle per group + a slim
+# per-group count — no interpolation, so no float ulp drift between
+# engines (Spark percentile()/DuckDB quantile_cont interpolate p*(n-1) in
+# doubles and can differ in the last bit; nearest-rank is integer-exact).
+#
+# Scale note: per-group sort cost tracks group SIZE — correct when group
+# cardinality scales with the corpus (sources/domains/shards). For a few
+# giant groups at 100 TB the right tool is df.approxQuantile /
+# percentile_approx (Greenwald-Khanna summaries, mergeable map-side) at a
+# documented error bound; it is deliberately NOT oracled here because the
+# sketch is not cross-engine deterministic.
+# ---------------------------------------------------------------------------
+
+_PCTS = [50, 90, 99]
+
+
+def spark_source_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select(
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+    )
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("source"))
+    )
+    # ceil(p/100 * n) in pure integer arithmetic; max(when(...)) picks the
+    # single ranked row per group — partial-aggregable, one slim exchange
+    picks = [
+        F.max(
+            F.when(
+                F.col("rn") == F.expr(f"(n * {p} + 99) div 100"),
+                F.col("n_chars"),
+            )
+        ).alias(f"p{p}_n_chars")
+        for p in _PCTS
+    ]
+    return ranked.groupBy("source").agg(
+        F.max("n").alias("n_docs"), *picks
+    )
+
+
+_SOURCE_PCT_SQL = """
+WITH ranked AS (
+  SELECT source,
+         CAST(n_chars AS BIGINT) AS n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source,
+       CAST(max(n) AS BIGINT) AS n_docs,
+       {picks}
+FROM ranked
+GROUP BY source
+""".format(
+    picks=",\n       ".join(
+        "max(CASE WHEN rn = (n * %d + 99) // 100 THEN n_chars END) AS p%d_n_chars"
+        % (p, p)
+        for p in _PCTS
+    )
+)
+
+
+# ---------------------------------------------------------------------------
 # q_events_asof — as-of join (funnel attribution): for every 'error' event,
 # the latest 'click' by the same user at-or-before it. Spark side is the
 # single-shuffle tagged-union window formulation (operators/asof.py); the
@@ -3658,6 +3728,7 @@ SPARK_QUERIES = {
     "q_docs_events_join": spark_docs_events_join,
     "q_code_assign": spark_code_assign,
     "q_source_stats": spark_source_stats,
+    "q_source_percentiles": spark_source_percentiles,
     "q_convert_pipeline": spark_convert_pipeline,
     "q_line_ops": spark_line_ops,
     "q_running_tokens": spark_running_tokens,
@@ -3718,6 +3789,7 @@ ORACLE_SQL = {
     "q_docs_events_join": _DOCS_EVENTS_JOIN_SQL,
     "q_code_assign": _CODE_ASSIGN_SQL,
     "q_source_stats": _SOURCE_STATS_SQL,
+    "q_source_percentiles": _SOURCE_PCT_SQL,
     # golden oracles: sequential pure-Python execution of the same kernels,
     # committed as parquet (scripts/gen_goldens.py). The driver compares at
     # sf=0.01 (the default); evaluating the pair at another committed scale
