@@ -837,8 +837,12 @@ def minhash_wide_minima(
             F.conv(F.substring(F.md5("_sh"), 1, 8), 16, 10).cast("bigint") % p
         ).alias("_x"),
     )
+    # one F.expr per aggregate (1 py4j call each) instead of composed
+    # Column arithmetic (~6 calls each x 128 perms of driver-side latency)
     aggs = [
-        F.min((F.lit(a) * F.col("_x") + F.lit(b)) % p).alias(f"_m{i}")
+        F.expr(
+            "min((%d * _x + %d) %% %d)" % (a, b, MERSENNE_31)
+        ).alias(f"_m{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
     return hashed.groupBy(id_col).agg(*aggs)
