@@ -675,15 +675,19 @@ def simhash_sketches(
         .select(F.col(id_col), F.explode("_toks").alias("_tok"))
         .withColumn("_h", F.md5("_tok"))
     )
+    # one F.expr per bit aggregate: the composed sum(when(isin(...)))
+    # Column form cost ~8 py4j round trips per bit x 64 bits of
+    # driver-side build latency (measured ~5 s under load)
     aggs = []
     for b in range(n_bits):
         nib, mask = b // 4, 8 >> (b % 4)
-        chars = [c for c in "0123456789abcdef" if int(c, 16) & mask]
+        chars = ",".join(
+            "'%s'" % c for c in "0123456789abcdef" if int(c, 16) & mask
+        )
         aggs.append(
-            F.sum(
-                F.when(
-                    F.substring("_h", nib + 1, 1).isin(chars), 1
-                ).otherwise(-1)
+            F.expr(
+                "sum(CASE WHEN substring(_h, %d, 1) IN (%s) "
+                "THEN 1 ELSE -1 END)" % (nib + 1, chars)
             ).alias(f"_s{b}")
         )
     g = ex.groupBy(id_col).agg(*aggs)
