@@ -36,6 +36,7 @@ def asof_join(
     by: str,
     ts_col: str = "ts",
     right_prefix: str = "r_",
+    chunk_seconds: int | None = None,
 ) -> DataFrame:
     """Left as-of join. Output: every ``left`` row plus the payload columns
     of the matched right row aliased ``{right_prefix}{col}`` (NULL when no
@@ -45,6 +46,15 @@ def asof_join(
     greatest remaining payload (struct comparison in column order) wins —
     deterministic under any partitioning. Dedupe the right side first if
     a different tie policy is needed.
+
+    ``chunk_seconds`` is the SKEW escape hatch: the default plan sorts
+    each key's whole history in one window partition, so one giant key
+    (a bot user, a default/null key) serializes on a single task. With
+    chunking, windows run per (key, time-chunk) — parallelism is keys x
+    chunks — and a second, TINY pass (one row per key-chunk) computes the
+    carry: the last right payload of any earlier chunk, joined back on
+    the same (key, chunk) key the windows already shuffled on. Identical
+    output to the unchunked plan (pinned by test).
     """
     r_payload = [c for c in right.columns if c not in (by, ts_col)]
     if not r_payload:
@@ -69,14 +79,53 @@ def asof_join(
     # ORDER BY (_ts, _tag, _rp): right rows sort before the left row they
     # may match at equal _ts; among equal-_ts right rows the greatest
     # payload struct is nearest the current row, so last() picks it
-    w = (
-        Window.partitionBy(by)
-        .orderBy("_ts", "_tag", "_rp")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = unioned.withColumn(
-        "_match", F.last("_rp", ignorenulls=True).over(w)
-    ).filter(F.col("_tag") == 1)
+    if chunk_seconds is None:
+        w = (
+            Window.partitionBy(by)
+            .orderBy("_ts", "_tag", "_rp")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = unioned.withColumn(
+            "_match", F.last("_rp", ignorenulls=True).over(w)
+        ).filter(F.col("_tag") == 1)
+    else:
+        if chunk_seconds <= 0:
+            raise ValueError("chunk_seconds must be positive")
+        unioned = unioned.withColumn(
+            "_chunk", F.floor(F.unix_timestamp("_ts") / chunk_seconds)
+        )
+        wl = (
+            Window.partitionBy(by, "_chunk")
+            .orderBy("_ts", "_tag", "_rp")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        local = unioned.withColumn(
+            "_local", F.last("_rp", ignorenulls=True).over(wl)
+        )
+        # carry pass: ONE row per (key, chunk) — chunks that hold only
+        # left rows still emit a row (with NULL last payload) so the
+        # running last() below bridges right-free gaps
+        chunk_last = unioned.groupBy(by, "_chunk").agg(
+            F.max(
+                F.when(
+                    F.col("_rp").isNotNull(),
+                    F.struct("_ts", "_rp"),
+                )
+            )["_rp"].alias("_chunk_last")
+        )
+        wc = (
+            Window.partitionBy(by)
+            .orderBy("_chunk")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = chunk_last.withColumn(
+            "_carry", F.last("_chunk_last", ignorenulls=True).over(wc)
+        ).select(by, "_chunk", "_carry")
+        matched = (
+            local.join(carry, on=[by, "_chunk"], how="left")
+            .withColumn("_match", F.coalesce("_local", "_carry"))
+            .filter(F.col("_tag") == 1)
+        )
     return matched.select(
         *[F.col(f"_l_{c}").alias(c) for c in l_cols],
         *[

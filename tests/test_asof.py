@@ -164,3 +164,39 @@ def test_interval_count_join_matches_pandas(spark):
         ).collect()
     }
     assert out == expect and sum(out.values()) > 0
+
+
+def test_asof_chunked_equals_unchunked(spark):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(23)
+    base = pd.Timestamp("2024-01-01")
+    mk = lambda n, payload: pd.DataFrame(
+        {
+            "k": rng.randint(0, 6, n).astype("int64"),
+            "ts": base + pd.to_timedelta(rng.randint(0, 3600, n), unit="s")
+            + pd.to_timedelta(rng.randint(0, 1_000_000, n), unit="us"),
+            payload: np.arange(n, dtype="int64"),
+        }
+    )
+    lp, rp = mk(250, "lid"), mk(200, "rid")
+    # gap-bridging case: key 7 has rights only in the first minute,
+    # lefts half an hour later (many right-free chunks in between)
+    lp = pd.concat([lp, pd.DataFrame(
+        {"k": [7, 7], "ts": [base + pd.Timedelta(minutes=30),
+                             base + pd.Timedelta(minutes=40)],
+         "lid": [9001, 9002]})])
+    rp = pd.concat([rp, pd.DataFrame(
+        {"k": [7], "ts": [base + pd.Timedelta(seconds=10)], "rid": [9003]})])
+    left, right = spark.createDataFrame(lp), spark.createDataFrame(rp)
+    plain = {
+        r["lid"]: r["r_rid"]
+        for r in asof_join(left, right, by="k").collect()
+    }
+    chunked = {
+        r["lid"]: r["r_rid"]
+        for r in asof_join(left, right, by="k", chunk_seconds=60).collect()
+    }
+    assert plain == chunked
+    assert chunked[9001] == 9003 and chunked[9002] == 9003  # bridged gap
