@@ -28,6 +28,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+_TEMPORAL = (TimestampType, TimestampNTZType, DateType)
 
 
 def asof_join(
@@ -91,8 +94,14 @@ def asof_join(
     else:
         if chunk_seconds <= 0:
             raise ValueError("chunk_seconds must be positive")
+        # numeric ts columns (epoch seconds) chunk by plain division —
+        # unix_timestamp only accepts temporal types
+        ts_numeric = not isinstance(
+            left.schema[ts_col].dataType, _TEMPORAL
+        )
+        epoch = F.col("_ts") if ts_numeric else F.unix_timestamp("_ts")
         unioned = unioned.withColumn(
-            "_chunk", F.floor(F.unix_timestamp("_ts") / chunk_seconds)
+            "_chunk", F.floor(epoch / chunk_seconds)
         )
         wl = (
             Window.partitionBy(by, "_chunk")
@@ -170,8 +179,19 @@ def interval_count_join(
     if w <= 0:
         raise ValueError("window_seconds must be positive")
     l_cols = list(left.columns)
-    lb = F.floor(F.unix_timestamp(ts_col) / w)
-    ex_left = left.select(
+    ts_numeric = not isinstance(left.schema[ts_col].dataType, _TEMPORAL)
+    epoch = (
+        (lambda c: F.col(c)) if ts_numeric else (lambda c: F.unix_timestamp(c))
+    )
+    lb = F.floor(epoch(ts_col) / w)
+    # surrogate per-row id: grouping on the left COLUMNS would collapse
+    # duplicate left rows into one output row with a doubled count
+    # (partition-position based, deterministic for a deterministic input
+    # partitioning; never exposed in the output)
+    ex_left = left.withColumn(
+        "_lid", F.monotonically_increasing_id()
+    ).select(
+        "_lid",
         *[F.col(c).alias(f"_l_{c}") for c in l_cols],
         F.col(ts_col).alias("_lts"),
         F.col(by).alias("_lby"),
@@ -179,21 +199,22 @@ def interval_count_join(
     )
     tagged_r = right.select(
         F.col(by).alias("_rby"),
-        F.floor(F.unix_timestamp(ts_col) / w).alias("_bin"),
+        F.floor(epoch(ts_col) / w).alias("_bin"),
         F.col(ts_col).alias("_rts"),
     )
+    win = F.lit(w) if ts_numeric else F.expr(f"INTERVAL {w} SECONDS")
     cond = (
         (F.col("_lby") == F.col("_rby"))
         & (ex_left["_bin"] == tagged_r["_bin"])
-        & (F.col("_rts") >= F.col("_lts") - F.expr(f"INTERVAL {w} SECONDS"))
+        & (F.col("_rts") >= F.col("_lts") - win)
         & (F.col("_rts") < F.col("_lts"))
     )
     joined = ex_left.join(tagged_r, cond, how="left")
     return (
-        joined.groupBy(*[F.col(f"_l_{c}") for c in l_cols])
-        .agg(F.count("_rts").cast("bigint").alias(count_alias))
-        .select(
-            *[F.col(f"_l_{c}").alias(c) for c in l_cols],
-            count_alias,
+        joined.groupBy("_lid")
+        .agg(
+            *[F.first(f"_l_{c}").alias(c) for c in l_cols],
+            F.count("_rts").cast("bigint").alias(count_alias),
         )
+        .select(*l_cols, count_alias)
     )

@@ -700,6 +700,29 @@ def simhash_sketches(
     return g.select(F.col(id_col), bits.alias("simhash_bits"))
 
 
+def _exploded_shingles(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_width: int,
+) -> DataFrame:
+    """(id, _sh) — one row per word shingle, shingle STRINGS built
+    map-side by a cheap concat transform then exploded. Shared by the
+    narrow (minhash_bands) and wide (minhash_wide_minima) candidate tiers
+    so their tokenization/shingle semantics cannot diverge."""
+    base = df.withColumn("_toks", tokens_col(text_col)).filter(
+        F.size("_toks") >= shingle_width
+    )
+    n = F.size("_toks")
+    shingles = F.transform(
+        F.sequence(F.lit(1), n - (shingle_width - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("_toks", i + j) for j in range(shingle_width)]
+        ),
+    )
+    return base.select(F.col(id_col), F.explode(shingles).alias("_sh"))
+
+
 def minhash_bands(
     df: DataFrame,
     text_col: str = "text",
@@ -725,18 +748,7 @@ def minhash_bands(
     """
     if n_bands * band_rows > 4:
         raise ValueError("n_bands * band_rows must be <= 4 (md5 slice budget)")
-    toks = tokens_col(text_col)
-    base = df.withColumn("_toks", toks).filter(
-        F.size("_toks") >= shingle_width
-    )
-    n = F.size("_toks")
-    shingles = F.transform(
-        F.sequence(F.lit(1), n - (shingle_width - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at("_toks", i + j) for j in range(shingle_width)]
-        ),
-    )
-    ex = base.select(F.col(id_col), F.explode(shingles).alias("_sh"))
+    ex = _exploded_shingles(df, text_col, id_col, shingle_width)
     hashed = ex.select(F.col(id_col), F.md5("_sh").alias("_h"))
     aggs = []
     for k in range(n_bands):
@@ -824,17 +836,7 @@ def minhash_wide_minima(
 
     coeffs = minhash_perm_coeffs(n_perms)
     p = F.lit(MERSENNE_31)
-    base = df.withColumn("_toks", tokens_col(text_col)).filter(
-        F.size("_toks") >= shingle_width
-    )
-    n = F.size("_toks")
-    shingles = F.transform(
-        F.sequence(F.lit(1), n - (shingle_width - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at("_toks", i + j) for j in range(shingle_width)]
-        ),
-    )
-    ex = base.select(F.col(id_col), F.explode(shingles).alias("_sh"))
+    ex = _exploded_shingles(df, text_col, id_col, shingle_width)
     hashed = ex.select(
         F.col(id_col),
         (
@@ -883,13 +885,27 @@ def minhash_wide_pairs(
             "band_idx", "band_value"
         ),
     )
+    if max_bucket_size is not None:
+        # cap BEFORE collect_list: filtering on size(_ids) afterwards
+        # would still materialize the degenerate bucket's whole id list in
+        # one aggregation buffer (the exact OOM the cap exists to prevent
+        # — a boilerplate-heavy corpus can put ~the entire corpus in one
+        # band bucket). The count window shuffles on the SAME key the
+        # aggregation needs, and window buffers spill; collect_list
+        # buffers don't.
+        from pyspark.sql import Window
+
+        wcap = Window.partitionBy("band_idx", "band_value")
+        long = (
+            long.withColumn("_n", F.count("*").over(wcap))
+            .filter(F.col("_n") <= max_bucket_size)
+            .drop("_n")
+        )
     buckets = (
         long.groupBy("band_idx", "band_value")
         .agg(F.collect_list(id_col).alias("_ids"))
         .filter(F.size("_ids") >= 2)
     )
-    if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("_ids") <= max_bucket_size)
     # n^2 combination build inside the bucket (bounded by the cap); a<b
     # on the VALUES so the pair orientation is deterministic regardless
     # of collect_list's arrival order

@@ -234,9 +234,17 @@ def classifier_score(
     else:
         from pyspark.sql.functions import broadcast
 
-        vocab = weights.select(
-            F.col("token").alias("_tok"),
-            F.col("weight_micros").cast("bigint").alias("_w"),
+        # aggregate to ONE row per token first: a vocab with duplicate
+        # token rows (unioned sources) would fan the join out, inflating
+        # both the score and n_tokens. Duplicate weights SUM — the linear-
+        # model composition rule for repeated features.
+        vocab = (
+            weights.select(
+                F.col("token").alias("_tok"),
+                F.col("weight_micros").cast("bigint").alias("_w"),
+            )
+            .groupBy("_tok")
+            .agg(F.sum("_w").alias("_w"))
         )
         scored = ex.join(broadcast(vocab), on="_tok", how="left").select(
             F.col(id_col), F.coalesce("_w", F.lit(0)).alias("_w")

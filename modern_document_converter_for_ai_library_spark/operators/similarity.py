@@ -80,7 +80,7 @@ def lsh_bucket_col(vec_col: str, n_planes: int, dim: int):
         arr = ",".join(str(s) for s in row)
         bits.append(
             "CASE WHEN aggregate(transform(sequence(1, {dim}), "
-            "i -> FLOOR(CAST(element_at({vec}, i) AS DOUBLE) * {q}) * "
+            "i -> FLOOR(CAST(element_at(`{vec}`, i) AS DOUBLE) * {q}) * "
             "element_at(array({arr}), i)), 0L, (acc, x) -> acc + x) > 0 "
             "THEN '1' ELSE '0' END".format(
                 dim=dim, vec=vec_col, q=QSCALE, arr=arr

@@ -200,3 +200,28 @@ def test_asof_chunked_equals_unchunked(spark):
     }
     assert plain == chunked
     assert chunked[9001] == 9003 and chunked[9002] == 9003  # bridged gap
+
+
+def test_interval_count_join_duplicate_left_rows_and_numeric_ts(spark):
+    from modern_document_converter_for_ai_library_spark.operators.asof import (
+        interval_count_join,
+    )
+
+    # two IDENTICAL left rows must each get their own output row with the
+    # un-doubled count (regression: grouping on left columns collapsed
+    # them into one row with n=2); ts here is numeric epoch seconds,
+    # which the binning must also accept
+    left = spark.createDataFrame([(1, 30), (1, 30)], ["k", "ts"])
+    right = spark.createDataFrame([(1, 25)], ["k", "ts"])
+    rows = interval_count_join(
+        left, right, by="k", window_seconds=10
+    ).collect()
+    assert len(rows) == 2
+    assert [r["n_in_window"] for r in rows] == [1, 1]
+
+
+def test_asof_chunked_numeric_ts(spark):
+    left = spark.createDataFrame([(1, 100, "l")], ["k", "ts", "lv"])
+    right = spark.createDataFrame([(1, 40, "r")], ["k", "ts", "rv"])
+    out = asof_join(left, right, by="k", chunk_seconds=10).collect()
+    assert out[0]["r_rv"] == "r"  # bridged across 6 numeric chunks

@@ -81,7 +81,7 @@ def test_scurve_planted_neardups_collide_disjoint_dont(spark):
         (r["a"], r["b"]) for r in minhash_wide_pairs(bands).collect()
     }
     assert ("1", "2") in pairs
-    assert all({"3"} - set(p) for p in pairs) or ("3" not in {x for p in pairs for x in p})
+    assert "3" not in {x for p in pairs for x in p}
 
 
 def test_bucket_cap_drops_degenerate_bucket(spark):

@@ -222,3 +222,19 @@ def test_classifier_score_vocab_and_hashing(spark):
         w(t) for t in "good good prose here".split()
     )
     assert hashed[3]["score_micros"] == 0
+
+
+def test_classifier_score_duplicate_vocab_rows(spark):
+    from modern_document_converter_for_ai_library_spark.operators.quality import (
+        classifier_score,
+    )
+
+    docs = spark.createDataFrame([(1, "good day")], ["doc_id", "text"])
+    vocab = spark.createDataFrame(
+        [("good", 100_000), ("good", 50_000)], ["token", "weight_micros"]
+    )
+    out = classifier_score(docs, weights=vocab).collect()[0]
+    # duplicate rows SUM (linear-model composition); the join must not
+    # fan out the token row, so n_tokens stays the true count
+    assert out["score_micros"] == 150_000
+    assert out["n_tokens"] == 2
