@@ -32,7 +32,37 @@ def main() -> None:
     ap.add_argument("--dup-frac-pct", type=int, default=10)
     ap.add_argument("--cpus", type=int, default=24)
     ap.add_argument("--threshold-micros", type=int, default=700_000)
+    ap.add_argument("--tier", choices=["narrow", "wide", "both"], default="both")
+    ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
+
+    if args.tier == "both":
+        # one FRESH JVM per tier rep (warm-JVM ordering confounded the
+        # first measurement of this A/B: the second tier ran ~3x faster
+        # purely from codegen/JIT warmup); best-of-reps per tier
+        import subprocess
+
+        best = {}
+        for tier in ("narrow", "wide"):
+            for _ in range(args.reps):
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--docs", str(args.docs), "--cpus", str(args.cpus),
+                     "--dup-frac-pct", str(args.dup_frac_pct),
+                     "--threshold-micros", str(args.threshold_micros),
+                     "--tier", tier, "--reps", "1"],
+                    capture_output=True, text=True, timeout=3600,
+                )
+                line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+                r = json.loads(line)
+                cur = best.get(tier)
+                if cur is None or r[tier]["wall_sec"] < cur["wall_sec"]:
+                    best[tier] = r[tier]
+                    best["docs"] = r["docs"]
+                    best["planted_pairs"] = r["planted_pairs"]
+                    best["threshold_micros"] = r["threshold_micros"]
+        print(json.dumps(best))
+        return
 
     os.environ.setdefault("SPARK_DRIVER_MEMORY", f"{args.cpus * 2}g")
     from pyspark.sql import functions as F
@@ -105,7 +135,7 @@ def main() -> None:
         return v
 
     results = {}
-    for label in ("narrow", "wide"):
+    for label in ([args.tier] if args.tier != "both" else ["narrow", "wide"]):
         t0 = time.perf_counter()
         if label == "narrow":
             bands = minhash_bands(docs, n_bands=2, band_rows=2)
