@@ -945,3 +945,128 @@ def minhash_wide_pairs(
         .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
         .distinct()
     )
+
+
+def near_dedup_incremental(
+    new_df: DataFrame,
+    base_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_micros: int = 500_000,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dedup an INGEST BATCH against an existing corpus plus itself —
+    the continuously-ingested-corpus pattern: base-vs-base comparisons are
+    never generated (the base was deduped when it was ingested), so each
+    batch costs O(batch + touched-base), not O(corpus^2).
+
+    Candidate pairs use the production-width band tier restricted to
+    pairs with >= 1 new doc: the within-bucket combination filter simply
+    requires a new member, so a bucket holding only base docs emits
+    nothing. In production the base band table is computed ONCE at ingest
+    time and stored (it is a slim (id, 16 digests) table); here it is
+    derived from ``base_df`` for self-containment — the plan under the
+    bands is identical either way.
+
+    Verified pairs (exact shingle Jaccard, candidates only) feed the same
+    connected-component canonicalization as ``near_dedup``: a new doc
+    matching two different base docs legitimately links them through
+    itself. Output: ``new_df`` rows + ``canonical_doc_id`` (min id of the
+    component, which is a base id whenever any base doc participates) +
+    ``is_near_duplicate``.
+
+    Equality property (pinned by test): when the base has no internal
+    near-dups, the new docs' assignments equal running full ``near_dedup``
+    (wide tier) over base ∪ new.
+    """
+    nb = minhash_wide_bands(new_df, text_col, id_col).withColumn(
+        "_is_new", F.lit(True)
+    )
+    bb = minhash_wide_bands(base_df, text_col, id_col).withColumn(
+        "_is_new", F.lit(False)
+    )
+    n_bands = 16
+    band_cols = [f"band_{k}" for k in range(n_bands)]
+    long = nb.unionByName(bb).select(
+        F.col(id_col),
+        "_is_new",
+        F.posexplode(F.array(*[F.col(c) for c in band_cols])).alias(
+            "band_idx", "band_value"
+        ),
+    )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        wcap = Window.partitionBy("band_idx", "band_value")
+        long = (
+            long.withColumn("_n", F.count("*").over(wcap))
+            .filter(F.col("_n") <= max_bucket_size)
+            .drop("_n")
+        )
+    buckets = (
+        long.groupBy("band_idx", "band_value")
+        .agg(
+            F.collect_list(F.struct(F.col(id_col).alias("i"), "_is_new")).alias(
+                "_m"
+            )
+        )
+        .filter(F.size("_m") >= 2)
+    )
+    combos = F.filter(
+        F.flatten(
+            F.transform(
+                "_m",
+                lambda x: F.transform(
+                    "_m",
+                    lambda y: F.struct(
+                        x["i"].alias("a"),
+                        y["i"].alias("b"),
+                        (x["_is_new"] | y["_is_new"]).alias("n"),
+                    ),
+                ),
+            )
+        ),
+        lambda s: (s["a"] < s["b"]) & s["n"],
+    )
+    pairs = (
+        buckets.select(F.explode(combos).alias("_p"))
+        .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+        .distinct()
+        .persist()
+    )
+    try:
+        nodes = (
+            pairs.select(F.col("a").alias(id_col))
+            .unionByName(pairs.select(F.col("b").alias(id_col)))
+            .distinct()
+        )
+        corpus = new_df.select(F.col(id_col), F.col(text_col)).unionByName(
+            base_df.select(F.col(id_col), F.col(text_col))
+        )
+        cand = corpus.join(nodes, on=id_col, how="leftsemi")
+        sigs = (
+            cand.withColumn("_tokens", tokens_col(text_col))
+            .filter(F.size("_tokens") >= 3)
+            .select(
+                F.col(id_col),
+                shingle_hashes_col(F.col("_tokens"), 3).alias(
+                    "shingle_hashes"
+                ),
+            )
+        )
+        verified = jaccard_verify(sigs, pairs, id_col, threshold_micros)
+        labels = connected_canonical(verified).withColumnRenamed(
+            "node", id_col
+        )
+    finally:
+        pairs.unpersist()
+    return (
+        new_df.join(labels, on=id_col, how="left")
+        .withColumn(
+            "canonical_doc_id", F.coalesce("canonical", F.col(id_col))
+        )
+        .drop("canonical")
+        .withColumn(
+            "is_near_duplicate", F.col(id_col) != F.col("canonical_doc_id")
+        )
+    )

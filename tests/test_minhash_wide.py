@@ -130,3 +130,44 @@ def test_near_dedup_wide_tier(spark):
     assert out[2]["canonical_doc_id"] == 1 and out[2]["is_near_duplicate"]
     assert out[3]["canonical_doc_id"] == 1 and out[3]["is_near_duplicate"]
     assert out[4]["canonical_doc_id"] == 4 and not out[4]["is_near_duplicate"]
+
+
+def test_near_dedup_incremental_matches_full_recompute(spark):
+    from modern_document_converter_for_ai_library_spark.operators.dedup import (
+        near_dedup,
+        near_dedup_incremental,
+    )
+
+    mk = lambda seed, n=40: " ".join(f"{seed}tok{i}" for i in range(n))
+    base_rows = [
+        (10, mk("a")),
+        (20, mk("b")),
+        (30, mk("c")),
+        (40, mk("d")),
+    ]
+    new_rows = [
+        (101, mk("a", 38) + " edited tail"),   # near-dup of base 10
+        (102, mk("x")),                         # new-new dup pair with 103
+        (103, mk("x", 38) + " other ending"),
+        (104, mk("z")),                         # unique
+    ]
+    base = spark.createDataFrame(base_rows, ["doc_id", "text"])
+    new = spark.createDataFrame(new_rows, ["doc_id", "text"])
+    inc = {
+        r["doc_id"]: (r["canonical_doc_id"], r["is_near_duplicate"])
+        for r in near_dedup_incremental(new, base).collect()
+    }
+    assert inc[101] == (10, True)      # canonical is the BASE id
+    assert inc[102] == (102, False)
+    assert inc[103] == (102, True)     # new-new pair collapses
+    assert inc[104] == (104, False)
+    # equality with full recompute over the union (base has no internal
+    # near-dups, so restricting the full result to new ids must agree)
+    full = {
+        r["doc_id"]: (r["canonical_doc_id"], r["is_near_duplicate"])
+        for r in near_dedup(
+            base.unionByName(new), candidate_tier="wide"
+        ).collect()
+        if r["doc_id"] > 100
+    }
+    assert inc == full
