@@ -25,6 +25,11 @@ none of the binary-document libraries:
     .docx        python-docx paragraphs + tables (":105-143") [gated import]
     .doc         LibreOffice `soffice --headless` subprocess then .docx
                  (":146-201")                              [gated binary]
+    .epub/.mobi/
+    .azw/.azw3   legacy doc_to_markdown ebook tier: ebooklib (EPUB
+                 metadata) + calibre `ebook-convert` subprocess
+                 (zOld-Code/step3a…/doc_to_markdown/converters/ebook.py
+                 :1-207, metadata/ebook.py:1-143)          [gated binary]
 
 A missing dependency yields a per-row failure with the dependency named —
 the job never crashes on a format it cannot handle.
@@ -112,6 +117,19 @@ def _extract_doc_legacy(name: str, content: bytes) -> tuple[list[str], int]:
     )  # pragma: no cover
 
 
+def _extract_ebook(name: str, content: bytes) -> tuple[list[str], int]:
+    if shutil.which("ebook-convert") is None:
+        raise RuntimeError(
+            "ebook extraction requires calibre (ebook-convert) on every "
+            "executor (zOld-Code/step3a doc_to_markdown/converters/"
+            "ebook.py:43-88; metadata via ebooklib, metadata/ebook.py)"
+        )
+    raise RuntimeError(
+        "ebook-convert is a per-file subprocess; run it in the ingestion "
+        "tier, not inside the engine"
+    )  # pragma: no cover
+
+
 def default_extractor(strategy: str = "fast") -> Extractor:
     """Format dispatch mirroring text_extractor.py:398-440."""
 
@@ -125,6 +143,8 @@ def default_extractor(strategy: str = "fast") -> Extractor:
             return _extract_docx(name, content)
         if ext == ".doc":
             return _extract_doc_legacy(name, content)
+        if ext in (".epub", ".mobi", ".azw", ".azw3"):
+            return _extract_ebook(name, content)
         raise RuntimeError(f"Unsupported file format: {ext}")
 
     return _extract

@@ -17,6 +17,7 @@ def raw_dir(tmp_path_factory):
     (d / "beta.docx").write_bytes(b"docx bytes here")
     (d / "legacy.doc").write_bytes(b"old word file")
     (d / "notes.xyz").write_bytes(b"unknown format")
+    (d / "novel.epub").write_bytes(b"PK fake epub zip")
     return str(d)
 
 
@@ -26,8 +27,8 @@ def _make_fake_extractor():
     importable on executors)."""
 
     def _fake(name: str, content: bytes):
-        if name.endswith(".xyz"):
-            raise RuntimeError("Unsupported file format: .xyz")
+        if name.endswith((".xyz", ".epub")):
+            raise RuntimeError("Unsupported file format")
         pages = [p.decode("utf-8", "replace") for p in content.split(b"\x00")]
         return pages, len(pages)
 
@@ -44,7 +45,7 @@ def test_ingest_with_injected_extractor(spark, raw_dir):
             spark, raw_dir, extractor=_fake_extractor
         ).collect()
     }
-    assert len(out) == 4
+    assert len(out) == 5
     a = out["alpha"]
     assert a["success"] and a["n_pages"] == 2
     texts = [s["text"] for s in a["spans"]]
@@ -60,7 +61,7 @@ def test_ingest_default_extractor_gates_missing_deps(spark, raw_dir):
     """Without pdfplumber/python-docx/soffice every row fails cleanly with
     the dependency named — no exception escapes the job."""
     rows = ingest_binary_documents(spark, raw_dir).collect()
-    assert len(rows) == 4
+    assert len(rows) == 5
     by_id = {r["doc_id"]: r for r in rows}
     assert not by_id["alpha"]["success"]
     assert "pdfplumber" in by_id["alpha"]["error_message"]
@@ -69,6 +70,8 @@ def test_ingest_default_extractor_gates_missing_deps(spark, raw_dir):
     assert not by_id["legacy"]["success"]
     assert "soffice" in by_id["legacy"]["error_message"] or "LibreOffice" in by_id["legacy"]["error_message"]
     assert not by_id["notes"]["success"]
+    assert not by_id["novel"]["success"]
+    assert "calibre" in by_id["novel"]["error_message"] or "ebook-convert" in by_id["novel"]["error_message"]
 
 
 def test_ingest_plan_is_one_arrow_stage(spark, raw_dir):
