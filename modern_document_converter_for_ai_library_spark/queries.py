@@ -3555,6 +3555,152 @@ GROUP BY source
 
 
 # ---------------------------------------------------------------------------
+# q_filename_quality — the articles-variant filename-quality evaluator
+# (reference_semantics/filename_quality.py; differential-tested against the
+# ACTUAL zOld-Code filename_evaluator.py) as pure columns. Filenames are
+# synthesized deterministically per doc (5 shape classes incl. garbage);
+# both engines score with the same pattern lists.
+# ---------------------------------------------------------------------------
+
+
+def spark_filename_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from .reference_semantics.filename_quality import (
+        BAD_INDICATORS,
+        GARBAGE_PATTERNS,
+        GOOD_INDICATORS,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    t1 = F.coalesce(F.element_at(toks, 1), F.lit("x"))
+    t2 = F.coalesce(F.element_at(toks, 2), F.lit("y"))
+    cap = lambda c: F.concat(F.upper(F.substring(c, 1, 1)), F.lower(F.substring(c, 2, 100)))
+    m = F.col("doc_id") % 5
+    filename = (
+        F.when(m == 0, F.concat(F.lit("download_"), F.col("doc_id").cast("string"), F.lit(".pdf")))
+        .when(m == 1, F.concat(cap(t1), F.lit("_"), cap(t2), F.lit("_2019.pdf")))
+        .when(m == 2, F.concat(t1, F.lit(" "), t2, F.lit(" (1).pdf")))
+        .when(m == 3, F.concat((F.col("doc_id") * 7).cast("string"), F.lit(".pdf")))
+        .otherwise(F.concat(F.substring("text", 1, 60), F.lit(".docx")))
+    )
+    df = docs.select("doc_id", filename.alias("filename"))
+    stem = F.regexp_replace("filename", r"(?i)\.(pdf|docx?)$", "")
+    df = df.withColumn("_stem", stem)
+    garbage = reduce(
+        lambda a, b: a | b,
+        [F.col("_stem").rlike("(?i)" + p) for p in GARBAGE_PATTERNS],
+    )
+    bad = reduce(
+        lambda a, b: a + b,
+        [
+            F.lit(pen)
+            * F.size(F.regexp_extract_all("_stem", F.lit(p), F.lit(0)))
+            for p, pen in BAD_INDICATORS
+        ],
+    )
+    good = reduce(
+        lambda a, b: a + b,
+        [
+            F.when(F.col("_stem").rlike(p), bonus).otherwise(0)
+            for p, bonus in GOOD_INDICATORS
+        ],
+    )
+    meaningful = F.size(
+        F.filter(
+            F.regexp_extract_all("_stem", F.lit("[A-Z][a-z]+"), F.lit(0)),
+            lambda x: F.length(x) >= 3,
+        )
+    )
+    word_adj = (
+        F.when(meaningful >= 3, 1).when(meaningful <= 1, -1).otherwise(0)
+    )
+    ln = F.length("_stem")
+    len_adj = F.when(ln < 10, -1).when((ln >= 15) & (ln <= 80), 1).otherwise(0)
+    score = F.when(garbage, F.lit(-5)).otherwise(
+        bad + good + word_adj + len_adj
+    )
+    df = df.withColumn("score", score.cast("bigint"))
+    quality = (
+        F.when(garbage, "LOW")
+        .when(F.col("score") >= 3, "HIGH")
+        .when(F.col("score") >= 1, "MEDIUM")
+        .otherwise("LOW")
+    )
+    return df.select("doc_id", "filename", "score", quality.alias("quality"))
+
+
+def _filename_quality_sql() -> str:
+    from .reference_semantics.filename_quality import (
+        BAD_INDICATORS,
+        GARBAGE_PATTERNS,
+        GOOD_INDICATORS,
+    )
+
+    def q(p):  # escape for a single-quoted DuckDB literal
+        return p.replace("'", "''")
+
+    garbage = " OR ".join(
+        "regexp_matches(stem, '(?i)%s')" % q(p) for p in GARBAGE_PATTERNS
+    )
+    bad = " + ".join(
+        "(%d) * len(regexp_extract_all(stem, '%s'))" % (pen, q(p))
+        for p, pen in BAD_INDICATORS
+    )
+    good = " + ".join(
+        "CASE WHEN regexp_matches(stem, '%s') THEN %d ELSE 0 END" % (q(p), b)
+        for p, b in GOOD_INDICATORS
+    )
+    return """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), f AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN 'download_' || CAST(doc_id AS VARCHAR) || '.pdf'
+           WHEN 1 THEN upper(substring(COALESCE(toks[1], 'x'), 1, 1)) || lower(substring(COALESCE(toks[1], 'x'), 2, 100))
+                    || '_' || upper(substring(COALESCE(toks[2], 'y'), 1, 1)) || lower(substring(COALESCE(toks[2], 'y'), 2, 100))
+                    || '_2019.pdf'
+           WHEN 2 THEN COALESCE(toks[1], 'x') || ' ' || COALESCE(toks[2], 'y') || ' (1).pdf'
+           WHEN 3 THEN CAST(doc_id * 7 AS VARCHAR) || '.pdf'
+           ELSE substring(text, 1, 60) || '.docx'
+         END AS filename
+  FROM t
+), s AS (
+  SELECT doc_id, filename,
+         regexp_replace(filename, '(?i)\\.(pdf|docx?)$', '') AS stem
+  FROM f
+), sc AS (
+  SELECT doc_id, filename,
+         ({garbage}) AS garbage,
+         ({bad}) + ({good})
+           + (CASE WHEN len(list_filter(regexp_extract_all(stem, '[A-Z][a-z]+'), x -> length(x) >= 3)) >= 3 THEN 1
+                   WHEN len(list_filter(regexp_extract_all(stem, '[A-Z][a-z]+'), x -> length(x) >= 3)) <= 1 THEN -1
+                   ELSE 0 END)
+           + (CASE WHEN length(stem) < 10 THEN -1
+                   WHEN length(stem) BETWEEN 15 AND 80 THEN 1
+                   ELSE 0 END) AS raw_score
+  FROM s
+)
+SELECT doc_id, filename,
+       CAST(CASE WHEN garbage THEN -5 ELSE raw_score END AS BIGINT) AS score,
+       CASE WHEN garbage THEN 'LOW'
+            WHEN (CASE WHEN garbage THEN -5 ELSE raw_score END) >= 3 THEN 'HIGH'
+            WHEN (CASE WHEN garbage THEN -5 ELSE raw_score END) >= 1 THEN 'MEDIUM'
+            ELSE 'LOW' END AS quality
+FROM sc
+""".format(garbage=garbage, bad=bad, good=good)
+
+
+_FILENAME_QUALITY_SQL = _filename_quality_sql()
+
+
+# ---------------------------------------------------------------------------
 # q_events_asof — as-of join (funnel attribution): for every 'error' event,
 # the latest 'click' by the same user at-or-before it. Spark side is the
 # single-shuffle tagged-union window formulation (operators/asof.py); the
@@ -3734,6 +3880,7 @@ SPARK_QUERIES = {
     "q_running_tokens": spark_running_tokens,
     "q_multizone": spark_multizone,
     "q_filename_format": spark_filename_format,
+    "q_filename_quality": spark_filename_quality,
     "q_heading_context": spark_heading_context,
     "q_embed_neardup": spark_embed_neardup,
     "q_metadata_extract": spark_metadata_extract,
@@ -3801,6 +3948,7 @@ ORACLE_SQL = {
     "q_running_tokens": _RUNNING_SQL,
     "q_multizone": _MULTIZONE_SQL,
     "q_filename_format": _FILENAME_SQL,
+    "q_filename_quality": _FILENAME_QUALITY_SQL,
     "q_heading_context": _HEADING_CTX_SQL,
     "q_embed_neardup": _NEARDUP_SQL,
     "q_metadata_extract": _METADATA_SQL,
