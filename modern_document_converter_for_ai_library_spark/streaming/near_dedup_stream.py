@@ -1,0 +1,98 @@
+"""Streaming incremental NEAR-dedup: continuously-landing documents are
+near-deduplicated against the accumulated kept corpus, micro-batch by
+micro-batch (the training-data front door at crawl-ingest time).
+
+Exact streaming dedup (dedup_stream.py) keys the state store with a
+content hash; NEAR-dedup has no equality key, so the state is a TABLE —
+the kept corpus — and each micro-batch runs
+``near_dedup_incremental(batch, base)`` inside ``foreachBatch``:
+batch-vs-base and batch-vs-batch candidates only, never base-vs-base
+(operators/dedup.py). The base holds KEPT (canonical) docs only — a new
+doc is compared against survivors, not against previously-dropped
+near-duplicates; that bounds base growth to unique content, which is the
+production compromise (a doc near-dupping a dropped doc but not its
+canonical slips through — at high thresholds the gap is the S-curve
+tail).
+
+Idempotency: both the flagged output and the base delta are written to
+``batch_id=N`` subdirectories with overwrite, so a replayed micro-batch
+(foreachBatch is at-least-once) rewrites its own partition instead of
+appending duplicates — the same per-partition idempotency contract as
+the convert manifest sink.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..sources.synth import DOCS_SCHEMA
+
+
+def _flat_text(df: DataFrame) -> DataFrame:
+    """(doc_id, text) from the interleaved span shape — near-dup identity
+    is over the concatenated text spans, the same identity the batch
+    queries use."""
+    return df.select(
+        F.col("doc_id"),
+        F.array_join(
+            F.transform(
+                F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("text")),
+                lambda s: s["text"],
+            ),
+            " ",
+        ).alias("text"),
+    )
+
+
+def near_dedup_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    base_path: str,
+    available_now: bool = True,
+    threshold_micros: int = 500_000,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    from ..operators.dedup import near_dedup_incremental
+
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        batch = _flat_text(batch_df)
+        try:
+            base = sess.read.parquet(base_path).select("doc_id", "text")
+        except Exception:
+            base = sess.createDataFrame([], "doc_id string, text string")
+        base = base.withColumn(
+            "doc_id", F.col("doc_id").cast(batch.schema["doc_id"].dataType)
+        )
+        flagged = near_dedup_incremental(
+            batch, base, threshold_micros=threshold_micros
+        )
+        flagged.write.mode("overwrite").parquet(
+            os.path.join(output_path, f"batch_id={batch_id}")
+        )
+        kept = sess.read.parquet(
+            os.path.join(output_path, f"batch_id={batch_id}")
+        ).filter(~F.col("is_near_duplicate")).select("doc_id", "text")
+        kept.write.mode("overwrite").parquet(
+            os.path.join(base_path, f"batch_id={batch_id}")
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,94 @@
+"""Streaming incremental near-dedup: micro-batches dedup against the
+accumulated kept corpus (cross-batch detection via the base table), and a
+replayed batch id overwrites its own partition (idempotent)."""
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from modern_document_converter_for_ai_library_spark.sources.synth import DOCS_SCHEMA
+from modern_document_converter_for_ai_library_spark.streaming.near_dedup_stream import (
+    near_dedup_stream,
+)
+
+BASE_TEXT = (
+    "the quick brown fox jumps over the lazy dog while the band plays "
+    "a slow waltz under paper lanterns in the crowded summer square"
+)
+
+
+def _doc(doc_id: str, text: str):
+    return (
+        doc_id,
+        f"{doc_id}.pdf",
+        [{"kind": "text", "text": text, "media_ref": "", "offset": 0}],
+    )
+
+
+def _write_batch(spark, path: str, name: str, rows):
+    df = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+    scratch = tempfile.mkdtemp(prefix="ndstream_w_")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(scratch)
+        part = [f for f in os.listdir(scratch) if f.endswith(".parquet")][0]
+        shutil.copy(
+            os.path.join(scratch, part), os.path.join(path, f"{name}.parquet")
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_near_dedup_stream_cross_batch(spark):
+    src = tempfile.mkdtemp(prefix="ndstream_src_")
+    out = tempfile.mkdtemp(prefix="ndstream_out_")
+    ckpt = tempfile.mkdtemp(prefix="ndstream_ckpt_")
+    base = tempfile.mkdtemp(prefix="ndstream_base_")
+    shutil.rmtree(base)  # stream creates it
+    try:
+        # phase 1: a + its near-dup a2 + unique c
+        _write_batch(
+            spark, src, "b1",
+            [
+                _doc("a", BASE_TEXT),
+                _doc("a2", BASE_TEXT + " with a tiny suffix appended"),
+                _doc("c", "completely different content about gardening and bread recipes today"),
+            ],
+        )
+        q = near_dedup_stream(spark, src, out, ckpt, base)
+        q.awaitTermination(180)
+        got1 = {
+            r["doc_id"]: (r["canonical_doc_id"], r["is_near_duplicate"])
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got1["a"] == ("a", False)
+        assert got1["a2"] == ("a", True)
+        assert got1["c"] == ("c", False)
+        kept1 = {r["doc_id"] for r in spark.read.parquet(base).collect()}
+        assert kept1 == {"a", "c"}
+
+        # phase 2 (restart from checkpoint): a3 near-dups the BASE doc a;
+        # d is new. Only the new file is processed.
+        _write_batch(
+            spark, src, "b2",
+            [
+                _doc("a3", BASE_TEXT + " and one more little twist"),
+                _doc("d", "sailing ships and harbor towns feature in this other text"),
+            ],
+        )
+        q = near_dedup_stream(spark, src, out, ckpt, base)
+        q.awaitTermination(180)
+        got2 = {
+            r["doc_id"]: (r["canonical_doc_id"], r["is_near_duplicate"])
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got2["a3"] == ("a", True)  # matched against the BASE corpus
+        assert got2["d"] == ("d", False)
+        kept2 = {r["doc_id"] for r in spark.read.parquet(base).collect()}
+        assert kept2 == {"a", "c", "d"}
+        # phase-1 rows unchanged in the output
+        assert got2["a"] == ("a", False) and got2["a2"] == ("a", True)
+    finally:
+        for p in (src, out, ckpt, base):
+            shutil.rmtree(p, ignore_errors=True)
