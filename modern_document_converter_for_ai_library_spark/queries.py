@@ -2652,6 +2652,80 @@ GROUP BY src
 
 
 # ---------------------------------------------------------------------------
+# q_near_dedup_wide — the same end-to-end canonicalization through the
+# PRODUCTION-width candidate tier (near_dedup(candidate_tier="wide"): 128
+# perms, 16x8 bands, bucket-local pairs). The oracle re-derives the wide
+# bands with the identical integer family and computes the full recursive
+# transitive closure over its verified pairs.
+# ---------------------------------------------------------------------------
+
+
+def spark_near_dedup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import near_dedup
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    out = near_dedup(docs, threshold_micros=500_000, candidate_tier="wide")
+    return out.select(
+        "doc_id",
+        F.col("canonical_doc_id").cast("bigint").alias("canonical_doc_id"),
+        "is_near_duplicate",
+    )
+
+
+def _near_dedup_wide_sql() -> str:
+    band_rows = _MINHASH_WIDE_PERMS // _MINHASH_WIDE_BANDS
+    band_exprs = ", ".join(
+        "md5(concat_ws('-', %s))"
+        % ", ".join(
+            "m_%d::VARCHAR" % (k * band_rows + j) for j in range(band_rows)
+        )
+        for k in range(_MINHASH_WIDE_BANDS)
+    )
+    cte = _minhash_wide_sql_cte(_MINHASH_WIDE_PERMS).replace(
+        "WITH t AS", "WITH RECURSIVE t AS", 1
+    )
+    return cte + """
+, b AS (
+  SELECT doc_id, sset, [{bands}] AS bands FROM m
+), long AS (
+  SELECT doc_id, sset, i.i AS band_idx, bands[i.i] AS band_value
+  FROM b CROSS JOIN (SELECT unnest(range(1, {nb1})) AS i) i
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM long x JOIN long y
+    ON x.band_idx = y.band_idx AND x.band_value = y.band_value
+   AND x.doc_id < y.doc_id
+), v AS (
+  SELECT c.a, c.b
+  FROM cand c
+  JOIN x sa ON sa.doc_id = c.a
+  JOIN x sb ON sb.doc_id = c.b
+  WHERE (CAST(len(list_intersect(sa.sset, sb.sset)) AS BIGINT) * 1000000)
+        // (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)))
+        >= 500000
+), e AS (
+  SELECT a AS src, b AS dst FROM v
+  UNION ALL
+  SELECT b AS src, a AS dst FROM v
+), reach(src, dst) AS (
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+)
+SELECT src AS doc_id,
+       CAST(min(dst) AS BIGINT) AS canonical_doc_id,
+       min(dst) <> src AS is_near_duplicate
+FROM reach
+GROUP BY src
+""".format(bands=band_exprs, nb1=_MINHASH_WIDE_BANDS + 1)
+
+
+_NEAR_DEDUP_WIDE_SQL = _near_dedup_wide_sql()
+
+
+# ---------------------------------------------------------------------------
 # q_near_dedup_chain — transitive-chain collapse at the ORACLE level: docs
 # are grouped in threes with sliding 24-token windows (4-token shift), so
 # within a group A~B and B~C clear the Jaccard threshold while A~C does NOT
@@ -3890,6 +3964,7 @@ SPARK_QUERIES = {
     "q_code_discovery": spark_code_discovery,
     "q_rename_pipeline": spark_rename_pipeline,
     "q_near_dedup": spark_near_dedup,
+    "q_near_dedup_wide": spark_near_dedup_wide,
     "q_near_dedup_chain": spark_near_dedup_chain,
     "q_ivf_topk": spark_ivf_topk,
     "q_salted_host_agg": spark_salted_host_agg,
@@ -3957,6 +4032,7 @@ ORACLE_SQL = {
     "q_frontmatter": _FRONTMATTER_SQL,
     "q_code_discovery": _CODE_DISCOVERY_SQL,
     "q_near_dedup": _NEAR_DEDUP_SQL,
+    "q_near_dedup_wide": _NEAR_DEDUP_WIDE_SQL,
     "q_near_dedup_chain": _NEAR_DEDUP_CHAIN_SQL,
     "q_ivf_topk": _IVF_SQL,
     "q_salted_host_agg": _SALTED_HOST_SQL,
