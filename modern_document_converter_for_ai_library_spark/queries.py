@@ -3908,6 +3908,233 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# q_caselaw_metadata — CM1-CM9 legacy caselaw DEEP-metadata extraction
+# (zOld-Code/step1--Base_FILENAME--a-caselaw/src/extractors/
+# metadata_extractor.py): disposition, opinion author/type, lower-court
+# judge, appellate panel, separate-opinion votes (incl. the section-header
+# double-filing bug), counsel of record, docket, decision date, the
+# compact-reporter -> legal-citation formatter, and the weighted overall
+# confidence. The Spark side synthesizes a deterministic court-opinion
+# text per doc and runs the REAL Arrow kernel (operators/caselaw_meta.py,
+# differential-tested against the actual reference module); the oracle
+# derives every expected field in closed form from the same generative
+# model — an INDEPENDENT derivation, so any kernel deviation breaks the
+# hash. Even docs carry a [LAST_PAGES_SECTION] marker plus a PRE-marker
+# decoy dissent that footer scoping must exclude; the vv=1 variant pins
+# the lazy section-header pattern's double-filing of "concurring in part"
+# under plain concurring too.
+# ---------------------------------------------------------------------------
+
+_CM_NAMES = [
+    "Kalpha", "Kbravo", "Kdelta", "Kecho",
+    "Kfoxtrot", "Kgolfer", "Khotelo", "Kindigo",
+]
+
+
+def spark_caselaw_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.caselaw_meta import extract_deep_metadata
+
+    df = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("bigint")
+    day = F.length("text") % 28 + 1
+    arr = F.array(*[F.lit(n) for n in _CM_NAMES])
+
+    def nm(k: int):
+        return F.element_at(arr, ((did % 8 + k) % 8 + 1).cast("int"))
+
+    n1, n2, n3, jn, an, vn, a1, a2 = [nm(k) for k in range(8)]
+    cv = did % 4
+    yv = did % 3
+    rv = did % 5
+    dk = (did + 1) % 3
+    dt = (did + 1) % 4
+    dv = (did + 2) % 4
+    tv = (did + 2) % 3
+    par = did % 2
+    vv = F.floor(did / 3).cast("bigint") % 3
+    av = F.floor(did / 2).cast("bigint") % 2
+    a_ = (did % 90 + 10).cast("string")
+    b_ = (did % 9000 + 1000).cast("string")
+    v_ = (did % 900 + 100).cast("string")
+    p_ = (did % 990 + 10).cast("string")
+    b2 = (did % 90000 + 10000).cast("string")
+    yd = (did % 100 + 1925).cast("string")
+
+    court = F.element_at(
+        F.array(
+            F.lit(""), F.lit("Ga. Ct. App."), F.lit("Eleventh Circuit"), F.lit("ND Ill.")
+        ),
+        (cv + 1).cast("int"),
+    )
+    year_r = F.when(yv == 0, F.lit("")).otherwise((did % 50 + 1950).cast("string"))
+    reporter = (
+        F.when(rv == 0, F.lit(""))
+        .when(rv == 1, F.lit("Unpub"))
+        .when(rv == 2, F.concat(v_, F.lit("_GaApp_"), p_))
+        .when(rv == 3, F.concat(F.lit("WL_"), b2))
+        .otherwise(F.concat(v_, F.lit("_Zxq_"), p_))
+    )
+
+    ldk = F.when(dk == 0, F.concat(F.lit("No. "), a_, F.lit("-"), b_)).when(
+        dk == 1, F.concat(F.lit("Case No. 1:"), a_, F.lit("-cv-"), b_)
+    )
+    dstr = day.cast("string")
+    ldt = (
+        F.when(dt == 0, F.concat(F.lit("Decided: January "), dstr, F.lit(", "), yd))
+        .when(dt == 1, F.concat(F.lit("Argued: March "), dstr, F.lit(", "), yd))
+        .when(
+            dt == 2,
+            F.concat(F.lit("September "), dstr, F.lit(", "), yd, F.lit(", in open court.")),
+        )
+    )
+    ldv = (
+        F.when(dv == 0, F.lit("The judgment is AFFIRMED."))
+        .when(dv == 1, F.lit("We REVERSE in part."))
+        .when(dv == 2, F.lit("Disposition: Granted."))
+    )
+    lau = F.when(tv == 0, F.lit("PER CURIAM")).when(
+        tv == 1,
+        F.concat(F.lit("Justice "), an, F.lit(" delivered the opinion of the Court.")),
+    )
+    lty = F.when(tv == 1, F.lit("PLURALITY OPINION"))
+    lpj = F.when(
+        par == 0, F.concat(F.lit("before District Judge "), jn, F.lit("."))
+    ).otherwise(
+        F.concat(
+            F.lit("Before "), n1, F.lit(", "), n2, F.lit(", and "), n3,
+            F.lit(", Circuit Judges."),
+        )
+    )
+    lat = F.when(
+        av == 0, F.concat(a1, F.lit(" "), a2, F.lit(", Atlanta, Georgia, for appellee."))
+    )
+    ldec = F.when(par == 0, F.lit("Kzulu, J., dissenting."))
+    lmk = F.when(par == 0, F.lit("[LAST_PAGES_SECTION]"))
+    lvv = F.when(vv == 0, F.concat(vn, F.lit(", J., dissenting."))).when(
+        vv == 1, F.concat(vn, F.lit(", J., concurring in part."))
+    )
+    # concat_ws skips NULLs — absent variants contribute no line
+    text = F.concat_ws("\n", ldk, ldt, ldv, lau, lty, lpj, lat, ldec, lmk, lvv)
+
+    inp = df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        text.alias("text"),
+        F.concat(n1, F.lit(" v. "), n2).alias("case_name"),
+        court.alias("court"),
+        year_r.alias("year"),
+        reporter.alias("reporter"),
+        F.concat(F.lit("case_"), did.cast("string"), F.lit(".pdf")).alias("source_file"),
+    )
+    out = extract_deep_metadata(inp)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "case_name",
+        "court",
+        F.col("year").alias("year_r"),
+        "citation",
+        "disposition",
+        F.col("disposition_confidence").alias("dispo_conf"),
+        F.col("opinion_author").alias("author"),
+        F.col("opinion_author_confidence").alias("author_conf"),
+        F.col("opinion_type").alias("op_type"),
+        F.col("opinion_type_confidence").alias("type_conf"),
+        F.col("lower_court_judge").alias("lower_judge"),
+        F.concat_ws(",", "panel_members").alias("panel"),
+        F.concat_ws(",", "concurring").alias("concurring"),
+        F.concat_ws(",", "dissenting").alias("dissenting"),
+        F.concat_ws(",", "concurring_in_part").alias("concur_part"),
+        F.col("concurring_dissenting_confidence").alias("cd_conf"),
+        F.concat_ws(",", "att_appellee").alias("att_appellee"),
+        F.col("docket_number").alias("docket"),
+        F.col("docket_number_confidence").alias("docket_conf"),
+        "date_decided",
+        F.col("date_decided_confidence").alias("date_conf"),
+        F.col("extraction_confidence").alias("overall_conf"),
+    )
+
+
+_CASELAW_META_SQL = r"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS did, length(text) % 28 + 1 AS day
+  FROM documents
+), x AS (
+  SELECT did, day,
+    ['Kalpha','Kbravo','Kdelta','Kecho','Kfoxtrot','Kgolfer','Khotelo','Kindigo'] AS nms,
+    did % 4 AS cv, did % 3 AS yv, did % 5 AS rv,
+    (did + 1) % 3 AS dk, (did + 1) % 4 AS dt, (did + 2) % 4 AS dv,
+    (did + 2) % 3 AS tv, did % 2 AS par,
+    (did // 3) % 3 AS vv, (did // 2) % 2 AS av,
+    CAST(did % 90 + 10 AS VARCHAR) AS a_, CAST(did % 9000 + 1000 AS VARCHAR) AS b_,
+    CAST(did % 900 + 100 AS VARCHAR) AS v_, CAST(did % 990 + 10 AS VARCHAR) AS p_,
+    CAST(did % 90000 + 10000 AS VARCHAR) AS b2, CAST(did % 100 + 1925 AS VARCHAR) AS yd
+  FROM d
+), y AS (
+  SELECT *,
+    nms[CAST((did % 8 + 0) % 8 + 1 AS INT)] AS n1,
+    nms[CAST((did % 8 + 1) % 8 + 1 AS INT)] AS n2,
+    nms[CAST((did % 8 + 2) % 8 + 1 AS INT)] AS n3,
+    nms[CAST((did % 8 + 3) % 8 + 1 AS INT)] AS jn,
+    nms[CAST((did % 8 + 4) % 8 + 1 AS INT)] AS an,
+    nms[CAST((did % 8 + 5) % 8 + 1 AS INT)] AS vn,
+    nms[CAST((did % 8 + 6) % 8 + 1 AS INT)] AS a1,
+    nms[CAST((did % 8 + 7) % 8 + 1 AS INT)] AS a2,
+    CASE WHEN did % 4 = 1 THEN 'Ga. Ct. App.'
+         WHEN did % 4 = 2 THEN 'Eleventh Circuit'
+         WHEN did % 4 = 3 THEN 'ND Ill.' ELSE '' END AS court,
+    CASE WHEN did % 3 = 0 THEN '' ELSE CAST(did % 50 + 1950 AS VARCHAR) END AS year_r
+  FROM x
+), z AS (
+  SELECT *,
+    CASE WHEN rv = 2 THEN v_ || ' Ga. App. ' || p_
+         WHEN rv = 3 THEN 'WL ' || b2
+         WHEN rv = 4 THEN v_ || ' Zxq ' || p_ ELSE '' END AS citation,
+    CASE WHEN dv = 0 THEN 'Affirmed' WHEN dv = 1 THEN 'Reverse in part'
+         WHEN dv = 2 THEN 'Granted' ELSE '' END AS disposition,
+    CASE WHEN dv = 0 OR dv = 2 THEN 'HIGH' WHEN dv = 1 THEN 'MEDIUM' ELSE '' END AS dispo_conf,
+    CASE WHEN tv = 0 THEN 'Per Curiam' WHEN tv = 1 THEN an ELSE '' END AS author,
+    CASE WHEN tv <= 1 THEN 'HIGH' ELSE '' END AS author_conf,
+    CASE WHEN tv = 0 THEN 'Per Curiam' WHEN tv = 1 THEN 'Plurality' ELSE '' END AS op_type,
+    CASE WHEN tv <= 1 THEN 'HIGH' ELSE '' END AS type_conf,
+    CASE WHEN par = 0 THEN jn ELSE '' END AS lower_judge,
+    CASE WHEN par = 1 THEN n1 || ',' || n2 || ',' || n3 ELSE '' END AS panel,
+    CASE WHEN vv = 1 THEN vn ELSE '' END AS concurring,
+    CASE WHEN vv = 0 THEN vn ELSE '' END AS dissenting,
+    CASE WHEN vv = 1 THEN vn ELSE '' END AS concur_part,
+    CASE WHEN vv <= 1 THEN 'MEDIUM' ELSE '' END AS cd_conf,
+    CASE WHEN av = 0 THEN a1 || ' ' || a2 ELSE '' END AS att_appellee,
+    CASE WHEN dk = 0 THEN a_ || '-' || b_
+         WHEN dk = 1 THEN '1:' || a_ || '-cv-' || b_ ELSE '' END AS docket,
+    CASE WHEN dk <= 1 THEN 'HIGH' ELSE '' END AS docket_conf,
+    CASE WHEN dt = 0 THEN 'January ' || day || ', ' || yd
+         WHEN dt = 1 THEN 'March ' || day || ', ' || yd
+         WHEN dt = 2 THEN 'September ' || day || ', ' || yd ELSE '' END AS date_decided,
+    CASE WHEN dt = 0 THEN 'HIGH' WHEN dt <= 2 THEN 'MEDIUM' ELSE '' END AS date_conf
+  FROM y
+)
+SELECT did AS doc_id,
+  n1 || ' v. ' || n2 AS case_name,
+  court, year_r, citation, disposition, dispo_conf, author, author_conf,
+  op_type, type_conf, lower_judge, panel, concurring, dissenting,
+  concur_part, cd_conf, att_appellee, docket, docket_conf, date_decided,
+  date_conf,
+  CASE WHEN s >= 16 THEN 'HIGH' WHEN s >= 10 THEN 'MEDIUM' ELSE 'LOW' END AS overall_conf
+FROM (
+  SELECT *,
+    3
+    + CASE WHEN court <> '' THEN 3 ELSE 0 END
+    + CASE WHEN year_r <> '' THEN 3 ELSE 0 END
+    + CASE WHEN citation <> '' THEN 3 ELSE 0 END
+    + CASE WHEN date_decided <> '' THEN 2 ELSE 0 END
+    + CASE WHEN docket <> '' THEN 2 ELSE 0 END
+    + CASE WHEN disposition <> '' THEN 2 ELSE 0 END
+    + CASE WHEN author <> '' THEN 1 ELSE 0 END
+    + CASE WHEN panel <> '' THEN 1 ELSE 0 END AS s
+  FROM z
+)
+"""
+
+
 import os as _os
 
 _ORACLE_SF_TAG = _os.environ.get("SPARK_GRAFT_ORACLE_SF", "0.01").replace(".", "_")
@@ -3973,6 +4200,7 @@ SPARK_QUERIES = {
     "q_boilerplate_density": spark_boilerplate_density,
     "q_article_metadata": spark_article_metadata,
     "q_filename_index": spark_filename_index,
+    "q_caselaw_metadata": spark_caselaw_metadata,
 }
 
 ORACLE_SQL = {
@@ -4041,4 +4269,5 @@ ORACLE_SQL = {
     "q_boilerplate_density": _BOILERPLATE_DENSITY_SQL,
     "q_article_metadata": _ARTICLE_SQL,
     "q_filename_index": _FILENAME_INDEX_SQL,
+    "q_caselaw_metadata": _CASELAW_META_SQL,
 }
