@@ -130,6 +130,42 @@ def _meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows, columns=_COLS)
 
 
+CASE_NAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", _S),
+        T.StructField("case_name", _S),
+        T.StructField("case_name_source", _S),
+    ]
+)
+
+
+def _case_name_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..reference_semantics.case_name_legacy import legacy_case_name_for_doc
+
+    for pdf in batches:
+        rows = []
+        for doc_id, text, source_file in zip(
+            pdf["doc_id"], pdf["text"], pdf["source_file"]
+        ):
+            res = legacy_case_name_for_doc(
+                str(text) if text is not None else "",
+                str(source_file) if source_file is not None else "",
+            )
+            res["doc_id"] = str(doc_id)
+            rows.append(res)
+        yield pd.DataFrame(rows, columns=[f.name for f in CASE_NAME_SCHEMA.fields])
+
+
+def legacy_case_names(df: DataFrame) -> DataFrame:
+    """Run the legacy composed case-name flow (CN1-CN4: caption mining,
+    filename fallback, abbreviation expansion, smart party formatting);
+    expects ``doc_id``, ``text``, ``source_file``. Map-only Arrow stage,
+    same scale shape as :func:`extract_deep_metadata`."""
+    return df.select("doc_id", "text", "source_file").mapInPandas(
+        _case_name_batches, schema=CASE_NAME_SCHEMA
+    )
+
+
 def extract_deep_metadata(df: DataFrame) -> DataFrame:
     """Run the legacy deep-metadata pass; expects ``doc_id``, ``text``
     (full extracted document text) and the renamer-result columns

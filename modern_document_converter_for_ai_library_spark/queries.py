@@ -4135,6 +4135,105 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# q_case_name_legacy — CN1-CN4 legacy case-name caption extraction +
+# smart filename formatting (zOld-Code/step1--Base_FILENAME--a-caselaw/
+# src/formatters/case_name_formatter.py + renamer.py:157-172). Four
+# deterministic caption shapes per doc (own-line "v" with party-suffix
+# cleanup, same-line caption, filename-parenthetical fallback, plain-stem
+# fallback) over a six-party pool covering every smart-selection branch
+# (single word, first-word corporate, 3-word surname, geographic pair,
+# corporate stop-list, U.S.-abbreviation expansion). The oracle derives
+# the formatted name in closed form from the party index — independent of
+# the kernel's regex walk.
+# ---------------------------------------------------------------------------
+
+_CN_PARTIES = [
+    "Kmart",
+    "Kmart Holdings",
+    "John Henry Alden",
+    "United States",
+    "Alden Trading Corp",
+    "U.S.",
+]
+_CN_FORMATTED = ["Kmart", "Kmart", "Alden", "United-States", "Alden", "United-States"]
+
+
+def spark_case_name_legacy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.caselaw_meta import legacy_case_names
+
+    df = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("bigint")
+    sv = did % 4
+    parr = F.array(*[F.lit(p) for p in _CN_PARTIES])
+    left = F.element_at(parr, (did % 6 + 1).cast("int"))
+    right = F.element_at(parr, ((did + 2) % 6 + 1).cast("int"))
+
+    safe_text = F.lit("Syllabus\nOctober Term\nNo precedent cited.")
+    text = (
+        F.when(
+            sv == 0,
+            F.concat_ws(
+                "\n",
+                F.lit("Supreme Court of Testonia"),
+                F.concat(left, F.lit(", Petitioner")),
+                F.lit("v."),
+                F.concat(right, F.lit(", Respondent")),
+                F.lit("Decided in term."),
+            ),
+        )
+        .when(
+            sv == 1,
+            F.concat_ws(
+                "\n",
+                F.concat(left, F.lit(" v. "), right),
+                F.lit("October Term"),
+                F.lit("Syllabus"),
+            ),
+        )
+        .otherwise(safe_text)
+    )
+    fname = (
+        F.when(
+            sv == 2,
+            F.concat(left, F.lit(" v "), right, F.lit(" (Testonia 2014).pdf")),
+        )
+        .when(sv == 3, F.concat(F.lit("Casedoc"), did.cast("string"), F.lit(".pdf")))
+        .otherwise(F.lit("ignored.pdf"))
+    )
+
+    inp = df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        text.alias("text"),
+        fname.alias("source_file"),
+    )
+    out = legacy_case_names(inp)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "case_name",
+        F.col("case_name_source").alias("source"),
+    )
+
+
+_CASE_NAME_SQL = r"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS did FROM documents
+), x AS (
+  SELECT did, did % 4 AS sv,
+    (['Kmart','Kmart','Alden','United-States','Alden','United-States'])[
+      CAST(did % 6 + 1 AS INT)] AS fl,
+    (['Kmart','Kmart','Alden','United-States','Alden','United-States'])[
+      CAST((did + 2) % 6 + 1 AS INT)] AS fr
+  FROM d
+)
+SELECT did AS doc_id,
+  CASE WHEN sv <= 2 THEN fl || '-v-' || fr
+       ELSE 'Casedoc' || CAST(did AS VARCHAR) END AS case_name,
+  CASE WHEN sv <= 1 THEN 'document' ELSE 'filename' END AS source
+FROM x
+"""
+
+
 import os as _os
 
 _ORACLE_SF_TAG = _os.environ.get("SPARK_GRAFT_ORACLE_SF", "0.01").replace(".", "_")
@@ -4201,6 +4300,7 @@ SPARK_QUERIES = {
     "q_article_metadata": spark_article_metadata,
     "q_filename_index": spark_filename_index,
     "q_caselaw_metadata": spark_caselaw_metadata,
+    "q_case_name_legacy": spark_case_name_legacy,
 }
 
 ORACLE_SQL = {
@@ -4270,4 +4370,5 @@ ORACLE_SQL = {
     "q_article_metadata": _ARTICLE_SQL,
     "q_filename_index": _FILENAME_INDEX_SQL,
     "q_caselaw_metadata": _CASELAW_META_SQL,
+    "q_case_name_legacy": _CASE_NAME_SQL,
 }
