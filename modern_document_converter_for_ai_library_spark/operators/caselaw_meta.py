@@ -166,6 +166,61 @@ def legacy_case_names(df: DataFrame) -> DataFrame:
     )
 
 
+LEGACY_RENAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", _S),
+        T.StructField("court", _S),
+        T.StructField("court_source", _S),
+        T.StructField("year", _S),
+        T.StructField("year_source", _S),
+        T.StructField("case_name", _S),
+        T.StructField("case_name_source", _S),
+        T.StructField("reporter", _S),
+        T.StructField("reporter_source", _S),
+        T.StructField("new_filename", _S),
+        T.StructField("confidence", _S),
+        T.StructField("notes", _A),
+    ]
+)
+
+_LR_IN = ["doc_id", "text", "file_name", "court", "court_source", "reporter", "reporter_source"]
+
+
+def _legacy_rename_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..reference_semantics.caselaw_dates import legacy_rename_for_doc
+
+    cols = [f.name for f in LEGACY_RENAME_SCHEMA.fields]
+    for pdf in batches:
+        rows = []
+        for doc_id, text, file_name, court, court_source, reporter, reporter_source in zip(
+            *(pdf[c] for c in _LR_IN)
+        ):
+            res = legacy_rename_for_doc(
+                str(text) if text is not None else "",
+                str(file_name) if file_name is not None else "",
+                None if court is None or court == "" else str(court),
+                None if court_source is None or court_source == "" else str(court_source),
+                None if reporter is None or reporter == "" else str(reporter),
+                None
+                if reporter_source is None or reporter_source == ""
+                else str(reporter_source),
+            )
+            res["doc_id"] = str(doc_id)
+            rows.append({k: res.get(k) for k in cols})
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def legacy_rename_records(df: DataFrame) -> DataFrame:
+    """Run the composed legacy rename flow (DY1-DY3: decision-year label
+    walk with filename fallback, caption-mined case name, source-based
+    confidence, the legacy c.-template with sanitize/truncate); expects
+    ``doc_id``, ``text``, ``file_name`` plus injected court/reporter
+    resolution columns. Map-only Arrow stage."""
+    return df.select(*_LR_IN).mapInPandas(
+        _legacy_rename_batches, schema=LEGACY_RENAME_SCHEMA
+    )
+
+
 def extract_deep_metadata(df: DataFrame) -> DataFrame:
     """Run the legacy deep-metadata pass; expects ``doc_id``, ``text``
     (full extracted document text) and the renamer-result columns

@@ -4234,6 +4234,124 @@ FROM x
 """
 
 
+# ---------------------------------------------------------------------------
+# q_legacy_rename — DY1-DY3 legacy decision-year extraction + composed
+# rename record (zOld-Code/step1--Base_FILENAME--a-caselaw/src/
+# date_extractor.py + renamer.py:87-260). Four date shapes (colon-labeled,
+# space-labeled, date-before-label, invalid-year → filename-paren
+# fallback), caption-present/absent case names over the CN party pool,
+# three court and two reporter injection states — exercising source-based
+# confidence, the c.-template, and the reference's note strings. The
+# oracle derives year/case/conf/filename/notes in closed form.
+# ---------------------------------------------------------------------------
+
+
+def spark_legacy_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.caselaw_meta import legacy_rename_records
+
+    df = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("bigint")
+    cn = did % 2
+    dy = (did + 1) % 4
+    cv = did % 3
+    rv2 = (did + 1) % 2
+    parr = F.array(*[F.lit(p) for p in _CN_PARTIES])
+    left = F.element_at(parr, (did % 6 + 1).cast("int"))
+    right = F.element_at(parr, ((did + 3) % 6 + 1).cast("int"))
+    dstr = (did % 28 + 1).cast("string")
+    y_doc = (did % 100 + 1910).cast("string")
+    y_file = (did % 100 + 1920).cast("string")
+
+    caption = F.when(cn == 0, F.concat(left, F.lit(" v. "), right))
+    dateline = (
+        F.when(dy == 0, F.concat(F.lit("Decided: March "), dstr, F.lit(", "), y_doc))
+        .when(dy == 1, F.concat(F.lit("Filed October "), dstr, F.lit(", "), y_doc))
+        .when(dy == 2, F.concat(F.lit("August "), dstr, F.lit(", "), y_doc, F.lit(", Decided")))
+        .otherwise(F.lit("Decided: Foobar 3, 3025"))
+    )
+    text = F.concat_ws("\n", caption, dateline, F.lit("Syllabus"))
+    fname = F.concat(
+        left, F.lit(" v "), right, F.lit(" (Testonia "), y_file, F.lit(").pdf")
+    )
+    court = (
+        F.when(cv == 1, F.lit("Ga_Ct_App"))
+        .when(cv == 2, F.lit("Eleventh_Circuit"))
+        .otherwise(F.lit(""))
+    )
+    court_source = (
+        F.when(cv == 1, F.lit("document"))
+        .when(cv == 2, F.lit("filename"))
+        .otherwise(F.lit(""))
+    )
+    reporter = F.when(rv2 == 0, F.lit("743_FSupp2d_762")).otherwise(F.lit("Unpub"))
+    reporter_source = F.when(rv2 == 0, F.lit("document")).otherwise(F.lit("fallback"))
+
+    inp = df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        text.alias("text"),
+        fname.alias("file_name"),
+        court.alias("court"),
+        court_source.alias("court_source"),
+        reporter.alias("reporter"),
+        reporter_source.alias("reporter_source"),
+    )
+    out = legacy_rename_records(inp)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "year",
+        "year_source",
+        "case_name",
+        F.col("case_name_source").alias("case_source"),
+        "confidence",
+        "new_filename",
+        F.concat_ws("|", "notes").alias("notes"),
+    )
+
+
+_LEGACY_RENAME_SQL = r"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS did FROM documents
+), x AS (
+  SELECT did, did % 2 AS cn, (did + 1) % 4 AS dy, did % 3 AS cv,
+    (did + 1) % 2 AS rv2,
+    (['Kmart','Kmart','Alden','United-States','Alden','United-States'])[
+      CAST(did % 6 + 1 AS INT)] AS fl,
+    (['Kmart','Kmart','Alden','United-States','Alden','United-States'])[
+      CAST((did + 3) % 6 + 1 AS INT)] AS fr,
+    CAST(did % 100 + 1910 AS VARCHAR) AS y_doc,
+    CAST(did % 100 + 1920 AS VARCHAR) AS y_file
+  FROM d
+), y AS (
+  SELECT *,
+    CASE WHEN dy <= 2 THEN y_doc ELSE y_file END AS year,
+    CASE WHEN dy <= 2 THEN 'document' ELSE 'filename' END AS year_source,
+    fl || '-v-' || fr AS case_name,
+    CASE WHEN cn = 0 THEN 'document' ELSE 'filename' END AS case_source,
+    CASE WHEN cv = 1 THEN 'Ga_Ct_App' WHEN cv = 2 THEN 'Eleventh_Circuit'
+         ELSE NULL END AS court,
+    CASE WHEN rv2 = 0 THEN '743_FSupp2d_762' ELSE 'Unpub' END AS reporter,
+    (CASE WHEN cv = 1 THEN 1 ELSE 0 END) + (CASE WHEN dy <= 2 THEN 1 ELSE 0 END)
+      + (CASE WHEN cn = 0 THEN 1 ELSE 0 END) + (CASE WHEN rv2 = 0 THEN 1 ELSE 0 END)
+      AS nsrc
+  FROM x
+)
+SELECT did AS doc_id, year, year_source, case_name, case_source,
+  CASE WHEN nsrc >= 3 THEN 'HIGH' WHEN nsrc >= 2 THEN 'MEDIUM' ELSE 'LOW' END
+    AS confidence,
+  CASE WHEN court IS NOT NULL
+       THEN 'c.' || court || '__' || year || '__' || case_name || '__'
+            || reporter || '.pdf'
+       ELSE NULL END AS new_filename,
+  COALESCE(array_to_string(list_filter([
+    CASE WHEN cv = 2 THEN 'Court from filename (document extraction failed)' END,
+    CASE WHEN dy = 3 THEN 'Year from filename (document extraction failed)' END,
+    CASE WHEN rv2 = 1 THEN 'No reporter citation found - marked as Unpub' END,
+    CASE WHEN cv = 0 THEN 'Could not generate filename - missing: court' END
+  ], v -> v IS NOT NULL), '|'), '') AS notes
+FROM y
+"""
+
+
 import os as _os
 
 _ORACLE_SF_TAG = _os.environ.get("SPARK_GRAFT_ORACLE_SF", "0.01").replace(".", "_")
@@ -4301,6 +4419,7 @@ SPARK_QUERIES = {
     "q_filename_index": spark_filename_index,
     "q_caselaw_metadata": spark_caselaw_metadata,
     "q_case_name_legacy": spark_case_name_legacy,
+    "q_legacy_rename": spark_legacy_rename,
 }
 
 ORACLE_SQL = {
@@ -4371,4 +4490,5 @@ ORACLE_SQL = {
     "q_filename_index": _FILENAME_INDEX_SQL,
     "q_caselaw_metadata": _CASELAW_META_SQL,
     "q_case_name_legacy": _CASE_NAME_SQL,
+    "q_legacy_rename": _LEGACY_RENAME_SQL,
 }
