@@ -262,3 +262,110 @@ def classifier_score(
             "keep", F.col("score_micros") >= F.lit(threshold_micros)
         )
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1 << 20,
+    smoothing: int = 256,
+    max_bits_per_gram_micros: int = 9 * MICRO,
+) -> DataFrame:
+    """Language-model quality scoring — the CCNet/RedPajama perplexity
+    stage, self-trained: build a hashed bigram model over the corpus
+    itself in one aggregation pyramid, then score each document by its
+    code length under that model. Fluent, corpus-typical text compresses
+    well (low bits/gram); boilerplate soup and gibberish do not.
+
+    Exactness: the per-bigram cost is the INTEGER code length
+
+        m * ( floor(log2(c1 + smoothing)) - floor(log2(c12 + 1)) )
+
+    where c1/c12 are corpus-wide hashed context/bigram counts and m the
+    per-document multiplicity — floor-log2 computed from the binary
+    representation length, so both engines produce identical BIGINTs (a
+    float ln()/log2() would drift at ulp boundaries and break the oracle;
+    same reasoning as the integer-micro ratios above). The cost is
+    non-negative by construction (c1 >= c12, smoothing >= 2).
+
+    Scale shape: token and bigram features are HASHED into ``n_buckets``
+    (Weinberger '09, as in :func:`classifier_score`), so both model
+    tables are bounded at n_buckets rows regardless of corpus size —
+    broadcastable at 100 TB. The aggregation pyramid reuses each level:
+    (doc, h1, h12) counts -> (h12)/(h1) models — nothing rescans the raw
+    corpus; model joins are broadcast (map-side); the only data-scale
+    shuffles are the per-doc gram count and the final per-doc sum, both
+    with map-side partial aggregation.
+    """
+    from pyspark.sql.functions import broadcast
+
+    toks = _tokens(text_col)
+    pairs = F.expr(
+        "transform(slice(_toks, 1, greatest(size(_toks)-1, 0)), "
+        "(x, i) -> struct(x AS w1, element_at(_toks, i+2) AS w2))"
+    )
+    grams = (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .select(F.col(id_col), F.explode(pairs).alias("_g"))
+        .select(
+            F.col(id_col),
+            (
+                F.conv(F.substring(F.md5("_g.w1"), 1, 8), 16, 10).cast("bigint")
+                % n_buckets
+            ).alias("h1"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("\u001f", "_g.w1", "_g.w2")), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % n_buckets
+            ).alias("h12"),
+        )
+    )
+    docgrams = grams.groupBy(id_col, "h1", "h12").agg(
+        F.count("*").cast("bigint").alias("m")
+    )
+    model12 = docgrams.groupBy("h12").agg(F.sum("m").alias("c12"))
+    model1 = docgrams.groupBy("h1").agg(F.sum("m").alias("c1"))
+
+    def _ilog2(col):
+        return (F.length(F.bin(col)) - 1).cast("bigint")
+
+    scored = (
+        docgrams.join(broadcast(model12), on="h12")
+        .join(broadcast(model1), on="h1")
+        .select(
+            F.col(id_col),
+            F.col("m"),
+            (
+                F.col("m")
+                * (_ilog2(F.col("c1") + F.lit(smoothing)) - _ilog2(F.col("c12") + 1))
+            ).alias("_bits"),
+        )
+    )
+    g = scored.groupBy(id_col).agg(
+        F.sum("_bits").cast("bigint").alias("bits"),
+        F.sum("m").cast("bigint").alias("n_bigrams"),
+    )
+    out = (
+        df.select(F.col(id_col))
+        .join(g, on=id_col, how="left")
+        .fillna({"bits": 0, "n_bigrams": 0})
+    )
+    # integer division (not float `/` + cast): float quotients can round
+    # across an integer boundary differently than the oracle's `//`
+    bpg = F.expr("bits * %d div greatest(n_bigrams, 1)" % MICRO).cast("bigint")
+    return out.select(
+        F.col(id_col),
+        "bits",
+        "n_bigrams",
+        bpg.alias("bits_per_gram_micros"),
+        (
+            (F.col("n_bigrams") > 0)
+            & (bpg <= F.lit(max_bits_per_gram_micros))
+        ).alias("keep"),
+    )

@@ -4352,6 +4352,61 @@ FROM y
 """
 
 
+# ---------------------------------------------------------------------------
+# q_lm_quality — LM-based quality filtering (the CCNet/RedPajama
+# perplexity stage): a hashed bigram model self-trained on the corpus in
+# one aggregation pyramid, each document scored by its integer code
+# length (floor-log2 bit counts — exact in both engines; see
+# operators/quality.py:bigram_lm_scores). Runs on the REAL documents
+# text; the oracle rebuilds the identical model and scoring in SQL.
+# ---------------------------------------------------------------------------
+
+
+def spark_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import bigram_lm_scores
+
+    df = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    return bigram_lm_scores(df)
+
+
+_LM_QUALITY_SQL = r"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+    ('0x' || substring(md5(p.w1), 1, 8))::BIGINT % 1048576 AS h1,
+    ('0x' || substring(md5(p.w1 || chr(31) || p.w2), 1, 8))::BIGINT % 1048576 AS h12
+  FROM t, UNNEST(list_transform(list_slice(toks, 1, greatest(len(toks) - 1, 0)),
+                 (x, i) -> {'w1': x, 'w2': toks[i + 1]})) AS u(p)
+), dg AS (
+  SELECT doc_id, h1, h12, COUNT(*)::BIGINT AS m FROM g GROUP BY 1, 2, 3
+), m12 AS (
+  SELECT h12, SUM(m)::BIGINT AS c12 FROM dg GROUP BY 1
+), m1 AS (
+  SELECT h1, SUM(m)::BIGINT AS c1 FROM dg GROUP BY 1
+), sc AS (
+  SELECT dg.doc_id,
+    SUM(m)::BIGINT AS n_bigrams,
+    SUM(m * ((length(printf('%b', c1 + 256)) - 1)
+           - (length(printf('%b', c12 + 1)) - 1)))::BIGINT AS bits
+  FROM dg JOIN m12 USING (h12) JOIN m1 USING (h1)
+  GROUP BY 1
+)
+SELECT t.doc_id,
+  COALESCE(sc.bits, 0) AS bits,
+  COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+  COALESCE(sc.bits * 1000000 // sc.n_bigrams, 0) AS bits_per_gram_micros,
+  COALESCE(sc.n_bigrams > 0
+           AND (sc.bits * 1000000 // sc.n_bigrams) <= 9000000,
+           FALSE) AS keep
+FROM t LEFT JOIN sc USING (doc_id)
+"""
+
+
 import os as _os
 
 _ORACLE_SF_TAG = _os.environ.get("SPARK_GRAFT_ORACLE_SF", "0.01").replace(".", "_")
@@ -4420,6 +4475,7 @@ SPARK_QUERIES = {
     "q_caselaw_metadata": spark_caselaw_metadata,
     "q_case_name_legacy": spark_case_name_legacy,
     "q_legacy_rename": spark_legacy_rename,
+    "q_lm_quality": spark_lm_quality,
 }
 
 ORACLE_SQL = {
@@ -4491,4 +4547,5 @@ ORACLE_SQL = {
     "q_caselaw_metadata": _CASELAW_META_SQL,
     "q_case_name_legacy": _CASE_NAME_SQL,
     "q_legacy_rename": _LEGACY_RENAME_SQL,
+    "q_lm_quality": _LM_QUALITY_SQL,
 }
