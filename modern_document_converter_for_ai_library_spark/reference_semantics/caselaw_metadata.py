@@ -140,6 +140,15 @@ def extract_disposition(text: str) -> dict:
     else:
         footer = text[-2000:]
     search_text = header + '\n' + footer
+    # guard: every pattern requires a disposition verb stem or the literal
+    # label — skipping the scans is observationally identical (pure
+    # optimization; differential-pinned)
+    low = search_text.lower()
+    if not any(
+        k in low
+        for k in ('affirm', 'revers', 'vacat', 'remand', 'dismiss', 'disposition:')
+    ):
+        return {'value': '', 'confidence': ''}
     for pattern in DISPOSITION_PATTERNS:
         match = _rx(pattern, re.IGNORECASE).search(search_text)
         if match:
@@ -158,6 +167,9 @@ def extract_opinion_author(text: str) -> dict:
     if _rx(r'\bPER CURIAM\b', re.IGNORECASE).search(text[:3000]):
         return {'value': 'Per Curiam', 'confidence': 'HIGH'}
     header = text[:5000]
+    low = header.lower()
+    if 'delivered' not in low and 'opinion by' not in low:
+        return {'value': '', 'confidence': ''}
     for pattern in OPINION_AUTHOR_PATTERNS:
         match = _rx(pattern, re.IGNORECASE).search(header)
         if match:
@@ -168,6 +180,9 @@ def extract_opinion_author(text: str) -> dict:
 def extract_opinion_type(text: str) -> dict:
     """Majority / plurality / per-curiam tag over text[:3000] (:299-315)."""
     if not text:
+        return {'value': '', 'confidence': ''}
+    low = text[:3000].lower()
+    if 'opinion' not in low and 'per curiam' not in low:
         return {'value': '', 'confidence': ''}
     for pattern in OPINION_TYPE_PATTERNS:
         match = _rx(pattern, re.IGNORECASE).search(text[:3000])
@@ -185,6 +200,8 @@ def extract_lower_court_judge(text: str) -> dict:
     if not text:
         return {'value': '', 'confidence': ''}
     header = text[:8000]
+    if 'judge' not in header.lower():
+        return {'value': '', 'confidence': ''}
     for pattern in LOWER_COURT_JUDGE_PATTERNS:
         match = _rx(pattern, re.IGNORECASE).search(header)
         if match:
@@ -197,6 +214,9 @@ def extract_panel_members(text: str) -> dict:
     if not text:
         return {'value': [], 'confidence': ''}
     header = text[:5000]
+    low = header.lower()
+    if 'before' not in low and 'panel:' not in low:
+        return {'value': [], 'confidence': ''}
     for pattern in PANEL_PATTERNS:
         match = _rx(pattern, re.IGNORECASE).search(header)
         if match:
@@ -219,6 +239,9 @@ def extract_concurring_dissenting(text: str) -> dict:
         search_text = text.split(_SECTION_MARK)[1]
     else:
         search_text = text
+    low = search_text.lower()
+    if 'concurring' not in low and 'dissenting' not in low:
+        return {'value': result, 'confidence': ''}
     for pattern in CONCUR_DISSENT_PATTERNS:
         for match in _rx(pattern, re.IGNORECASE).finditer(search_text):
             judge = match.group(1).strip().title()
@@ -248,6 +271,9 @@ def extract_attorneys(text: str) -> dict:
         return {'value': dict(empty), 'confidence': ''}
     result = {'petitioner': [], 'respondent': [], 'appellant': [], 'appellee': []}
     header = text[:5000]
+    low = header.lower()
+    if not any(k in low for k in ('petitioner', 'respondent', 'appellant', 'appellee')):
+        return {'value': result, 'confidence': ''}
     for pattern in ATTORNEY_PATTERNS:
         for match in _rx(pattern, re.IGNORECASE).finditer(header):
             party = None
@@ -269,6 +295,8 @@ def extract_docket_number(text: str) -> dict:
     if not text:
         return {'value': '', 'confidence': ''}
     header = text[:2000]
+    if 'no.' not in header.lower():
+        return {'value': '', 'confidence': ''}
     for pattern in DOCKET_PATTERNS:
         match = _rx(pattern, re.IGNORECASE).search(header)
         if match:
@@ -283,6 +311,8 @@ def extract_full_date(text: str) -> dict:
     if not text:
         return {'value': '', 'confidence': ''}
     header = text[:2000]
+    if not any(c.isdigit() for c in header):
+        return {'value': '', 'confidence': ''}
     for pattern in FULL_DATE_PATTERNS:
         match = _rx(pattern).search(header)
         if match:
