@@ -12,9 +12,11 @@ compact-reporter -> legal-citation formatter, and the weighted overall
 confidence grade.
 
 Scale shape: map-only — no shuffle, no joins, no driver collects; the
-kernel is pure per row (regex over bounded text windows, at most the
-first 8000 chars per family), so the stage parallelizes to any partition
-count and resumes idempotently under the manifest protocol. Nested
+kernel is pure per row. The header families scan bounded windows (at
+most the first 8000 chars); the votes family scans the full text (or
+full post-marker section) like the reference, but a keyword guard skips
+the regex walk on documents without 'concurring'/'dissenting', so the
+unbounded case only pays on actual separate-opinion documents. Nested
 list-valued fields (panel, votes, counsel) surface as array<string>
 columns so downstream ops stay columnar.
 """

@@ -286,8 +286,12 @@ def bigram_lm_scores(
     per-document multiplicity — floor-log2 computed from the binary
     representation length, so both engines produce identical BIGINTs (a
     float ln()/log2() would drift at ulp boundaries and break the oracle;
-    same reasoning as the integer-micro ratios above). The cost is
-    non-negative by construction (c1 >= c12, smoothing >= 2).
+    same reasoning as the integer-micro ratios above). A per-bigram cost
+    can go NEGATIVE under feature-hash collisions (c12 aggregates a
+    different hash space than c1, so a rare context whose bigram bucket
+    collides with a hot bigram has c12 > c1); both engines divide the
+    per-doc total with truncate-toward-zero semantics (Spark `div`,
+    DuckDB `//`), keeping the ratio identical either way.
 
     Scale shape: token and bigram features are HASHED into ``n_buckets``
     (Weinberger '09, as in :func:`classifier_score`), so both model

@@ -4140,8 +4140,10 @@ FROM (
 # smart filename formatting (zOld-Code/step1--Base_FILENAME--a-caselaw/
 # src/formatters/case_name_formatter.py + renamer.py:157-172). Four
 # deterministic caption shapes per doc (own-line "v" with party-suffix
-# cleanup, same-line caption, filename-parenthetical fallback, plain-stem
-# fallback) over a six-party pool covering every smart-selection branch
+# cleanup, same-line caption, filename-parenthetical fallback, and a
+# pattern-free stem that must land on 'Unknown' — the composition runs on
+# the filename STEM like renamer.py:98) over a six-party pool covering
+# every smart-selection branch
 # (single word, first-word corporate, 3-word surname, geographic pair,
 # corporate stop-list, U.S.-abbreviation expansion). The oracle derives
 # the formatted name in closed form from the party index — independent of
@@ -4227,8 +4229,7 @@ WITH d AS (
   FROM d
 )
 SELECT did AS doc_id,
-  CASE WHEN sv <= 2 THEN fl || '-v-' || fr
-       ELSE 'Casedoc' || CAST(did AS VARCHAR) END AS case_name,
+  CASE WHEN sv <= 2 THEN fl || '-v-' || fr ELSE 'Unknown' END AS case_name,
   CASE WHEN sv <= 1 THEN 'document' ELSE 'filename' END AS source
 FROM x
 """

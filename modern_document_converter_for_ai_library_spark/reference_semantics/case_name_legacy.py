@@ -173,13 +173,21 @@ def expand_abbreviations(case_name: str) -> str:
     return case_name
 
 
-def legacy_case_name_for_doc(document_text: str, original_filename: str) -> dict:
+def legacy_case_name_for_doc(document_text: str, file_name: str) -> dict:
     """The renamer's composed case-name flow (renamer.py:157-172):
-    document caption first, filename fallback, expand, format."""
+    document caption first, filename fallback, expand, format.
+
+    ``file_name`` is the on-disk name; the fallback runs on its STEM like
+    the reference (renamer.py:98 ``original_filename = file_path.stem``),
+    which makes the formatter's own extension-stripping filename pattern
+    dead code in this composition — same note as caselaw_dates.py."""
+    import os
+
+    stem = os.path.splitext(file_name)[0]
     raw = extract_case_name_from_pdf(document_text)
     source = "document" if raw else "filename"
     if not raw:
-        raw = extract_case_name_from_filename(original_filename)
+        raw = extract_case_name_from_filename(stem)
     if raw:
         raw = expand_abbreviations(raw)
         return {"case_name": format_case_name_legacy(raw), "case_name_source": source}

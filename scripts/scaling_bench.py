@@ -88,7 +88,7 @@ def _write_chunk(args: tuple) -> int:
         with open(os.path.join(path, f"shard-{chunk_idx:04d}.warc.gz"), "wb") as f:
             f.write(b"".join(members))
         return end - start
-    if job in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide"):
+    if job in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm"):
         from modern_document_converter_for_ai_library_spark.sources.synth import (
             _make_html_doc,
         )
@@ -200,6 +200,14 @@ def run_job(d, balance=None):
             minhash_wide_bands, minhash_wide_pairs)
         bands = minhash_wide_bands(d, text_col="html")
         return minhash_wide_pairs(bands, max_bucket_size=64)
+    if "{job}" == "lm":
+        # shuffle-operator probe 3: the CCNet-shape LM quality stage —
+        # two partial-aggregated groupBys (per-doc gram counts, then the
+        # hashed model pyramid) + broadcast model joins back. The gram
+        # explode dominates map-side; the shuffle payload is the slim
+        # (doc, h1, h12, m) frame.
+        from modern_document_converter_for_ai_library_spark.operators.quality import bigram_lm_scores
+        return bigram_lm_scores(d, text_col="html")
     if "{job}" == "warc":
         # the full web_extract_job.py pipeline minus the manifest sink
         # (noop isolates compute): d is the binaryFile frame, so every
@@ -275,7 +283,7 @@ def main() -> None:
     ap.add_argument("--md", default=None, help="write/refresh this markdown report")
     ap.add_argument(
         "--job",
-        choices=["convert", "html", "warc", "dedup", "minhash", "minhash_fast", "minhash_wide"],
+        choices=["convert", "html", "warc", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm"],
         default="convert",
         help="which end-to-end kernel job to measure (html = "
         "strip_boilerplate_html over the synthetic web-page corpus; warc = "
@@ -299,9 +307,9 @@ def main() -> None:
         legacy = os.path.join(args.corpus, f".complete_{args.docs}")
         if os.path.exists(legacy):
             marker = legacy
-    if args.job in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide") and not os.path.exists(marker):
-        # these four jobs share identical corpus content — reuse any sibling
-        for sib in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide"):
+    if args.job in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm") and not os.path.exists(marker):
+        # these jobs share identical corpus content — reuse any sibling
+        for sib in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm"):
             sib_marker = os.path.join(args.corpus, f".complete_{sib}_{args.docs}")
             if os.path.exists(sib_marker):
                 marker = sib_marker

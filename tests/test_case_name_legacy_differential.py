@@ -153,12 +153,16 @@ def test_format_case_name_differential(left, right, v, max_words):
 @settings(max_examples=_EX, deadline=None)
 @given(_caption_texts(), _FILENAMES)
 def test_composed_flow_differential(text, fname):
-    """Mirror renamer.py:157-172 against the reference class directly."""
+    """Mirror renamer.py:157-172 against the reference class directly —
+    including the STEM handoff (renamer.py:98), so the composed kernel
+    cannot drift onto the full-filename path."""
+    from pathlib import Path
+
     ref = ref_mod.CaseNameFormatter(max_words_per_party=1)
     raw = ref.extract_from_pdf(text)
     source = "document" if raw else "filename"
     if not raw:
-        raw = ref.extract_from_filename(fname)
+        raw = ref.extract_from_filename(Path(fname).stem)
     if raw:
         expected = {
             "case_name": ref.format_case_name(ref.expand_abbreviations(raw)),

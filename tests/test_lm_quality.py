@@ -45,7 +45,12 @@ def _expected(corpus: dict[str, str], smoothing: int = 256):
                 continue
             bits += m * (_ilog2(c1[h1] + smoothing) - _ilog2(c12[h12] + 1))
             n += m
-        out[doc] = (bits, n, bits * 1_000_000 // n if n else 0)
+        # truncate toward zero like Spark `div` / DuckDB `//` — Python //
+        # floors, which differs by 1 for negative inexact quotients (bits
+        # can go negative under feature-hash collisions)
+        q = bits * 1_000_000
+        bpg = (abs(q) // n) * (1 if q >= 0 else -1) if n else 0
+        out[doc] = (bits, n, bpg)
     return out
 
 
