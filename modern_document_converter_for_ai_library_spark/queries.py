@@ -4408,6 +4408,108 @@ FROM t LEFT JOIN sc USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# q_interleave_stats — interleaved text+media span statistics (the
+# input_hint payload shape: spans array<struct<kind,text,media_ref,
+# offset>>). Builds a deterministic interleaved span array per doc (text
+# line spans, a media span after every line where (line+did) % 4 == 0,
+# ref 'media://{doc}/{line}') and computes per-doc media counts, ratio,
+# kind alternations, and first-media position ENTIRELY with JVM array
+# expressions — zero Python, zero shuffle (map-only; the plan audit
+# enforces both). The oracle rebuilds the array walk with DuckDB list
+# lambdas — a different array engine over the same generative rule.
+# ---------------------------------------------------------------------------
+
+
+def spark_interleave_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("bigint")
+    lines = F.split(F.col("text"), "\n")
+
+    def _text_span(ln, j):
+        return F.struct(
+            F.lit("text").alias("kind"),
+            ln.alias("text"),
+            F.lit("").alias("media_ref"),
+            j.cast("int").alias("offset"),
+        )
+
+    def _media_span(j):
+        return F.struct(
+            F.lit("image").alias("kind"),
+            F.lit("").alias("text"),
+            F.concat(
+                F.lit("media://"), did.cast("string"), F.lit("/"), j.cast("string")
+            ).alias("media_ref"),
+            j.cast("int").alias("offset"),
+        )
+
+    spans = F.flatten(
+        F.transform(
+            lines,
+            lambda ln, j: F.when(
+                (j.cast("bigint") + did) % 4 == 0,
+                F.array(_text_span(ln, j), _media_span(j)),
+            ).otherwise(F.array(_text_span(ln, j))),
+        )
+    )
+    kinds = F.transform(spans, lambda s: s["kind"])
+    n_spans = F.size(spans).cast("bigint")
+    n_media = F.size(F.filter(spans, lambda s: s["kind"] != "text")).cast("bigint")
+    alternations = F.size(
+        F.filter(
+            F.zip_with(
+                F.slice(kinds, 1, F.size(kinds) - 1),
+                F.slice(kinds, 2, F.size(kinds) - 1),
+                lambda a, b: a != b,
+            ),
+            lambda x: x,
+        )
+    ).cast("bigint")
+    first_media_pos = F.coalesce(
+        F.array_position(kinds, "image").cast("bigint"), F.lit(0)
+    )
+    base = df.select(
+        did.alias("doc_id"),
+        n_spans.alias("n_spans"),
+        n_media.alias("n_media"),
+        alternations.alias("alternations"),
+        first_media_pos.alias("first_media_pos"),
+    )
+    return base.withColumn(
+        "media_ratio_micros",
+        F.expr("n_media * 1000000 div greatest(n_spans, 1)").cast("bigint"),
+    )
+
+
+_INTERLEAVE_SQL = r"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS did, string_split(text, chr(10)) AS lines
+  FROM documents
+), s AS (
+  SELECT did,
+    flatten(list_transform(lines, (ln, j) ->
+      CASE WHEN (j - 1 + did) % 4 = 0
+           THEN ['text', 'image']
+           ELSE ['text'] END)) AS kinds
+  FROM t
+), m AS (
+  SELECT did,
+    len(kinds)::BIGINT AS n_spans,
+    len(list_filter(kinds, k -> k <> 'text'))::BIGINT AS n_media,
+    len(list_filter(
+      list_transform(list_slice(kinds, 1, len(kinds) - 1),
+                     (a, i) -> a <> kinds[i + 1]),
+      x -> x))::BIGINT AS alternations,
+    COALESCE(list_position(kinds, 'image'), 0)::BIGINT AS first_media_pos
+  FROM s
+)
+SELECT did AS doc_id, n_spans, n_media, alternations, first_media_pos,
+  (n_media * 1000000 // greatest(n_spans, 1))::BIGINT AS media_ratio_micros
+FROM m
+"""
+
+
 import os as _os
 
 _ORACLE_SF_TAG = _os.environ.get("SPARK_GRAFT_ORACLE_SF", "0.01").replace(".", "_")
@@ -4477,6 +4579,7 @@ SPARK_QUERIES = {
     "q_case_name_legacy": spark_case_name_legacy,
     "q_legacy_rename": spark_legacy_rename,
     "q_lm_quality": spark_lm_quality,
+    "q_interleave_stats": spark_interleave_stats,
 }
 
 ORACLE_SQL = {
@@ -4549,4 +4652,5 @@ ORACLE_SQL = {
     "q_case_name_legacy": _CASE_NAME_SQL,
     "q_legacy_rename": _LEGACY_RENAME_SQL,
     "q_lm_quality": _LM_QUALITY_SQL,
+    "q_interleave_stats": _INTERLEAVE_SQL,
 }
