@@ -4629,6 +4629,43 @@ FROM agg JOIN exact USING (source)
 """
 
 
+# ---------------------------------------------------------------------------
+# q_inverted_index — token -> (doc frequency, capped posting list) via the
+# skew-safe exact two-phase top-K (operators/inverted_index.py): salted
+# partial top-K bounds every task at stopword-class tokens, the global
+# pass sees <= n_salts*K survivors per token. The oracle computes the
+# SINGLE-window form in DuckDB — parity proves the two-phase plan exact.
+# ---------------------------------------------------------------------------
+
+
+def spark_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.inverted_index import build_inverted_index
+
+    return build_inverted_index(_docs(spark, sf_dir))
+
+
+_INVERTED_SQL = r"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS did, u.token
+  FROM documents, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS u(token)
+), postings AS (
+  SELECT token, did, COUNT(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+), ranked AS (
+  SELECT token, did,
+    ROW_NUMBER() OVER (PARTITION BY token ORDER BY tf DESC, did ASC) AS r
+  FROM postings
+), top AS (
+  SELECT token,
+    string_agg(CAST(did AS VARCHAR), ',' ORDER BY r) AS top_docs
+  FROM ranked WHERE r <= 5 GROUP BY 1
+), dfreq AS (
+  SELECT token, COUNT(*)::BIGINT AS doc_frequency FROM postings GROUP BY 1
+)
+SELECT token, doc_frequency, top_docs
+FROM dfreq JOIN top USING (token)
+"""
+
+
 import os as _os
 
 _ORACLE_SF_TAG = _os.environ.get("SPARK_GRAFT_ORACLE_SF", "0.01").replace(".", "_")
@@ -4701,6 +4738,7 @@ SPARK_QUERIES = {
     "q_interleave_stats": spark_interleave_stats,
     "q_cms_topk": spark_cms_topk,
     "q_hll_distinct": spark_hll_distinct,
+    "q_inverted_index": spark_inverted_index,
 }
 
 ORACLE_SQL = {
@@ -4776,4 +4814,5 @@ ORACLE_SQL = {
     "q_interleave_stats": _INTERLEAVE_SQL,
     "q_cms_topk": _CMS_SQL,
     "q_hll_distinct": _HLL_SQL,
+    "q_inverted_index": _INVERTED_SQL,
 }
