@@ -4666,6 +4666,61 @@ FROM dfreq JOIN top USING (token)
 """
 
 
+# ---------------------------------------------------------------------------
+# q_bm25_search — integer-exact BM25 ranking (operators/search.py) for a
+# fixed 4-term query mixing common and rare corpus tokens; k1=6/5, b=3/4
+# cleared to one integer division per term, floor-log2 idf proxy. The
+# oracle rebuilds scoring in SQL from the same corpus stats.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["dup", "hash", "merge", "vector"]
+
+
+def spark_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.search import bm25_rank
+
+    return bm25_rank(
+        _docs(spark, sf_dir).select("doc_id", "text"), _BM25_TERMS, top_k=20
+    )
+
+
+_BM25_SQL = r"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS did, u.token
+  FROM documents, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS u(token)
+), lens AS (
+  SELECT did, COUNT(*)::BIGINT AS dl FROM toks GROUP BY 1
+), stats AS (
+  SELECT SUM(dl)::BIGINT AS T, COUNT(*)::BIGINT AS N FROM lens
+), terms AS (
+  SELECT unnest(['dup', 'hash', 'merge', 'vector']) AS token
+), tf AS (
+  SELECT did, token, COUNT(*)::BIGINT AS tf
+  FROM toks JOIN terms USING (token)
+  GROUP BY 1, 2
+), dfreq AS (
+  SELECT token, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1
+), idf AS (
+  SELECT token,
+    (length(printf('%b',
+       (2 * ((SELECT N FROM stats) - df) + 1) * 1048576 // (2 * df + 1)
+     )) - 1)::BIGINT AS idf
+  FROM dfreq
+), scored AS (
+  SELECT did,
+    idf * 44 * tf * (SELECT T FROM stats)
+      // (20 * tf * (SELECT T FROM stats) + 6 * (SELECT T FROM stats)
+          + 18 * dl * (SELECT N FROM stats)) AS term_score
+  FROM tf JOIN idf USING (token) JOIN lens USING (did)
+), per_doc AS (
+  SELECT did, SUM(term_score)::BIGINT AS score, COUNT(*)::BIGINT AS n_hit_terms
+  FROM scored GROUP BY 1
+)
+SELECT did AS doc_id, score, n_hit_terms
+FROM per_doc ORDER BY score DESC, did ASC LIMIT 20
+"""
+
+
 import os as _os
 
 _ORACLE_SF_TAG = _os.environ.get("SPARK_GRAFT_ORACLE_SF", "0.01").replace(".", "_")
@@ -4739,6 +4794,7 @@ SPARK_QUERIES = {
     "q_cms_topk": spark_cms_topk,
     "q_hll_distinct": spark_hll_distinct,
     "q_inverted_index": spark_inverted_index,
+    "q_bm25_search": spark_bm25_search,
 }
 
 ORACLE_SQL = {
@@ -4815,4 +4871,5 @@ ORACLE_SQL = {
     "q_cms_topk": _CMS_SQL,
     "q_hll_distinct": _HLL_SQL,
     "q_inverted_index": _INVERTED_SQL,
+    "q_bm25_search": _BM25_SQL,
 }
