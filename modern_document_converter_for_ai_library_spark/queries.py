@@ -4721,6 +4721,189 @@ FROM per_doc ORDER BY score DESC, did ASC LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# q_span_reflow / q_caption_pairs / q_media_dedup — structural operators
+# over the interleaved span payload (operators/span_ops.py). The span
+# arrays are built with the same deterministic generative rule as
+# q_interleave_stats (media span after every line where (line+did) % 4
+# == 0, ref 'media://{doc}/{line}'); both engines rebuild the rule
+# independently, so parity checks the OPERATOR, not the generator.
+#
+#   reflow    merge adjacent text-span runs ('\n'-join), media spans kept,
+#             offsets renumbered densely — relational (posexplode + per-doc
+#             windows), linear in spans, never an O(n^2) array fold.
+#   captions  media span -> following text span, fallback preceding
+#             (lead/lag sharing one per-doc window sort).
+#   media     corpus-level media dedup by CONTENT key (synthetic payload
+#             hash with planted cross-doc collisions: (did*7+line) % 64);
+#             one partial-aggregated groupBy, output = distinct assets.
+# ---------------------------------------------------------------------------
+
+
+def _interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents adapted to (doc_id bigint, spans) with the deterministic
+    interleave rule shared by the span-op queries and their oracles."""
+    df = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("bigint")
+    lines = F.split(F.col("text"), "\n")
+
+    def _text_span(ln, j):
+        return F.struct(
+            F.lit("text").alias("kind"),
+            ln.alias("text"),
+            F.lit("").alias("media_ref"),
+            j.cast("int").alias("offset"),
+        )
+
+    def _media_span(j):
+        return F.struct(
+            F.lit("image").alias("kind"),
+            F.lit("").alias("text"),
+            F.concat(
+                F.lit("media://"), did.cast("string"), F.lit("/"), j.cast("string")
+            ).alias("media_ref"),
+            j.cast("int").alias("offset"),
+        )
+
+    spans = F.flatten(
+        F.transform(
+            lines,
+            lambda ln, j: F.when(
+                (j.cast("bigint") + did) % 4 == 0,
+                F.array(_text_span(ln, j), _media_span(j)),
+            ).otherwise(F.array(_text_span(ln, j))),
+        )
+    )
+    return df.select(did.alias("doc_id"), spans.alias("spans"))
+
+
+# the shared generative CTE: interleaved spans as (did, pos, kind, stext,
+# media_ref, off) rows — DuckDB's 1-based list indices mapped to the same
+# 0-based line offsets the Spark side emits
+_INTERLEAVE_EX_CTE = r"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS did, string_split(text, chr(10)) AS lines
+  FROM documents
+), s AS (
+  SELECT did,
+    flatten(list_transform(lines, (ln, j) ->
+      CASE WHEN (j - 1 + did) % 4 = 0
+           THEN [{'kind': 'text', 'stext': ln, 'media_ref': '', 'off': j - 1},
+                 {'kind': 'image', 'stext': '',
+                  'media_ref': 'media://' || did::VARCHAR || '/' || (j - 1)::VARCHAR,
+                  'off': j - 1}]
+           ELSE [{'kind': 'text', 'stext': ln, 'media_ref': '', 'off': j - 1}]
+      END)) AS sp
+  FROM t
+), ex AS (
+  SELECT did, i AS pos, sp[i].kind AS kind, sp[i].stext AS stext,
+         sp[i].media_ref AS media_ref, sp[i].off AS off
+  FROM s, UNNEST(range(1, len(sp) + 1)) AS u(i)
+)
+"""
+
+
+def spark_span_reflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.span_ops import reflow_spans
+
+    return reflow_spans(_interleaved(spark, sf_dir))
+
+
+_SPAN_REFLOW_SQL = (
+    _INTERLEAVE_EX_CTE
+    + r""", g AS (
+  SELECT *, SUM(CASE WHEN kind <> 'text' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY did ORDER BY pos) AS grp
+  FROM ex
+), m AS (
+  SELECT did, grp, kind,
+    string_agg(stext, chr(10) ORDER BY pos) AS mtext,
+    MAX(media_ref) AS mref, MIN(pos) AS min_pos, COUNT(*)::BIGINT AS n_merged
+  FROM g GROUP BY 1, 2, 3
+)
+SELECT did AS doc_id,
+  (ROW_NUMBER() OVER (PARTITION BY did ORDER BY min_pos) - 1)::BIGINT AS offset,
+  kind,
+  CASE WHEN kind = 'text' THEN mtext ELSE '' END AS text,
+  CASE WHEN kind = 'text' THEN '' ELSE mref END AS media_ref,
+  n_merged
+FROM m
+"""
+)
+
+
+def spark_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.span_ops import caption_pairs
+
+    return caption_pairs(_interleaved(spark, sf_dir))
+
+
+_CAPTION_PAIRS_SQL = (
+    _INTERLEAVE_EX_CTE
+    + r""", w AS (
+  SELECT did, kind, media_ref, off,
+    LEAD(kind) OVER w2 AS nk, LEAD(stext) OVER w2 AS nt,
+    LAG(kind) OVER w2 AS pk, LAG(stext) OVER w2 AS pt
+  FROM ex WINDOW w2 AS (PARTITION BY did ORDER BY pos)
+)
+SELECT did AS doc_id, media_ref, off::BIGINT AS media_line,
+  CASE WHEN nk = 'text' THEN nt WHEN pk = 'text' THEN pt ELSE '' END AS caption,
+  CASE WHEN nk = 'text' THEN 'after' WHEN pk = 'text' THEN 'before'
+       ELSE 'none' END AS caption_src
+FROM w WHERE kind <> 'text'
+"""
+)
+
+
+def spark_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.span_ops import media_dedup
+
+    df = _docs(spark, sf_dir)
+    media = (
+        df.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.posexplode(F.split("text", "\n")).alias("line", "_ln"),
+        )
+        .filter((F.col("line") + F.col("doc_id")) % 4 == 0)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("media://"),
+                F.col("doc_id").cast("string"),
+                F.lit("/"),
+                F.col("line").cast("string"),
+            ).alias("media_ref"),
+            F.md5(
+                F.concat(
+                    F.lit("blob-"),
+                    ((F.col("doc_id") * 7 + F.col("line")) % 64).cast("string"),
+                )
+            ).alias("content_key"),
+        )
+    )
+    return media_dedup(media)
+
+
+_MEDIA_DEDUP_SQL = r"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS did, string_split(text, chr(10)) AS lines
+  FROM documents
+), m AS (
+  SELECT did, j - 1 AS line
+  FROM t, UNNEST(range(1, len(lines) + 1)) AS u(j)
+  WHERE (j - 1 + did) % 4 = 0
+), media AS (
+  SELECT did,
+    'media://' || did::VARCHAR || '/' || line::VARCHAR AS media_ref,
+    md5('blob-' || ((did * 7 + line) % 64)::VARCHAR) AS content_key
+  FROM m
+)
+SELECT content_key, MIN(media_ref) AS canonical_ref,
+       COUNT(*)::BIGINT AS n_refs, COUNT(DISTINCT did)::BIGINT AS n_docs
+FROM media GROUP BY 1
+"""
+
+
 import os as _os
 
 _ORACLE_SF_TAG = _os.environ.get("SPARK_GRAFT_ORACLE_SF", "0.01").replace(".", "_")
@@ -4795,6 +4978,9 @@ SPARK_QUERIES = {
     "q_hll_distinct": spark_hll_distinct,
     "q_inverted_index": spark_inverted_index,
     "q_bm25_search": spark_bm25_search,
+    "q_span_reflow": spark_span_reflow,
+    "q_caption_pairs": spark_caption_pairs,
+    "q_media_dedup": spark_media_dedup,
 }
 
 ORACLE_SQL = {
@@ -4872,4 +5058,7 @@ ORACLE_SQL = {
     "q_hll_distinct": _HLL_SQL,
     "q_inverted_index": _INVERTED_SQL,
     "q_bm25_search": _BM25_SQL,
+    "q_span_reflow": _SPAN_REFLOW_SQL,
+    "q_caption_pairs": _CAPTION_PAIRS_SQL,
+    "q_media_dedup": _MEDIA_DEDUP_SQL,
 }
