@@ -634,6 +634,60 @@ def passage_dedup(
     )
 
 
+def repeated_ngram_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document repeated-substring exposure via SLIDING token
+    n-grams — the alignment-free complement to :func:`passage_dedup`
+    (whose non-overlapping chunks miss a repeated passage that starts
+    mid-chunk; a sliding window catches a repeat at ANY token offset,
+    the property the suffix-array substring-dedup literature targets).
+
+    A gram is "duplicated" when its content (md5 of the space-joined
+    window) occurs more than once corpus-wide — including twice within
+    one document. Output: (id, n_grams, n_dup_grams, dup_fraction_micros)
+    for every document with at least one full window; docs shorter than
+    ``n`` tokens carry no signal and are excluded.
+
+    Plan shape: the explode is ~tokens-per-doc rows; the gram-count
+    groupBy and the count-back join both shuffle on the gram hash with
+    map-side partial aggregation (a boilerplate gram repeated k times is
+    one k-count cell, never a fan-out); the final per-doc rollup shuffles
+    on the id. No windows, no driver state.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    size = F.size("_toks")
+    grams = F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(1), size - n + 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("_toks", i, n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = (
+        df.withColumn("_toks", toks)
+        .select(F.col(id_col), F.explode(grams).alias("gram"))
+    )
+    counts = ex.groupBy("gram").agg(F.count("*").cast("bigint").alias("_cnt"))
+    return (
+        ex.join(counts, on="gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("_cnt") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_grams"),
+        )
+        .withColumn(
+            "dup_fraction_micros",
+            F.expr("n_dup_grams * 1000000 div n_grams").cast("bigint"),
+        )
+    )
+
+
 def decontaminate(
     df: DataFrame,
     benchmark: DataFrame,

@@ -4904,6 +4904,50 @@ FROM media GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# q_repeated_ngrams — sliding-window repeated-substring exposure
+# (operators/dedup.py:repeated_ngram_stats): the alignment-free
+# complement to q_passage_dedup. A token 8-gram is duplicated when its
+# md5 occurs >1 times corpus-wide; per-doc output is the duplicated-gram
+# fraction. The oracle rebuilds the same sliding windows with DuckDB
+# list lambdas (1-based list_slice mapped to the same windows).
+# ---------------------------------------------------------------------------
+
+
+def spark_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import repeated_ngram_stats
+
+    return repeated_ngram_stats(_docs(spark, sf_dir))
+
+
+_REPEATED_NGRAMS_SQL = r"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS did,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT did,
+    CASE WHEN len(toks) >= 8
+         THEN list_transform(range(1, len(toks) - 8 + 2),
+                i -> md5(array_to_string(list_slice(toks, i, i + 7), ' ')))
+         ELSE [] END AS grams
+  FROM t
+), e AS (
+  SELECT did, u.gram FROM g, UNNEST(grams) AS u(gram)
+), c AS (
+  SELECT gram, COUNT(*)::BIGINT AS cnt FROM e GROUP BY 1
+), d AS (
+  SELECT did,
+    COUNT(*)::BIGINT AS n_grams,
+    SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_grams
+  FROM e JOIN c USING (gram) GROUP BY 1
+)
+SELECT did AS doc_id, n_grams, n_dup_grams,
+       (n_dup_grams * 1000000 // n_grams)::BIGINT AS dup_fraction_micros
+FROM d
+"""
+
+
 import os as _os
 
 _ORACLE_SF_TAG = _os.environ.get("SPARK_GRAFT_ORACLE_SF", "0.01").replace(".", "_")
@@ -4981,6 +5025,7 @@ SPARK_QUERIES = {
     "q_span_reflow": spark_span_reflow,
     "q_caption_pairs": spark_caption_pairs,
     "q_media_dedup": spark_media_dedup,
+    "q_repeated_ngrams": spark_repeated_ngrams,
 }
 
 ORACLE_SQL = {
@@ -5061,4 +5106,5 @@ ORACLE_SQL = {
     "q_span_reflow": _SPAN_REFLOW_SQL,
     "q_caption_pairs": _CAPTION_PAIRS_SQL,
     "q_media_dedup": _MEDIA_DEDUP_SQL,
+    "q_repeated_ngrams": _REPEATED_NGRAMS_SQL,
 }
