@@ -658,7 +658,7 @@ def repeated_ngram_stats(
     one k-count cell, never a fan-out); the final per-doc rollup shuffles
     on the id. No windows, no driver state.
     """
-    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    toks = tokens_col(text_col)
     size = F.size("_toks")
     grams = F.when(
         size >= n,

@@ -55,9 +55,12 @@ def cms_build(
     cells = df.select(
         F.col(item_col).alias("_item"), F.explode(rows).alias("row")
     ).select("row", _salted_bucket(F.col("_item"), F.col("row"), width).alias("bucket"))
-    return cells.groupBy("row", "bucket").agg(
+    sketch = cells.groupBy("row", "bucket").agg(
         F.count("*").cast("bigint").alias("cnt")
     )
+    # carry (depth, width) in the plan's schema metadata so a point-query
+    # with mismatched parameters fails loudly instead of under-estimating
+    return sketch.withMetadata("cnt", {"cms_depth": depth, "cms_width": width})
 
 
 def cms_estimate(
@@ -70,8 +73,21 @@ def cms_estimate(
     """Point-query the sketch for each candidate item: the classic
     min-over-rows estimate. The sketch side is bounded (d*w cells) and
     broadcast; missing cells read 0. Guarantee: estimate >= true count,
-    always (cells only over-count) — asserted in tests."""
+    always (cells only over-count) — asserted in tests. The guarantee
+    only holds when (depth, width) match the build; a sketch built by
+    :func:`cms_build` carries them in schema metadata and a mismatch
+    raises here instead of silently under-estimating."""
     from pyspark.sql.functions import broadcast
+
+    meta = sketch.schema["cnt"].metadata if "cnt" in sketch.columns else {}
+    if meta.get("cms_depth") is not None and (
+        meta["cms_depth"] != depth or meta["cms_width"] != width
+    ):
+        raise ValueError(
+            "cms_estimate(depth=%d, width=%d) does not match the sketch's "
+            "build parameters (depth=%d, width=%d)"
+            % (depth, width, meta["cms_depth"], meta["cms_width"])
+        )
 
     rows = F.array(*[F.lit(k) for k in range(depth)])
     probes = (
@@ -112,19 +128,24 @@ def hll_register_table(
     integer arithmetic: the harmonic sum of 2^-register is held scaled
     by 2^SCALE_BITS so every term is an integer; empty buckets
     contribute the full 2^SCALE_BITS term like the reference estimator.
-    Output: (group?, n_buckets_used, registers_sum, estimate_micros)."""
+    Output: (group?, n_buckets_used, registers_sum, estimate_micros).
+    NULL items carry no identity and are dropped (a NULL register row
+    would inflate n_buckets_used without contributing to the harmonic
+    sum, biasing the estimate upward)."""
     gcols = [group_col] if group_col else []
-    h32 = F.conv(F.substring(F.md5(F.col(item_col)), 1, 8), 16, 10).cast("bigint")
+    items = df.select(*gcols, F.col(item_col).alias("_item")).filter(
+        F.col("_item").isNotNull()
+    )
+    h32 = F.conv(F.substring(F.md5(F.col("_item")), 1, 8), 16, 10).cast("bigint")
     bucket = (h32 % HLL_M).cast("int")
     rem = F.expr(
-        "CAST(conv(substring(md5(%s), 1, 8), 16, 10) AS BIGINT) div %d"
-        % (item_col, HLL_M)
+        "CAST(conv(substring(md5(_item), 1, 8), 16, 10) AS BIGINT) div %d" % HLL_M
     )
     rank = F.when(
         rem > 0, F.lit(_REM_BITS + 1) - F.length(F.bin(rem))
     ).otherwise(F.lit(_REM_BITS + 1))
     regs = (
-        df.select(*gcols, bucket.alias("bucket"), rank.alias("rank"))
+        items.select(*gcols, bucket.alias("bucket"), rank.alias("rank"))
         .groupBy(*gcols, "bucket")
         .agg(F.max("rank").cast("bigint").alias("register"))
     )

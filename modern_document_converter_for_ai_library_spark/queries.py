@@ -4422,37 +4422,9 @@ FROM t LEFT JOIN sc USING (doc_id)
 
 
 def spark_interleave_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _docs(spark, sf_dir)
-    did = F.col("doc_id").cast("bigint")
-    lines = F.split(F.col("text"), "\n")
-
-    def _text_span(ln, j):
-        return F.struct(
-            F.lit("text").alias("kind"),
-            ln.alias("text"),
-            F.lit("").alias("media_ref"),
-            j.cast("int").alias("offset"),
-        )
-
-    def _media_span(j):
-        return F.struct(
-            F.lit("image").alias("kind"),
-            F.lit("").alias("text"),
-            F.concat(
-                F.lit("media://"), did.cast("string"), F.lit("/"), j.cast("string")
-            ).alias("media_ref"),
-            j.cast("int").alias("offset"),
-        )
-
-    spans = F.flatten(
-        F.transform(
-            lines,
-            lambda ln, j: F.when(
-                (j.cast("bigint") + did) % 4 == 0,
-                F.array(_text_span(ln, j), _media_span(j)),
-            ).otherwise(F.array(_text_span(ln, j))),
-        )
-    )
+    # derived from the single shared generator (_interleaved below) so
+    # the interleave rule exists exactly once on the Spark side
+    spans = F.col("spans")
     kinds = F.transform(spans, lambda s: s["kind"])
     n_spans = F.size(spans).cast("bigint")
     n_media = F.size(F.filter(spans, lambda s: s["kind"] != "text")).cast("bigint")
@@ -4469,8 +4441,8 @@ def spark_interleave_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     first_media_pos = F.coalesce(
         F.array_position(kinds, "image").cast("bigint"), F.lit(0)
     )
-    base = df.select(
-        did.alias("doc_id"),
+    base = _interleaved(spark, sf_dir).select(
+        "doc_id",
         n_spans.alias("n_spans"),
         n_media.alias("n_media"),
         alternations.alias("alternations"),
@@ -4680,7 +4652,11 @@ def spark_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.search import bm25_rank
 
     return bm25_rank(
-        _docs(spark, sf_dir).select("doc_id", "text"), _BM25_TERMS, top_k=20
+        _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+        ),
+        _BM25_TERMS,
+        top_k=20,
     )
 
 
@@ -4690,8 +4666,16 @@ WITH toks AS (
   FROM documents, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS u(token)
 ), lens AS (
   SELECT did, COUNT(*)::BIGINT AS dl FROM toks GROUP BY 1
-), stats AS (
+), stats0 AS (
   SELECT SUM(dl)::BIGINT AS T, COUNT(*)::BIGINT AS N FROM lens
+), sh AS (
+  -- the ratio-preserving overflow shift from operators/search.py:
+  -- s = max(0, bit_length(T) - 31); T >>= s; N = max(N >> s, 1)
+  SELECT greatest(0, length(printf('%b', T)) - 31) AS s FROM stats0
+), stats AS (
+  SELECT stats0.T >> sh.s AS ts, greatest(stats0.N >> sh.s, 1) AS ns,
+         stats0.N AS n_raw
+  FROM stats0, sh
 ), terms AS (
   SELECT unnest(['dup', 'hash', 'merge', 'vector']) AS token
 ), tf AS (
@@ -4701,16 +4685,21 @@ WITH toks AS (
 ), dfreq AS (
   SELECT token, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1
 ), idf AS (
+  -- idf keeps the UNSCALED doc count (it is a pure df/N ratio, no
+  -- product with corpus-scale terms)
   SELECT token,
     (length(printf('%b',
-       (2 * ((SELECT N FROM stats) - df) + 1) * 1048576 // (2 * df + 1)
+       (2 * ((SELECT n_raw FROM stats) - df) + 1) * 1048576 // (2 * df + 1)
      )) - 1)::BIGINT AS idf
   FROM dfreq
 ), scored AS (
+  -- tf clamped at 2^20, dl at 2^24 (the saturation clamps from
+  -- operators/search.py) keep every product below 2^63
   SELECT did,
-    idf * 44 * tf * (SELECT T FROM stats)
-      // (20 * tf * (SELECT T FROM stats) + 6 * (SELECT T FROM stats)
-          + 18 * dl * (SELECT N FROM stats)) AS term_score
+    idf * 44 * least(tf, 1048576) * (SELECT ts FROM stats)
+      // (20 * least(tf, 1048576) * (SELECT ts FROM stats)
+          + 6 * (SELECT ts FROM stats)
+          + 18 * least(dl, 16777216) * (SELECT ns FROM stats)) AS term_score
   FROM tf JOIN idf USING (token) JOIN lens USING (did)
 ), per_doc AS (
   SELECT did, SUM(term_score)::BIGINT AS score, COUNT(*)::BIGINT AS n_hit_terms

@@ -59,3 +59,22 @@ def test_rare_term_outranks_common(spark):
     df = spark.createDataFrame(corpus, ["doc_id", "text"])
     top = bm25_rank(df, ["common", "needle"], top_k=2).collect()
     assert {r["doc_id"] for r in top} == {7, 21}
+
+
+def test_empty_terms_returns_empty_frame(spark):
+    df = spark.createDataFrame(_corpus(), ["doc_id", "text"])
+    out = bm25_rank(df, [])
+    assert out.columns == ["doc_id", "score", "n_hit_terms"]
+    assert out.count() == 0
+
+
+def test_empty_corpus_returns_empty_frame(spark):
+    df = spark.createDataFrame([], "doc_id long, text string")
+    assert bm25_rank(df, ["needle"]).count() == 0
+
+
+def test_string_doc_ids_rank(spark):
+    rows = [("d%02d" % i, t) for i, (_, t) in enumerate(_corpus())]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    top = bm25_rank(df, ["needle"], top_k=2).collect()
+    assert {r["doc_id"] for r in top} == {"d07", "d21"}

@@ -73,3 +73,28 @@ def test_salt_boundaries(spark):
             for r in build_inverted_index(df, n_salts=n_salts).collect()
         }
         assert got == base, n_salts
+
+
+def test_string_doc_ids_do_not_collapse(spark):
+    # ids that are not numeric must not null out into one merged posting
+    df = spark.createDataFrame(
+        [("doc_a", "the x"), ("doc_b", "the y"), ("doc_c", "the the z")],
+        ["doc_id", "text"],
+    )
+    got = {r["token"]: r for r in build_inverted_index(df).collect()}
+    assert got["the"]["doc_frequency"] == 3
+    assert got["the"]["top_docs"] == "doc_c,doc_a,doc_b"  # tf desc, id asc
+    assert got["x"]["top_docs"] == "doc_a"
+
+
+def test_single_corpus_scan(spark):
+    # doc_frequency must ride the phase-1 shuffle, not re-tokenize the
+    # corpus: exactly one Generate (explode) in the final adaptive plan,
+    # and the two phase-1 windows share one (token, salt) Exchange
+    df = _corpus(spark)
+    out = build_inverted_index(df)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert final.count("Generate") == 1, final
+    assert final.count("Exchange hashpartitioning") <= 3, final

@@ -114,3 +114,32 @@ def test_hll_merge_is_registerwise_max(spark):
     ).collect()[0]
     assert merged["estimate_micros"] == whole["estimate_micros"]
     assert merged["registers_sum"] == whole["registers_sum"]
+
+
+def test_cms_estimate_rejects_mismatched_params(spark):
+    import pytest
+
+    from modern_document_converter_for_ai_library_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame([("a",), ("b",)], ["item"])
+    sketch = cms_build(df, "item", depth=4, width=2048)
+    with pytest.raises(ValueError, match="does not match"):
+        cms_estimate(sketch, df, "item", depth=4, width=1024)
+
+
+def test_hll_null_items_do_not_bias_estimate(spark):
+    from modern_document_converter_for_ai_library_spark.operators.sketches import (
+        hll_register_table,
+    )
+
+    base = spark.createDataFrame([("t%d" % i,) for i in range(50)], ["item"])
+    with_nulls = base.union(
+        spark.createDataFrame([(None,), (None,)], base.schema)
+    )
+    a = hll_register_table(base, "item").collect()[0]
+    b = hll_register_table(with_nulls, "item").collect()[0]
+    assert (a["n_buckets_used"], a["registers_sum"], a["estimate_micros"]) == (
+        b["n_buckets_used"], b["registers_sum"], b["estimate_micros"])
