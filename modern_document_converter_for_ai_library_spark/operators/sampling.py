@@ -57,3 +57,46 @@ def stratified_sample(
     return df.withColumn("hash_micros", hm).withColumn(
         "sampled", F.col("hash_micros") < thr
     )
+
+
+def group_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    k: int = 3,
+    salt: str = "",
+    n_salts: int = 16,
+) -> DataFrame:
+    """FIXED-SIZE deterministic uniform sample per group: the ``k`` rows
+    with the smallest md5(id || salt) — the bottom-k (min-k) sketch.
+    Complements :func:`stratified_sample` (rate-based, output size
+    proportional to the group): here every group yields at most ``k``
+    rows no matter how large it is, and the sample is MERGEABLE —
+    re-taking the bottom-k of a union of per-partition/per-day bottom-k
+    samples equals the bottom-k of the union of the raw data (tested),
+    so samples maintained per shard combine without touching raw rows.
+
+    Skew-safe via the exact two-phase pattern (inverted_index.py): a
+    per-(group, hash-salt) partial bottom-k bounds every task at
+    corpus-hot groups, then the global pass sees <= n_salts*k survivors
+    per group. Output: (group, id, sample_rank) with rank 1..k in hash
+    order — deterministic under recompute, any partitioning, any engine.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    salted = (
+        df.select(group_col, id_col)
+        .withColumn("_h", h)
+        .withColumn("_salt", F.pmod(F.hash(id_col), F.lit(n_salts)))
+    )
+    w1 = Window.partitionBy(group_col, "_salt").orderBy("_h", id_col)
+    local = salted.withColumn("_r", F.row_number().over(w1)).filter(
+        F.col("_r") <= k
+    )
+    w2 = Window.partitionBy(group_col).orderBy("_h", id_col)
+    return (
+        local.withColumn("sample_rank", F.row_number().over(w2))
+        .filter(F.col("sample_rank") <= k)
+        .select(group_col, id_col, F.col("sample_rank").cast("bigint").alias("sample_rank"))
+    )

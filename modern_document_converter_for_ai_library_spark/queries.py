@@ -4894,6 +4894,40 @@ FROM media GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# q_group_sample — fixed-size deterministic per-group sampling
+# (operators/sampling.py:group_sample): bottom-3 by md5(doc_id) per
+# source — the mergeable min-k sketch, skew-safe via the exact two-phase
+# salted pattern. The oracle computes the single-window form, so parity
+# doubles as the two-phase exactness proof (same argument as
+# q_inverted_index).
+# ---------------------------------------------------------------------------
+
+
+def spark_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import group_sample
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source"
+    )
+    return group_sample(docs, "source", "doc_id", k=3)
+
+
+_GROUP_SAMPLE_SQL = r"""
+WITH t AS (
+  SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), r AS (
+  SELECT source, doc_id,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS sample_rank
+  FROM t
+)
+SELECT source, doc_id, sample_rank::BIGINT AS sample_rank
+FROM r WHERE sample_rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_repeated_ngrams — sliding-window repeated-substring exposure
 # (operators/dedup.py:repeated_ngram_stats): the alignment-free
 # complement to q_passage_dedup. A token 8-gram is duplicated when its
@@ -5015,6 +5049,7 @@ SPARK_QUERIES = {
     "q_caption_pairs": spark_caption_pairs,
     "q_media_dedup": spark_media_dedup,
     "q_repeated_ngrams": spark_repeated_ngrams,
+    "q_group_sample": spark_group_sample,
 }
 
 ORACLE_SQL = {
@@ -5096,4 +5131,5 @@ ORACLE_SQL = {
     "q_caption_pairs": _CAPTION_PAIRS_SQL,
     "q_media_dedup": _MEDIA_DEDUP_SQL,
     "q_repeated_ngrams": _REPEATED_NGRAMS_SQL,
+    "q_group_sample": _GROUP_SAMPLE_SQL,
 }
