@@ -29,12 +29,15 @@ is <= 62*44*2^20*2^31 < 2^63 and each denominator term is < 2^60: no
 BIGINT wrap at any corpus size. The shift and clamps are part of the
 scoring definition and are replicated verbatim in the SQL oracle.
 
-Scale shape: corpus stats are two scalar aggregates; the query-term df
-table is |terms| rows (broadcast); scoring is a broadcast semi-join of
-the exploded tokens against the terms, one partial-aggregated groupBy
-per (doc, term), one per doc — no data-scale window. Top-k is a global
-TakeOrdered (no full sort). Document ids are used as-is (never cast), so
-string ids rank fine and cannot silently null out.
+Scale shape: because the query-term list is small and fixed, per-term
+term frequencies ride the ONE per-document aggregate as conditional
+sums (tf_i = sum(token = t_i)) — a single groupBy(did) exchange carries
+dl and every tf. Corpus stats (T, N, per-term df) all come out of one
+scalar aggregate over that table, idf is then pure driver-side integer
+math, and scoring is a single Project over the per-doc table — no
+data-scale joins, no windows. Top-k is a global TakeOrdered (no full
+sort). Document ids are used as-is (never cast), so string ids rank
+fine and cannot silently null out.
 """
 
 from __future__ import annotations
@@ -62,7 +65,6 @@ def bm25_rank(
     (score DESC, doc_id ASC). Empty term lists and empty corpora return
     an empty frame of the same shape."""
     from pyspark.sql import types as T_
-    from pyspark.sql.functions import broadcast
 
     spark = df.sparkSession
     out_schema = T_.StructType(
@@ -79,10 +81,25 @@ def bm25_rank(
     toks = df.select(
         F.col(id_col).alias("did"), F.explode(tokens_col(text_col)).alias("token")
     )
-    lens = toks.groupBy("did").agg(F.count("*").cast("bigint").alias("dl"))
-    # two scalar corpus stats (driver-side, O(1) rows)
-    stats = lens.agg(
-        F.sum("dl").cast("bigint").alias("T"), F.count("*").cast("bigint").alias("N")
+    # ONE per-doc aggregate carries dl and every per-term tf
+    tf_cols = ["_tf_%d" % i for i in range(len(uniq_terms))]
+    per_doc = toks.groupBy("did").agg(
+        F.count("*").cast("bigint").alias("dl"),
+        *[
+            F.sum(F.when(F.col("token") == t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(c)
+            for t, c in zip(uniq_terms, tf_cols)
+        ],
+    )
+    # one scalar aggregate yields T, N, and every per-term df
+    stats = per_doc.agg(
+        F.sum("dl").cast("bigint").alias("T"),
+        F.count("*").cast("bigint").alias("N"),
+        *[
+            F.sum(F.when(F.col(c) > 0, 1).otherwise(0)).cast("bigint").alias("df" + c)
+            for c in tf_cols
+        ],
     ).collect()[0]
     T, N = stats["T"], stats["N"]
     if not T or not N:
@@ -90,46 +107,31 @@ def bm25_rank(
     # ratio-preserving common shift keeps every product below 2^63
     shift = max(0, T.bit_length() - _T_BITS)
     Ts, Ns = T >> shift, max(N >> shift, 1)
+    # idf proxy (floor-log2 of the scaled classic ratio): exact driver-side
+    # integer math — df is already in hand, no join needed
+    idfs = []
+    for c in tf_cols:
+        dfq = stats["df" + c]
+        ratio = (2 * (N - dfq) + 1) * (1 << IDF_SCALE_BITS) // (2 * dfq + 1) if dfq else 0
+        idfs.append(ratio.bit_length() - 1 if ratio else 0)
 
-    terms_df = spark.createDataFrame([(t,) for t in uniq_terms], ["token"])
-    hits = toks.join(broadcast(terms_df), on="token")
-    tf = hits.groupBy("did", "token").agg(F.count("*").cast("bigint").alias("tf"))
-    dfreq = tf.groupBy("token").agg(F.count("*").cast("bigint").alias("df"))
-    # idf proxy: floor-log2 of the scaled classic ratio
-    idf = dfreq.select(
-        "token",
-        (
-            F.length(
-                F.bin(
-                    F.expr(
-                        "(2 * (%d - df) + 1) * %d div (2 * df + 1)"
-                        % (N, 1 << IDF_SCALE_BITS)
-                    )
-                )
-            )
-            - 1
-        )
-        .cast("bigint")
-        .alias("idf"),
+    term_score = lambda c, idf: (  # noqa: E731
+        "%d * 44 * least(%s, %d) * %d div "
+        "(20 * least(%s, %d) * %d + 6 * %d + 18 * least(dl, %d) * %d)"
+        % (idf, c, TF_CLAMP, Ts, c, TF_CLAMP, Ts, Ts, DL_CLAMP, Ns)
     )
-    scored = (
-        tf.join(broadcast(idf), on="token")
-        .join(lens, on="did")
-        .select(
-            "did",
-            F.expr(
-                "idf * 44 * least(tf, %d) * %d div "
-                "(20 * least(tf, %d) * %d + 6 * %d + 18 * least(dl, %d) * %d)"
-                % (TF_CLAMP, Ts, TF_CLAMP, Ts, Ts, DL_CLAMP, Ns)
-            ).alias("term_score"),
-        )
+    score = " + ".join(
+        "if(%s > 0, %s, 0)" % (c, term_score(c, idf))
+        for c, idf in zip(tf_cols, idfs)
     )
-    per_doc = scored.groupBy("did").agg(
-        F.sum("term_score").cast("bigint").alias("score"),
-        F.count("*").cast("bigint").alias("n_hit_terms"),
-    )
+    n_hit = " + ".join("if(%s > 0, 1, 0)" % c for c in tf_cols)
+    scored = per_doc.select(
+        "did",
+        F.expr(score).cast("bigint").alias("score"),
+        F.expr(n_hit).cast("bigint").alias("n_hit_terms"),
+    ).filter(F.col("n_hit_terms") > 0)
     return (
-        per_doc.orderBy(F.col("score").desc(), F.col("did").asc())
+        scored.orderBy(F.col("score").desc(), F.col("did").asc())
         .limit(top_k)
         .select(F.col("did").alias(id_col), "score", "n_hit_terms")
     )
