@@ -121,6 +121,69 @@ _SCALE = 1 << _SCALE_BITS
 _EST_NUM = 709 * HLL_M * HLL_M * _SCALE * 1000
 
 
+def log2_histogram(
+    df: DataFrame, value_col: str, group_col: str | None = None
+) -> DataFrame:
+    """HDR-style log2 histogram: bucket = bit_length(value) (0 for
+    value <= 0), at most 64 cells per group regardless of input size.
+    Mergeable by cell-wise SUM — per-shard/per-day histograms combine
+    without re-reading raw data. One partial-aggregated groupBy."""
+    gcols = [group_col] if group_col else []
+    v = F.col(value_col).cast("bigint")
+    bucket = F.when(v <= 0, F.lit(0)).otherwise(F.length(F.bin(v))).cast("int")
+    return (
+        df.select(*gcols, bucket.alias("bucket"))
+        .groupBy(*gcols, "bucket")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    group_col: str | None = None,
+    quantiles_micros: tuple[int, ...] = (500_000, 900_000, 990_000),
+) -> DataFrame:
+    """Nearest-rank quantile LOWER BOUNDS from a log2 histogram: for each
+    requested quantile q the smallest bucket whose cumulative count
+    reaches ceil(q * n), reported as the bucket's lower bound 2^(b-1).
+    The true nearest-rank quantile lies in [lb, 2*lb) by construction —
+    the factor-2 envelope is the price of 64 cells of state vs a full
+    shuffle of raw values (q_source_percentiles is the exact
+    counterpart). Windows partition per group over <= 64 rows."""
+    from pyspark.sql import Window
+
+    gcols = [group_col] if group_col else []
+    w_cum = Window.partitionBy(*gcols).orderBy("bucket")
+    w_all = Window.partitionBy(*gcols)
+    cum = hist.withColumn("_cum", F.sum("cnt").over(w_cum)).withColumn(
+        "_total", F.sum("cnt").over(w_all)
+    )
+    aggs = [F.max("_total").cast("bigint").alias("n")]
+    names = []
+    for qm in quantiles_micros:
+        rank = F.expr("(_total * %d + %d) div %d" % (qm, MICRO - 1, MICRO))
+        names.append("p%d_lb" % (qm // 10_000))
+        aggs.append(
+            F.min(F.when(F.col("_cum") >= rank, F.col("bucket"))).alias(
+                "_b_" + names[-1]
+            )
+        )
+    agged = cum.groupBy(*gcols).agg(*aggs)
+    return agged.select(
+        *gcols,
+        "n",
+        *[
+            F.expr(
+                "CASE WHEN _b_%s <= 0 THEN 0 "
+                "ELSE CAST(1 AS BIGINT) << (_b_%s - 1) END" % (nm, nm)
+            )
+            .cast("bigint")
+            .alias(nm)
+            for nm in names
+        ],
+    )
+
+
 def hll_register_table(
     df: DataFrame, item_col: str, group_col: str | None = None
 ) -> DataFrame:

@@ -4894,6 +4894,46 @@ FROM media GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# q_log_histogram — HDR-style log2 histogram + nearest-rank quantile
+# lower bounds over n_chars per source (operators/sketches.py): 64 cells
+# of mergeable state per group vs the full-shuffle exact counterpart
+# (q_source_percentiles). The oracle rebuilds the bucket walk and the
+# ceil-rank cumulative scan in SQL.
+# ---------------------------------------------------------------------------
+
+
+def spark_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import histogram_quantiles, log2_histogram
+
+    hist = log2_histogram(_docs(spark, sf_dir), "n_chars", group_col="source")
+    return histogram_quantiles(hist, group_col="source")
+
+
+_LOG_HISTOGRAM_SQL = r"""
+WITH h AS (
+  SELECT source,
+    CASE WHEN CAST(n_chars AS BIGINT) <= 0 THEN 0
+         ELSE length(printf('%b', CAST(n_chars AS BIGINT))) END AS bucket,
+    COUNT(*)::BIGINT AS cnt
+  FROM documents GROUP BY 1, 2
+), c AS (
+  SELECT source, bucket, cnt,
+    SUM(cnt) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+    SUM(cnt) OVER (PARTITION BY source) AS total
+  FROM h
+)
+SELECT source, MAX(total)::BIGINT AS n,
+  MIN(CASE WHEN cum >= (total * 500000 + 999999) // 1000000 THEN
+    CASE WHEN bucket <= 0 THEN 0 ELSE 1::BIGINT << (bucket - 1) END END)::BIGINT AS p50_lb,
+  MIN(CASE WHEN cum >= (total * 900000 + 999999) // 1000000 THEN
+    CASE WHEN bucket <= 0 THEN 0 ELSE 1::BIGINT << (bucket - 1) END END)::BIGINT AS p90_lb,
+  MIN(CASE WHEN cum >= (total * 990000 + 999999) // 1000000 THEN
+    CASE WHEN bucket <= 0 THEN 0 ELSE 1::BIGINT << (bucket - 1) END END)::BIGINT AS p99_lb
+FROM c GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_group_sample — fixed-size deterministic per-group sampling
 # (operators/sampling.py:group_sample): bottom-3 by md5(doc_id) per
 # source — the mergeable min-k sketch, skew-safe via the exact two-phase
@@ -5050,6 +5090,7 @@ SPARK_QUERIES = {
     "q_media_dedup": spark_media_dedup,
     "q_repeated_ngrams": spark_repeated_ngrams,
     "q_group_sample": spark_group_sample,
+    "q_log_histogram": spark_log_histogram,
 }
 
 ORACLE_SQL = {
@@ -5132,4 +5173,5 @@ ORACLE_SQL = {
     "q_media_dedup": _MEDIA_DEDUP_SQL,
     "q_repeated_ngrams": _REPEATED_NGRAMS_SQL,
     "q_group_sample": _GROUP_SAMPLE_SQL,
+    "q_log_histogram": _LOG_HISTOGRAM_SQL,
 }

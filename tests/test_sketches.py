@@ -143,3 +143,46 @@ def test_hll_null_items_do_not_bias_estimate(spark):
     b = hll_register_table(with_nulls, "item").collect()[0]
     assert (a["n_buckets_used"], a["registers_sum"], a["estimate_micros"]) == (
         b["n_buckets_used"], b["registers_sum"], b["estimate_micros"])
+
+
+def test_log2_histogram_merge_law_and_quantile_envelope(spark):
+    from pyspark.sql import functions as F
+
+    from modern_document_converter_for_ai_library_spark.operators.sketches import (
+        histogram_quantiles,
+        log2_histogram,
+    )
+
+    vals = [(i, "g%d" % (i % 2), (i * 37) % 5000) for i in range(400)]
+    df = spark.createDataFrame(vals, ["i", "g", "v"])
+
+    # merge law: cell-wise sum of per-shard histograms == histogram of union
+    full = log2_histogram(df, "v", "g")
+    a = log2_histogram(df.filter(F.col("i") % 2 == 0), "v", "g")
+    b = log2_histogram(df.filter(F.col("i") % 2 == 1), "v", "g")
+    merged = (
+        a.union(b).groupBy("g", "bucket").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+    # envelope: lb <= exact nearest-rank quantile < 2*lb (for lb > 0)
+    q = {r["g"]: r for r in histogram_quantiles(full, "g").collect()}
+    rows = sorted(v for _, g, v in vals if g == "g0")
+    for qm, col in ((500_000, "p50_lb"), (900_000, "p90_lb"), (990_000, "p99_lb")):
+        exact = rows[-(-len(rows) * qm // 1_000_000) - 1]  # ceil nearest-rank
+        lb = q["g0"][col]
+        assert lb <= exact < 2 * max(lb, 1), (col, lb, exact)
+
+
+def test_log2_histogram_zero_and_negative_values(spark):
+    from modern_document_converter_for_ai_library_spark.operators.sketches import (
+        histogram_quantiles,
+        log2_histogram,
+    )
+
+    df = spark.createDataFrame([(0,), (-5,), (1,), (1,)], ["v"])
+    hist = log2_histogram(df, "v")
+    got = {r["bucket"]: r["cnt"] for r in hist.collect()}
+    assert got == {0: 2, 1: 2}  # <=0 collapses to bucket 0; 1 -> bucket 1
+    q = histogram_quantiles(hist).collect()[0]
+    assert q["n"] == 4 and q["p50_lb"] == 0 and q["p99_lb"] == 1
