@@ -184,17 +184,13 @@ def histogram_quantiles(
     )
 
 
-def hll_register_table(
+def hll_registers(
     df: DataFrame, item_col: str, group_col: str | None = None
 ) -> DataFrame:
-    """Per-group HLL registers + the cardinality estimate in EXACT
-    integer arithmetic: the harmonic sum of 2^-register is held scaled
-    by 2^SCALE_BITS so every term is an integer; empty buckets
-    contribute the full 2^SCALE_BITS term like the reference estimator.
-    Output: (group?, n_buckets_used, registers_sum, estimate_micros).
-    NULL items carry no identity and are dropped (a NULL register row
-    would inflate n_buckets_used without contributing to the harmonic
-    sum, biasing the estimate upward)."""
+    """The raw per-(group?, bucket) register table: max rank of the
+    hashed remainder. This is WHAT MERGES (register-wise MAX — max is
+    idempotent and commutative, so replayed or re-sharded inputs are
+    absorbed); the estimate is derived arithmetic. NULL items dropped."""
     gcols = [group_col] if group_col else []
     items = df.select(*gcols, F.col(item_col).alias("_item")).filter(
         F.col("_item").isNotNull()
@@ -207,11 +203,16 @@ def hll_register_table(
     rank = F.when(
         rem > 0, F.lit(_REM_BITS + 1) - F.length(F.bin(rem))
     ).otherwise(F.lit(_REM_BITS + 1))
-    regs = (
+    return (
         items.select(*gcols, bucket.alias("bucket"), rank.alias("rank"))
         .groupBy(*gcols, "bucket")
         .agg(F.max("rank").cast("bigint").alias("register"))
     )
+
+
+def hll_estimate_from_registers(regs: DataFrame, gcols: list[str]) -> DataFrame:
+    """Exact-integer estimate columns from a register table (merged or
+    single-pass) — shared by the batch query and the streaming state."""
     term = F.expr(
         "CAST(1 AS BIGINT) << CAST(%d - register AS INT)" % _SCALE_BITS
     )
@@ -229,3 +230,18 @@ def hll_register_table(
             % (_EST_NUM, HLL_M, _SCALE)
         ).alias("estimate_micros"),
     )
+
+
+def hll_register_table(
+    df: DataFrame, item_col: str, group_col: str | None = None
+) -> DataFrame:
+    """Per-group HLL registers + the cardinality estimate in EXACT
+    integer arithmetic: the harmonic sum of 2^-register is held scaled
+    by 2^SCALE_BITS so every term is an integer; empty buckets
+    contribute the full 2^SCALE_BITS term like the reference estimator.
+    Output: (group?, n_buckets_used, registers_sum, estimate_micros).
+    NULL items carry no identity and are dropped (a NULL register row
+    would inflate n_buckets_used without contributing to the harmonic
+    sum, biasing the estimate upward)."""
+    gcols = [group_col] if group_col else []
+    return hll_estimate_from_registers(hll_registers(df, item_col, group_col), gcols)
