@@ -127,12 +127,16 @@ def log2_histogram(
     """HDR-style log2 histogram: bucket = bit_length(value) (0 for
     value <= 0), at most 64 cells per group regardless of input size.
     Mergeable by cell-wise SUM — per-shard/per-day histograms combine
-    without re-reading raw data. One partial-aggregated groupBy."""
+    without re-reading raw data. One partial-aggregated groupBy.
+    NULL values carry no magnitude and are dropped (same rationale as
+    hll_registers: a NULL cell would inflate n and shift every
+    cumulative rank in histogram_quantiles)."""
     gcols = [group_col] if group_col else []
     v = F.col(value_col).cast("bigint")
     bucket = F.when(v <= 0, F.lit(0)).otherwise(F.length(F.bin(v))).cast("int")
     return (
-        df.select(*gcols, bucket.alias("bucket"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(*gcols, bucket.alias("bucket"))
         .groupBy(*gcols, "bucket")
         .agg(F.count("*").cast("bigint").alias("cnt"))
     )
@@ -153,6 +157,11 @@ def histogram_quantiles(
     from pyspark.sql import Window
 
     gcols = [group_col] if group_col else []
+    if len({qm // 10_000 for qm in quantiles_micros}) != len(quantiles_micros):
+        raise ValueError(
+            "quantiles_micros %r collide within a 1%% naming band (p<NN>_lb "
+            "column names would duplicate)" % (quantiles_micros,)
+        )
     w_cum = Window.partitionBy(*gcols).orderBy("bucket")
     w_all = Window.partitionBy(*gcols)
     cum = hist.withColumn("_cum", F.sum("cnt").over(w_cum)).withColumn(

@@ -45,45 +45,76 @@ from ..operators.sketches import (
 )
 
 _REG_SCHEMA = "group string, bucket int, register bigint"
+_CURRENT = "CURRENT"
+
+
+def _read_pointer(state_path: str) -> str | None:
+    ptr = os.path.join(state_path, _CURRENT)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr, encoding="utf-8") as f:
+        name = f.read().strip()
+    version_dir = os.path.join(state_path, name)
+    return version_dir if name and os.path.exists(version_dir) else None
 
 
 def merge_hll_state(state_path: str, batch_regs: DataFrame) -> None:
     """Fold a batch's register table into the persisted state with
-    register-wise MAX, swapping the (tiny) state via temp-path rename.
-    Idempotent: max(x, x) = x, so batch replays are absorbed."""
+    register-wise MAX. Crash-safe versioned-pointer protocol: the merged
+    table is written to a NEW version directory, then a tiny CURRENT
+    pointer file is swapped with os.replace (atomic on POSIX) — a crash
+    at any point leaves CURRENT referencing a complete older version,
+    never a partial or deleted one. Stale versions are removed
+    best-effort after the pointer moves. Idempotent: max(x, x) = x, so
+    batch replays are absorbed."""
     spark = batch_regs.sparkSession
-    if os.path.exists(state_path):
-        prev = spark.read.schema(_REG_SCHEMA).parquet(state_path)
+    os.makedirs(state_path, exist_ok=True)
+    prev_dir = _read_pointer(state_path)
+    if prev_dir is not None:
+        prev = spark.read.schema(_REG_SCHEMA).parquet(prev_dir)
         merged = (
             prev.union(batch_regs.select("group", "bucket", "register"))
             .groupBy("group", "bucket")
             .agg(F.max("register").cast("bigint").alias("register"))
         )
+        next_version = int(os.path.basename(prev_dir).lstrip("v")) + 1
     else:
-        merged = batch_regs
-    tmp = state_path + ".tmp"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    old = state_path + ".old"
-    if os.path.exists(state_path):
-        os.rename(state_path, old)
-    os.rename(tmp, state_path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+        merged = batch_regs.select("group", "bucket", "register")
+        next_version = 1
+    new_name = "v%d" % next_version
+    merged.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(state_path, new_name)
+    )
+    ptr_tmp = os.path.join(state_path, _CURRENT + ".tmp")
+    with open(ptr_tmp, "w", encoding="utf-8") as f:
+        f.write(new_name)
+    os.replace(ptr_tmp, os.path.join(state_path, _CURRENT))
+    if prev_dir is not None:
+        shutil.rmtree(prev_dir, ignore_errors=True)
 
 
 def hll_estimate_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
     """Cardinality estimates from the persisted registers — the same
-    exact-integer arithmetic as the batch hll_register_table."""
-    regs = spark.read.schema(_REG_SCHEMA).parquet(
-        os.path.join(state_dir, "hll_registers")
-    )
+    exact-integer arithmetic as the batch hll_register_table. An empty
+    or not-yet-written state yields an empty frame, not an error."""
+    current = _read_pointer(os.path.join(state_dir, "hll_registers"))
+    if current is None:
+        regs = spark.createDataFrame([], _REG_SCHEMA)
+    else:
+        regs = spark.read.schema(_REG_SCHEMA).parquet(current)
     return hll_estimate_from_registers(regs, ["group"])
 
 
 def histogram_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
     """Sum-merge the per-batch histogram cells into the corpus histogram
-    (batch_id is a partition column, dropped after the rollup)."""
-    cells = spark.read.parquet(os.path.join(state_dir, "hist_cells"))
+    (batch_id is a partition column, dropped after the rollup). An empty
+    or not-yet-written state yields an empty frame, not an error."""
+    path = os.path.join(state_dir, "hist_cells")
+    if not any(
+        n.startswith("batch_id=") for n in (os.listdir(path) if os.path.exists(path) else [])
+    ):
+        return spark.createDataFrame([], "group string, bucket int, cnt bigint")
+    cells = spark.read.parquet(path)
     return cells.groupBy("group", "bucket").agg(
         F.sum("cnt").cast("bigint").alias("cnt")
     )
@@ -105,12 +136,11 @@ def sketch_stream(
     hll_path = os.path.join(state_dir, "hll_registers")
     hist_dir = os.path.join(state_dir, "hist_cells")
 
-    stream = (
-        spark.readStream.schema(
-            "doc_id string, text string, lang string, source string, n_chars bigint"
-        )
-        .parquet(input_path)
-    )
+    # infer the schema from the files on disk (the pattern every other
+    # streaming module uses) — hardcoding it breaks on e.g. int64 doc_id
+    stream = spark.readStream.schema(
+        spark.read.parquet(input_path).schema
+    ).parquet(input_path)
 
     def _fold(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():

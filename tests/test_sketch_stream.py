@@ -78,6 +78,10 @@ def test_stream_matches_batch_sketches(spark):
 
 
 def test_hll_replay_is_absorbed(spark):
+    from modern_document_converter_for_ai_library_spark.streaming.sketch_stream import (
+        _read_pointer,
+    )
+
     state = tempfile.mkdtemp(prefix="skstream_replay_")
     path = os.path.join(state, "hll_registers")
     try:
@@ -86,9 +90,51 @@ def test_hll_replay_is_absorbed(spark):
         )
         regs = hll_registers(batch, "text", "group")
         merge_hll_state(path, regs)
-        once = sorted(map(tuple, spark.read.parquet(path).collect()))
+        once = sorted(map(tuple, spark.read.parquet(_read_pointer(path)).collect()))
         merge_hll_state(path, regs)  # at-least-once replay
-        twice = sorted(map(tuple, spark.read.parquet(path).collect()))
+        twice = sorted(map(tuple, spark.read.parquet(_read_pointer(path)).collect()))
         assert once == twice
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
+def test_crash_between_write_and_pointer_swap_keeps_old_state(spark):
+    """A version directory written WITHOUT the pointer swap (the crash
+    window) must be invisible: readers and the next merge keep using the
+    pointed-to version."""
+    from modern_document_converter_for_ai_library_spark.streaming.sketch_stream import (
+        _read_pointer,
+    )
+
+    state = tempfile.mkdtemp(prefix="skstream_crash_")
+    path = os.path.join(state, "hll_registers")
+    try:
+        b1 = spark.createDataFrame(_rows(0, 50), COLS).withColumn(
+            "group", F.col("source")
+        )
+        merge_hll_state(path, hll_registers(b1, "text", "group"))
+        good = _read_pointer(path)
+        # simulate a crash: a half-written newer version, pointer not moved
+        os.makedirs(os.path.join(path, "v99"))
+        assert _read_pointer(path) == good
+        b2 = spark.createDataFrame(_rows(50, 90), COLS).withColumn(
+            "group", F.col("source")
+        )
+        merge_hll_state(path, hll_registers(b2, "text", "group"))
+        full = spark.createDataFrame(_rows(0, 90), COLS).withColumn(
+            "group", F.col("source")
+        )
+        got = sorted(map(tuple, hll_estimate_from_state(spark, state).collect()))
+        exp = sorted(map(tuple, hll_register_table(full, "text", "group").collect()))
+        assert got == exp
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
+def test_empty_state_reads_as_empty_frames(spark):
+    state = tempfile.mkdtemp(prefix="skstream_empty_")
+    try:
+        assert hll_estimate_from_state(spark, state).count() == 0
+        assert histogram_from_state(spark, state).count() == 0
     finally:
         shutil.rmtree(state, ignore_errors=True)

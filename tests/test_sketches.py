@@ -186,3 +186,31 @@ def test_log2_histogram_zero_and_negative_values(spark):
     assert got == {0: 2, 1: 2}  # <=0 collapses to bucket 0; 1 -> bucket 1
     q = histogram_quantiles(hist).collect()[0]
     assert q["n"] == 4 and q["p50_lb"] == 0 and q["p99_lb"] == 1
+
+
+def test_log2_histogram_drops_nulls(spark):
+    from modern_document_converter_for_ai_library_spark.operators.sketches import (
+        histogram_quantiles,
+        log2_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(None,)] * 50 + [(1,)] * 10 + [(1000,)] * 40, "v long"
+    )
+    hist = log2_histogram(df, "v")
+    q = histogram_quantiles(hist).collect()[0]
+    assert q["n"] == 50  # NULLs carry no magnitude
+    assert q["p50_lb"] == 512  # not dragged to bucket 1 by a NULL cell
+
+
+def test_histogram_quantiles_rejects_colliding_names(spark):
+    import pytest
+
+    from modern_document_converter_for_ai_library_spark.operators.sketches import (
+        histogram_quantiles,
+        log2_histogram,
+    )
+
+    hist = log2_histogram(spark.createDataFrame([(5,)], "v long"), "v")
+    with pytest.raises(ValueError, match="collide"):
+        histogram_quantiles(hist, quantiles_micros=(990_000, 995_000))
