@@ -4894,6 +4894,40 @@ FROM media GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# q_chunk_overlap — sliding-window chunking with overlap
+# (operators/chunking.py): 16-token chunks, 4-token overlap over the
+# token stream; one projection + one explode, zero shuffles. The oracle
+# rebuilds the arithmetic chunk starts with DuckDB range() + list_slice.
+# ---------------------------------------------------------------------------
+
+
+def spark_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.chunking import chunk_documents
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    return chunk_documents(docs, chunk_tokens=16, overlap=4)
+
+
+_CHUNK_OVERLAP_SQL = r"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id,
+    u.i // 12 AS chunk_idx,
+    least(len(toks) - u.i, 16)::BIGINT AS n_tokens,
+    array_to_string(list_slice(toks, u.i + 1, u.i + 16), ' ') AS chunk_text
+  FROM t, UNNEST(range(0, len(toks), 12)) AS u(i)
+  WHERE len(toks) > 0
+)
+SELECT doc_id, chunk_idx::BIGINT AS chunk_idx, n_tokens, chunk_text FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_log_histogram — HDR-style log2 histogram + nearest-rank quantile
 # lower bounds over n_chars per source (operators/sketches.py): 64 cells
 # of mergeable state per group vs the full-shuffle exact counterpart
@@ -5091,6 +5125,7 @@ SPARK_QUERIES = {
     "q_repeated_ngrams": spark_repeated_ngrams,
     "q_group_sample": spark_group_sample,
     "q_log_histogram": spark_log_histogram,
+    "q_chunk_overlap": spark_chunk_overlap,
 }
 
 ORACLE_SQL = {
@@ -5174,4 +5209,5 @@ ORACLE_SQL = {
     "q_repeated_ngrams": _REPEATED_NGRAMS_SQL,
     "q_group_sample": _GROUP_SAMPLE_SQL,
     "q_log_histogram": _LOG_HISTOGRAM_SQL,
+    "q_chunk_overlap": _CHUNK_OVERLAP_SQL,
 }
