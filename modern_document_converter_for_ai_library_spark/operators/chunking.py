@@ -3,14 +3,16 @@ context-prep counterpart to sequence packing (packing.py packs many
 short docs INTO a budget; chunking splits long docs ACROSS budgets while
 preserving context at the seams).
 
-Pure columnar: chunk starts are an arithmetic sequence (0, step, 2*step,
-... < n_tokens with step = chunk_tokens - overlap), each chunk a token
-slice — one higher-order-function projection and one explode, no
-shuffles at all until the caller aggregates. Every chunk after the first
-repeats exactly ``overlap`` tokens of its predecessor (tested), so a
-retriever hitting a chunk boundary still sees the seam context; the tail
-chunk may be short but always contributes at least one new token, so
-chunk count is ceil((n - overlap) / step) and coverage is total.
+Pure columnar: chunk starts are the multiples of step = chunk_tokens -
+overlap up to n - overlap - 1 (the cap drops would-be tail chunks that
+lie ENTIRELY inside their predecessor — a start s with n - s <= overlap
+adds zero new tokens and would only duplicate index entries), each chunk
+a token slice — one higher-order-function projection and one explode,
+no shuffles at all until the caller aggregates. Every chunk after the
+first repeats exactly ``overlap`` tokens of its predecessor and carries
+at least one new token (both tested), so a retriever hitting a chunk
+boundary still sees the seam context; chunk count is
+ceil((n - overlap) / step) and coverage is total.
 """
 
 from __future__ import annotations
@@ -40,7 +42,9 @@ def chunk_documents(
     step = chunk_tokens - overlap
     toks = tokens_col(text_col)
     n = F.size("_toks")
-    starts = F.sequence(F.lit(0), n - 1, F.lit(step))
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(step)
+    )
     chunks = F.transform(
         starts,
         lambda s, i: F.struct(

@@ -4916,11 +4916,13 @@ WITH t AS (
          list_filter(string_split(text, ' '), x -> x <> '') AS toks
   FROM documents
 ), c AS (
+  -- starts capped at len - overlap - 1: a tail start closer than
+  -- `overlap` to the end adds zero new tokens (operators/chunking.py)
   SELECT doc_id,
     u.i // 12 AS chunk_idx,
     least(len(toks) - u.i, 16)::BIGINT AS n_tokens,
     array_to_string(list_slice(toks, u.i + 1, u.i + 16), ' ') AS chunk_text
-  FROM t, UNNEST(range(0, len(toks), 12)) AS u(i)
+  FROM t, UNNEST(range(0, greatest(len(toks) - 5, 0) + 1, 12)) AS u(i)
   WHERE len(toks) > 0
 )
 SELECT doc_id, chunk_idx::BIGINT AS chunk_idx, n_tokens, chunk_text FROM c

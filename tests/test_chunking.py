@@ -1,6 +1,8 @@
 """chunk_documents (operators/chunking.py): overlap invariants — every
-consecutive chunk pair shares exactly `overlap` tokens, coverage is
-total, tails are short-but-novel, and empty docs vanish."""
+consecutive chunk pair shares exactly `overlap` tokens, every non-first
+chunk carries at least one NEW token (no fully-redundant tails),
+coverage is total, count matches ceil((n - overlap) / step), and empty
+docs vanish."""
 
 import pytest
 
@@ -18,31 +20,41 @@ def _chunks(spark, text, chunk_tokens=8, overlap=3):
     ]
 
 
-def test_overlap_and_coverage(spark):
+def test_overlap_coverage_and_count(spark):
     toks = ["t%02d" % i for i in range(23)]
     got = _chunks(spark, " ".join(toks), chunk_tokens=8, overlap=3)
     step = 5
-    # chunk i covers toks[i*step : i*step+8]
-    assert len(got) == 5  # starts 0,5,10,15,20 (< 23)
+    # count = ceil((n - overlap) / step) = ceil(20 / 5) = 4: the start at
+    # 20 would cover only tokens already inside the chunk at 15 — dropped
+    assert len(got) == 4
     for idx, n_tokens, text in got:
         exp = toks[idx * step : idx * step + 8]
         assert text.split(" ") == exp
         assert n_tokens == len(exp)
-    # consecutive chunks share exactly `overlap` tokens (full chunks)
-    for (i1, _, t1), (_, _, t2) in zip(got, got[1:]):
+    # consecutive chunks share exactly `overlap` tokens, and every
+    # non-first chunk adds at least one new token
+    for (_, _, t1), (_, n2, t2) in zip(got, got[1:]):
         a, b = t1.split(" "), t2.split(" ")
-        if len(a) == 8:
-            assert a[-3:] == b[:3]
+        assert a[-3:] == b[:3]
+        assert n2 > 3
     # coverage: every token appears in some chunk
     seen = {t for _, _, text in got for t in text.split(" ")}
     assert seen == set(toks)
 
 
-def test_exact_multiple_has_no_empty_tail(spark):
-    # 13 tokens, step 5: starts 0,5,10 — the tail chunk has 3 new tokens
+def test_no_fully_redundant_tail(spark):
+    # 13 tokens, step 5: the would-be start at 10 covers tokens 10-12,
+    # all inside the chunk at 5 (tokens 5-12) — it must not be emitted
     got = _chunks(spark, " ".join("x%d" % i for i in range(13)))
-    assert [g[0] for g in got] == [0, 1, 2]
-    assert got[-1][1] == 3
+    assert [g[0] for g in got] == [0, 1]
+    assert got[-1][1] == 8  # the real tail chunk is the full 5..12 window
+
+
+def test_tail_shorter_than_overlap_never_emitted(spark):
+    # 11 tokens: start 10 would repeat only 1 predecessor token and add
+    # none; cap keeps starts at 0 and 5 (chunk 5..10, 6 tokens)
+    got = _chunks(spark, " ".join("y%d" % i for i in range(11)))
+    assert [(g[0], g[1]) for g in got] == [(0, 8), (1, 6)]
 
 
 def test_short_and_empty_docs(spark):
