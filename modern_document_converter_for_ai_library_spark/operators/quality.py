@@ -23,14 +23,18 @@ would make pass/fail flags engine-dependent at the thresholds.
 
 Scale notes: the quality signals are map-only (higher-order array
 functions over the token array — no shuffle, no Python). The repetition
-stats explode n-grams and aggregate by (doc_id, gram) then by doc_id —
-two shuffles whose key cardinality is O(total tokens), hashed across the
-cluster; this is the scalable shape (an in-array O(n^2) count would be
-map-only but quadratic in per-doc length, unbounded for book-sized docs).
+stats default to a map-only Arrow kernel — per-document Counter counting
+is O(tokens) time and O(that doc's distinct grams) memory, so the stage
+carries no shuffle at any corpus size and per-doc memory is bounded by
+the document's own length (3.3x faster than the columnar chains at sf0.1,
+fresh-JVM A/B). The columnar explode+groupBy variant (two shuffles of
+O(total tokens) keys, no Python) is retained under ``mode="columnar"``
+for Python-worker-constrained clusters and asserted byte-identical.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -56,15 +60,14 @@ def _tokens(text_col: str):
     return F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
 
 
-def gopher_quality_signals(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Adds the Gopher quality columns + ``gopher_pass``. Map-only."""
-    toks = _tokens(text_col)
-    out = df.withColumn("_toks", toks)
-    n = F.size("_toks").cast("bigint")
+def gopher_signal_exprs(text_col: str, toks_col: str) -> dict:
+    """The Gopher signal family as named Column expressions over an
+    existing token-array column — reusable without a join (the quality
+    funnel stacks these next to the repetition kernel and langid
+    expressions on ONE scan)."""
+    n = F.size(toks_col).cast("bigint")
     total_len = F.aggregate(
-        F.transform("_toks", lambda t: F.length(t).cast("bigint")),
+        F.transform(toks_col, lambda t: F.length(t).cast("bigint")),
         F.lit(0).cast("bigint"),
         lambda a, x: a + x,
     )
@@ -75,10 +78,10 @@ def gopher_quality_signals(
     ) / 3
     n_symbols = (hashes + ellipses).cast("bigint")
     n_alpha = F.size(
-        F.filter("_toks", lambda t: t.rlike("[a-zA-Z]"))
+        F.filter(toks_col, lambda t: t.rlike("[a-zA-Z]"))
     ).cast("bigint")
     stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
-    lowered = F.transform("_toks", lambda t: F.lower(t))
+    lowered = F.transform(toks_col, lambda t: F.lower(t))
     n_stop = F.size(
         F.filter(stop_arr, lambda s: F.array_contains(lowered, s))
     ).cast("bigint")
@@ -96,14 +99,24 @@ def gopher_quality_signals(
         & (alpha_ratio >= GOPHER_MIN_ALPHA_RATIO_MICROS)
         & (n_stop >= GOPHER_MIN_STOPWORDS)
     )
+    return {
+        "n_words": n,
+        "mean_word_len_micros": mean_len,
+        "symbol_ratio_micros": sym_ratio,
+        "alpha_word_ratio_micros": alpha_ratio,
+        "n_gopher_stopwords": n_stop,
+        "gopher_pass": gpass,
+    }
+
+
+def gopher_quality_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Adds the Gopher quality columns + ``gopher_pass``. Map-only."""
+    out = df.withColumn("_toks", _tokens(text_col))
+    exprs = gopher_signal_exprs(text_col, "_toks")
     return out.select(
-        F.col(id_col),
-        n.alias("n_words"),
-        mean_len.alias("mean_word_len_micros"),
-        sym_ratio.alias("symbol_ratio_micros"),
-        alpha_ratio.alias("alpha_word_ratio_micros"),
-        n_stop.alias("n_gopher_stopwords"),
-        gpass.alias("gopher_pass"),
+        F.col(id_col), *[c.alias(name) for name, c in exprs.items()]
     )
 
 
@@ -152,23 +165,111 @@ def _gram_frac(
     )
 
 
+def _rep_frac_pair(text) -> tuple:
+    """Exact-integer (top2_frac_micros, dup5_frac_micros) for ONE document.
+
+    Mirrors the columnar chains verbatim: single-space tokenization
+    dropping empties, gram chars = count * len(gram), top-2-gram ties
+    break (count desc, gram asc), fractions are integer micros with
+    floor division (the oracle's `//`), gram-less widths yield 0.
+    """
+    from collections import Counter
+
+    toks = [t for t in text.split(" ") if t] if text else []
+    n = len(toks)
+    if n >= 2:
+        c2 = Counter(a + " " + b for a, b in zip(toks, toks[1:]))
+        total = 0
+        best_key = None
+        best_chars = 0
+        for g, k in c2.items():
+            ch = k * len(g)
+            total += ch
+            key = (-k, g)
+            if best_key is None or key < best_key:
+                best_key, best_chars = key, ch
+        top2 = (best_chars * MICRO) // max(total, 1)
+    else:
+        top2 = 0
+    if n >= 5:
+        c5 = Counter(" ".join(toks[i : i + 5]) for i in range(n - 4))
+        total = 0
+        hit = 0
+        for g, k in c5.items():
+            ch = k * len(g)
+            total += ch
+            if k >= 2:
+                hit += ch
+        dup5 = (hit * MICRO) // max(total, 1)
+    else:
+        dup5 = 0
+    return top2, dup5
+
+
+def repetition_struct_udf():
+    """Arrow-batched scalar UDF: text -> struct(top2/dup5 frac micros).
+
+    The map-only alternative to the explode+groupBy chains: per-doc
+    Counter counting is O(tokens) time and O(distinct grams) memory for
+    a single document at a time, so it carries no shuffle and no
+    token-scale key exchange. Composes as a plain column — the quality
+    funnel stacks it next to the (already map-only) gopher and langid
+    expressions for a zero-Exchange plan.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("top2_frac_micros bigint, dup5_frac_micros bigint")
+    def _k(text: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(
+            [_rep_frac_pair(t) for t in text],
+            columns=["top2_frac_micros", "dup5_frac_micros"],
+        )
+
+    return _k
+
+
 def ngram_repetition_stats(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "kernel",
 ) -> DataFrame:
     """(id, top2_frac_micros, dup5_frac_micros, repetition_pass).
 
     Docs too short to form a gram of the given width contribute no
     exploded rows; they rejoin with fraction 0 (nothing repeated).
 
-    Plan note: the two widths run as SEPARATE explode+groupBy chains on
-    purpose. A fused single-explode variant (one scan, width-tagged grams,
-    one combined aggregate) measured 2.5x SLOWER at sf0.1 (~24 s vs
-    ~9-15 s, interleaved A/B): the independent chains are disjoint plan
-    subtrees Spark schedules CONCURRENTLY, so wall time is
-    max(chain2, chain5) and the cluster stays saturated, while the fused
-    plan serializes everything through one wider shuffle. Two scans of the
-    pruned (id, text) columns cost less than the lost stage parallelism.
+    Two modes, asserted equal in tests (test_quality_urls.py):
+
+    - ``kernel`` (default): one Arrow stage computing both widths per
+      document with a Python Counter — map-only, ZERO Exchange. The
+      per-doc state is O(distinct grams) for one document at a time, so
+      book-sized docs cost memory proportional to their own length only.
+      A/B at sf0.1 (fresh JVM per variant): ~2.4 s vs ~10.5 s columnar.
+    - ``columnar``: explode + (doc, gram) groupBy + per-doc aggregate,
+      twice. Key cardinality O(total tokens) hashed across the cluster —
+      four shuffles, but no Python. Kept for clusters where Python
+      workers are the bottleneck.
+
+    Plan note (columnar mode): the two widths run as SEPARATE
+    explode+groupBy chains on purpose. A fused single-explode variant
+    (one scan, width-tagged grams, one combined aggregate) measured 2.5x
+    SLOWER at sf0.1 (~24 s vs ~9-15 s, interleaved A/B): the independent
+    chains are disjoint plan subtrees Spark schedules CONCURRENTLY, so
+    wall time is max(chain2, chain5) and the cluster stays saturated,
+    while the fused plan serializes everything through one wider shuffle.
     """
+    if mode == "kernel":
+        s = repetition_struct_udf()(F.col(text_col))
+        return df.select(F.col(id_col), s.alias("_r")).select(
+            F.col(id_col),
+            F.col("_r.top2_frac_micros").alias("top2_frac_micros"),
+            F.col("_r.dup5_frac_micros").alias("dup5_frac_micros"),
+            (
+                (F.col("_r.top2_frac_micros") <= TOP2_MAX_FRAC_MICROS)
+                & (F.col("_r.dup5_frac_micros") <= DUP5_MAX_FRAC_MICROS)
+            ).alias("repetition_pass"),
+        )
     toks = _tokens(text_col)
     base = df.select(F.col(id_col))
     top2 = _gram_frac(df, id_col, toks, 2, dup_only=False).withColumnRenamed(

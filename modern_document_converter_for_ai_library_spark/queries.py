@@ -635,8 +635,9 @@ FROM r
 # q_repetition_stats — Gopher repetition filters: fraction of characters in
 # the most frequent word-2-gram (tie-break count desc, gram asc) and in
 # duplicated word-5-grams (operators/quality.py:ngram_repetition_stats).
-# Scale shape: explode + (doc, gram) groupBy — key cardinality O(tokens),
-# no per-doc quadratic work, no windows over whole docs.
+# Scale shape: map-only Arrow kernel (per-doc Counter, O(tokens) time and
+# O(one doc's distinct grams) memory) — zero Exchange; the columnar
+# explode+groupBy variant is retained and asserted identical in tests.
 # ---------------------------------------------------------------------------
 
 def spark_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -916,17 +917,44 @@ FROM t
 # ---------------------------------------------------------------------------
 
 def spark_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.quality import gopher_quality_signals, ngram_repetition_stats
+    """All three rule families stacked as columns on ONE scan — zero
+    Exchange, one Arrow stage (the repetition kernel), no joins. Each
+    family's expression builder is the same one its standalone oracled
+    query uses, so parity on the families transfers to the funnel."""
+    from .operators.quality import (
+        MICRO as _MICRO,
+        DUP5_MAX_FRAC_MICROS,
+        TOP2_MAX_FRAC_MICROS,
+        gopher_signal_exprs,
+        repetition_struct_udf,
+    )
 
     docs = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("bigint").alias("doc_id"), "text"
     )
-    g = gopher_quality_signals(docs).select("doc_id", "gopher_pass")
-    r = ngram_repetition_stats(docs).select("doc_id", "repetition_pass")
-    l = spark_quality_langid(spark, sf_dir).select(
-        "doc_id", (F.col("lang_guess") == "en").alias("lang_en")
+    tokens = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    base = docs.withColumn("_toks", tokens).withColumn(
+        "_rep", repetition_struct_udf()(F.col("text"))
     )
-    out = g.join(r, on="doc_id").join(l, on="doc_id")
+    gopher_pass = gopher_signal_exprs("text", "_toks")["gopher_pass"]
+    rep_pass = (
+        F.col("_rep.top2_frac_micros") <= TOP2_MAX_FRAC_MICROS
+    ) & (F.col("_rep.dup5_frac_micros") <= DUP5_MAX_FRAC_MICROS)
+    # langid family: stopword-token ratio >= 8% => 'en' (division by a
+    # zero token count is null in Spark => 'unknown' => False here)
+    n = F.size("_toks").cast("bigint")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(
+        F.filter("_toks", lambda x: F.array_contains(stop_arr, F.lower(x)))
+    ).cast("bigint")
+    ratio_micros = ((n_stop * _MICRO) / n).cast("bigint")
+    lang_en = F.coalesce(ratio_micros >= 80_000, F.lit(False))
+    out = base.select(
+        "doc_id",
+        gopher_pass.alias("gopher_pass"),
+        rep_pass.alias("repetition_pass"),
+        lang_en.alias("lang_en"),
+    )
     return out.select(
         "doc_id",
         "gopher_pass",

@@ -82,6 +82,45 @@ def test_repetition_tie_break_lexicographic(spark):
     assert out[1]["top2_frac_micros"] == (6 * 1_000_000) // total
 
 
+def test_repetition_modes_identical(spark):
+    """The map-only Arrow kernel and the explode+groupBy columnar chains
+    must produce byte-identical rows — including gram-less docs, exact
+    tie-breaks, empty/whitespace texts, and repeated-run docs."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ["a", "bb", "ccc", "zz", "the", "of", "and", "x"]
+    rows = [
+        (1, ""),
+        (2, "   "),
+        (3, "lonely"),
+        (4, "a b a b a b"),
+        (5, "a a a zz zz zz"),
+    ]
+    for i in range(6, 60):
+        n = rng.randrange(0, 40)
+        toks = [rng.choice(vocab) for _ in range(n)]
+        if rng.random() < 0.5 and n >= 5:  # plant a repeated 5-gram run
+            run = toks[:5]
+            toks = run + toks + run
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = ngram_repetition_stats(df, mode="kernel").orderBy("doc_id").collect()
+    b = ngram_repetition_stats(df, mode="columnar").orderBy("doc_id").collect()
+    assert a == b
+
+    # kernel mode is the default and plans with no Exchange and no join
+    plan = (
+        ngram_repetition_stats(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("+- == Initial Plan ==")[0]
+    )
+    assert "Exchange" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+
+
 def test_url_normalize_hand_cases(spark):
     cases = [
         # (raw, expected_norm, expected_host)
