@@ -294,6 +294,61 @@ def ngram_repetition_stats(
     )
 
 
+def quality_funnel(
+    df: DataFrame,
+    langid_stopwords,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    langid_min_ratio_micros: int = 80_000,
+) -> DataFrame:
+    """The composed keep/reject decision — Gopher AND repetition AND
+    language gates with first-failed-rule attribution (priority order
+    gopher → repetition → langid) — stacked as columns on ONE scan.
+
+    Zero Exchange, zero joins, one Arrow stage (the repetition kernel):
+    every family is a per-document function, so the funnel is map-only at
+    any corpus size. ``langid_stopwords`` is the caller's language-ID
+    stopword list (queries.py:STOPWORDS for the oracled query); a zero
+    token count makes the stopword ratio null => not-English, matching
+    the standalone langid query's 'unknown' bucket.
+    """
+    base = df.withColumn("_toks", _tokens(text_col)).withColumn(
+        "_rep", repetition_struct_udf()(F.col(text_col))
+    )
+    gopher_pass = gopher_signal_exprs(text_col, "_toks")["gopher_pass"]
+    rep_pass = (
+        F.col("_rep.top2_frac_micros") <= TOP2_MAX_FRAC_MICROS
+    ) & (F.col("_rep.dup5_frac_micros") <= DUP5_MAX_FRAC_MICROS)
+    n = F.size("_toks").cast("bigint")
+    stop_arr = F.array(*[F.lit(s) for s in langid_stopwords])
+    n_stop = F.size(
+        F.filter("_toks", lambda x: F.array_contains(stop_arr, F.lower(x)))
+    ).cast("bigint")
+    ratio_micros = ((n_stop * MICRO) / n).cast("bigint")
+    lang_en = F.coalesce(
+        ratio_micros >= langid_min_ratio_micros, F.lit(False)
+    )
+    return base.select(
+        F.col(id_col),
+        gopher_pass.alias("gopher_pass"),
+        rep_pass.alias("repetition_pass"),
+        lang_en.alias("lang_en"),
+    ).select(
+        id_col,
+        "gopher_pass",
+        "repetition_pass",
+        "lang_en",
+        (
+            F.col("gopher_pass") & F.col("repetition_pass") & F.col("lang_en")
+        ).alias("keep"),
+        F.when(~F.col("gopher_pass"), F.lit("gopher"))
+        .when(~F.col("repetition_pass"), F.lit("repetition"))
+        .when(~F.col("lang_en"), F.lit("langid"))
+        .otherwise(F.lit("none"))
+        .alias("first_failed_rule"),
+    )
+
+
 def classifier_score(
     df: DataFrame,
     text_col: str = "text",

@@ -921,54 +921,12 @@ def spark_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exchange, one Arrow stage (the repetition kernel), no joins. Each
     family's expression builder is the same one its standalone oracled
     query uses, so parity on the families transfers to the funnel."""
-    from .operators.quality import (
-        MICRO as _MICRO,
-        DUP5_MAX_FRAC_MICROS,
-        TOP2_MAX_FRAC_MICROS,
-        gopher_signal_exprs,
-        repetition_struct_udf,
-    )
+    from .operators.quality import quality_funnel
 
     docs = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("bigint").alias("doc_id"), "text"
     )
-    tokens = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    base = docs.withColumn("_toks", tokens).withColumn(
-        "_rep", repetition_struct_udf()(F.col("text"))
-    )
-    gopher_pass = gopher_signal_exprs("text", "_toks")["gopher_pass"]
-    rep_pass = (
-        F.col("_rep.top2_frac_micros") <= TOP2_MAX_FRAC_MICROS
-    ) & (F.col("_rep.dup5_frac_micros") <= DUP5_MAX_FRAC_MICROS)
-    # langid family: stopword-token ratio >= 8% => 'en' (division by a
-    # zero token count is null in Spark => 'unknown' => False here)
-    n = F.size("_toks").cast("bigint")
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(
-        F.filter("_toks", lambda x: F.array_contains(stop_arr, F.lower(x)))
-    ).cast("bigint")
-    ratio_micros = ((n_stop * _MICRO) / n).cast("bigint")
-    lang_en = F.coalesce(ratio_micros >= 80_000, F.lit(False))
-    out = base.select(
-        "doc_id",
-        gopher_pass.alias("gopher_pass"),
-        rep_pass.alias("repetition_pass"),
-        lang_en.alias("lang_en"),
-    )
-    return out.select(
-        "doc_id",
-        "gopher_pass",
-        "repetition_pass",
-        "lang_en",
-        (F.col("gopher_pass") & F.col("repetition_pass") & F.col("lang_en")).alias(
-            "keep"
-        ),
-        F.when(~F.col("gopher_pass"), F.lit("gopher"))
-        .when(~F.col("repetition_pass"), F.lit("repetition"))
-        .when(~F.col("lang_en"), F.lit("langid"))
-        .otherwise(F.lit("none"))
-        .alias("first_failed_rule"),
-    )
+    return quality_funnel(docs, langid_stopwords=STOPWORDS)
 
 
 def _funnel_sql() -> str:

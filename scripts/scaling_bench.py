@@ -88,7 +88,7 @@ def _write_chunk(args: tuple) -> int:
         with open(os.path.join(path, f"shard-{chunk_idx:04d}.warc.gz"), "wb") as f:
             f.write(b"".join(members))
         return end - start
-    if job in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm"):
+    if job in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality"):
         from modern_document_converter_for_ai_library_spark.sources.synth import (
             _make_html_doc,
         )
@@ -200,6 +200,15 @@ def run_job(d, balance=None):
             minhash_wide_bands, minhash_wide_pairs)
         bands = minhash_wide_bands(d, text_col="html")
         return minhash_wide_pairs(bands, max_bucket_size=64)
+    if "{job}" == "quality":
+        # map-only probe: the fused three-family quality funnel (gopher
+        # expressions + repetition Arrow kernel + langid ratio) on ONE
+        # scan — zero Exchange, so efficiency should match the html
+        # strip's ~0.99, evidencing that the fused funnel keeps the
+        # embarrassingly-parallel shape end to end.
+        from modern_document_converter_for_ai_library_spark.operators.quality import quality_funnel
+        from modern_document_converter_for_ai_library_spark.queries import STOPWORDS
+        return quality_funnel(d, langid_stopwords=STOPWORDS, text_col="html")
     if "{job}" == "lm":
         # shuffle-operator probe 3: the CCNet-shape LM quality stage —
         # two partial-aggregated groupBys (per-doc gram counts, then the
@@ -283,7 +292,7 @@ def main() -> None:
     ap.add_argument("--md", default=None, help="write/refresh this markdown report")
     ap.add_argument(
         "--job",
-        choices=["convert", "html", "warc", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm"],
+        choices=["convert", "html", "warc", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality"],
         default="convert",
         help="which end-to-end kernel job to measure (html = "
         "strip_boilerplate_html over the synthetic web-page corpus; warc = "
@@ -307,9 +316,9 @@ def main() -> None:
         legacy = os.path.join(args.corpus, f".complete_{args.docs}")
         if os.path.exists(legacy):
             marker = legacy
-    if args.job in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm") and not os.path.exists(marker):
+    if args.job in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality") and not os.path.exists(marker):
         # these jobs share identical corpus content — reuse any sibling
-        for sib in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm"):
+        for sib in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality"):
             sib_marker = os.path.join(args.corpus, f".complete_{sib}_{args.docs}")
             if os.path.exists(sib_marker):
                 marker = sib_marker
