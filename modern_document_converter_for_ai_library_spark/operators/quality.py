@@ -175,7 +175,9 @@ def _rep_frac_pair(text) -> tuple:
     """
     from collections import Counter
 
-    toks = [t for t in text.split(" ") if t] if text else []
+    # null text arrives as None or NaN depending on the Arrow->pandas path;
+    # both count as token-less (the columnar chains' left-join-fillna(0))
+    toks = [t for t in text.split(" ") if t] if isinstance(text, str) else []
     n = len(toks)
     if n >= 2:
         c2 = Counter(a + " " + b for a, b in zip(toks, toks[1:]))

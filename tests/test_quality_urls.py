@@ -96,6 +96,7 @@ def test_repetition_modes_identical(spark):
         (3, "lonely"),
         (4, "a b a b a b"),
         (5, "a a a zz zz zz"),
+        (0, None),  # null text: NaN on the Arrow->pandas path, token-less
     ]
     for i in range(6, 60):
         n = rng.randrange(0, 40)
