@@ -278,3 +278,60 @@ def test_classifier_score_duplicate_vocab_rows(spark):
     # fan out the token row, so n_tokens stays the true count
     assert out["score_micros"] == 150_000
     assert out["n_tokens"] == 2
+
+
+def test_quality_funnel_streams_with_batch_parity(spark):
+    """The fused funnel is stateless map-only columns, so it composes
+    directly onto a file stream — micro-batch output must equal the batch
+    funnel on the same rows (the shape a continuously-ingested corpus
+    quality gate runs at)."""
+    import os
+    import shutil
+    import tempfile
+
+    from modern_document_converter_for_ai_library_spark.operators.quality import (
+        quality_funnel,
+    )
+    from modern_document_converter_for_ai_library_spark.queries import STOPWORDS
+
+    rows = [
+        (1, " ".join(["the", "of"] + ["word"] * 58)),
+        (2, "the of tiny"),
+        (3, "a b a b a b"),
+        (4, None),
+    ]
+    src = tempfile.mkdtemp(prefix="qfstream_src_")
+    out = tempfile.mkdtemp(prefix="qfstream_out_")
+    ckpt = tempfile.mkdtemp(prefix="qfstream_ckpt_")
+    try:
+        batch_df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        batch_df.coalesce(1).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+        q = (
+            quality_funnel(stream, langid_stopwords=STOPWORDS)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            spark.read.parquet(out).collect(), key=lambda r: r["doc_id"]
+        )
+        want = sorted(
+            quality_funnel(batch_df, langid_stopwords=STOPWORDS).collect(),
+            key=lambda r: r["doc_id"],
+        )
+        assert got == want
+        # doc 1's 58 repeated 'word' tokens fail the repetition gate
+        # (top 2-gram 'word word' dominates); the rest fail gopher first
+        assert [r["first_failed_rule"] for r in got] == [
+            "repetition",
+            "gopher",
+            "gopher",
+            "gopher",
+        ]
+    finally:
+        for d in (src, out, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
