@@ -247,7 +247,8 @@ def ngram_repetition_stats(
       document with a Python Counter — map-only, ZERO Exchange. The
       per-doc state is O(distinct grams) for one document at a time, so
       book-sized docs cost memory proportional to their own length only.
-      A/B at sf0.1 (fresh JVM per variant): ~2.4 s vs ~10.5 s columnar.
+      A/B at sf0.1 (fresh JVM per variant): 3.8 s vs 12.7 s columnar
+      cold; ~0.4-0.9 s vs ~9-12 s with warm Python workers.
     - ``columnar``: explode + (doc, gram) groupBy + per-doc aggregate,
       twice. Key cardinality O(total tokens) hashed across the cluster —
       four shuffles, but no Python. Kept for clusters where Python
