@@ -100,3 +100,98 @@ def group_sample(
         .filter(F.col("sample_rank") <= k)
         .select(group_col, id_col, F.col("sample_rank").cast("bigint").alias("sample_rank"))
     )
+
+
+def budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "",
+    default_budget: int = 0,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """TOKEN-BUDGET corpus mixing: keep each source's documents in
+    deterministic hash-priority order until the source's token budget is
+    filled (the data-mixture shape: "2B tokens of web, 500M of code").
+
+    Complements :func:`stratified_sample` (rate-based — output TOKENS
+    drift with the corpus) by fixing the token mass per source exactly:
+    documents are ranked by ``(hash_micros, id)`` and kept while the
+    running INCLUSIVE token sum stays <= budget (the first overflowing
+    document is dropped; no backfill — prefix semantics, so the kept set
+    is again monotone in the budget and reproducible on any engine).
+
+    Token count is the single-space-split non-empty token count (the
+    repo-wide convention, quality.py:_tokens).
+
+    Skew-safe two-phase cumulative sum (no per-source global window): a
+    document's priority bucket is ``hash_micros * n_buckets // 1e6`` —
+    bucket order IS hash order, so the global running sum decomposes as
+    (sum of all earlier buckets) + (running sum within my bucket).
+    Phase 1 aggregates per-(source, bucket) token sums — a
+    sources x n_buckets frame whose prefix offsets come from a window
+    over that TINY frame; phase 2 runs the cumulative window partitioned
+    by (source, bucket), so a 100-TB single-source corpus spreads over
+    n_buckets partitions instead of one. Raise ``n_buckets`` to spread
+    hotter sources further; determinism is unaffected (tested two-phase
+    == one-window).
+    """
+    from pyspark.sql import Window
+
+    for k, v in budgets.items():
+        if v < 0:
+            raise ValueError(f"budget for {k!r} negative: {v}")
+    thr = None
+    for k, v in sorted(budgets.items()):
+        cond = F.col(key_col) == k
+        thr = F.when(cond, v) if thr is None else thr.when(cond, v)
+    thr = (
+        F.lit(default_budget).cast("bigint")
+        if thr is None
+        else thr.otherwise(default_budget).cast("bigint")
+    )
+
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    base = df.select(
+        F.col(id_col),
+        F.col(key_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        hash_micros_col(id_col, salt).alias("hash_micros"),
+    ).withColumn(
+        "_bucket", (F.col("hash_micros") * n_buckets / MICRO).cast("bigint")
+    )
+
+    per_bucket = base.groupBy(key_col, "_bucket").agg(
+        F.sum("n_tokens").alias("_bucket_tokens")
+    )
+    w_off = (
+        Window.partitionBy(key_col)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.select(
+        key_col,
+        "_bucket",
+        F.coalesce(F.sum("_bucket_tokens").over(w_off), F.lit(0)).alias(
+            "_offset"
+        ),
+    )
+
+    w_local = (
+        Window.partitionBy(key_col, "_bucket")
+        .orderBy("hash_micros", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        base.join(offsets, on=[key_col, "_bucket"], how="left")
+        .withColumn(
+            "cum_tokens",
+            F.col("_offset") + F.sum("n_tokens").over(w_local),
+        )
+        .withColumn("kept", F.col("cum_tokens") <= thr)
+    )
+    return out.select(
+        id_col, key_col, "n_tokens", "hash_micros", "cum_tokens", "kept"
+    )

@@ -908,6 +908,53 @@ FROM t
 
 
 # ---------------------------------------------------------------------------
+# q_token_budget_mix — token-budget corpus mixing (operators/sampling.py:
+# budget_sample): per-source greedy prefix in deterministic hash-priority
+# order until the source's token budget fills. Two-phase bucketed cumsum
+# (bucket = hash_micros*16 // 1e6; offsets from the tiny per-bucket sums) —
+# the oracle computes the SAME result with one plain window per source.
+# ---------------------------------------------------------------------------
+
+_BUDGETS = {"src0": 800, "src1": 0, "src2": 100_000}
+_BUDGET_DEFAULT = 500
+
+
+def spark_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import budget_sample
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source", "text"
+    )
+    return budget_sample(
+        docs, _BUDGETS, default_budget=_BUDGET_DEFAULT
+    )
+
+
+_TOKEN_BUDGET_SQL = r"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+         CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 1000000 AS BIGINT) AS hash_micros
+  FROM documents
+), c AS (
+  SELECT *,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY hash_micros, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+         CASE WHEN source = 'src0' THEN 800
+              WHEN source = 'src1' THEN 0
+              WHEN source = 'src2' THEN 100000
+              ELSE 500 END AS budget
+  FROM t
+)
+SELECT doc_id, source, n_tokens, hash_micros,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       cum_tokens <= budget AS kept
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_quality_funnel — the composed keep/reject decision a real pipeline
 # makes: Gopher quality AND repetition AND language gates, with
 # FIRST-FAILED-RULE attribution in fixed priority order (gopher →
@@ -5054,6 +5101,7 @@ SPARK_QUERIES = {
     "q_exact_dedup": spark_exact_dedup,
     "q_passage_dedup": spark_passage_dedup,
     "q_sample_mix": spark_sample_mix,
+    "q_token_budget_mix": spark_token_budget_mix,
     "q_decontaminate": spark_decontaminate,
     "q_fingerprint": spark_fingerprint,
     "q_minhash": spark_minhash,
@@ -5133,6 +5181,7 @@ ORACLE_SQL = {
     "q_exact_dedup": _EXACT_DEDUP_SQL,
     "q_passage_dedup": _PASSAGE_DEDUP_SQL,
     "q_sample_mix": _SAMPLE_MIX_SQL,
+    "q_token_budget_mix": _TOKEN_BUDGET_SQL,
     "q_decontaminate": _DECONTAMINATE_SQL,
     "q_fingerprint": _FINGERPRINT_SQL,
     "q_minhash": _MINHASH_SQL,

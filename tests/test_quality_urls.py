@@ -335,3 +335,73 @@ def test_quality_funnel_streams_with_batch_parity(spark):
     finally:
         for d in (src, out, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_budget_sample_properties(spark):
+    from pyspark.sql import Window
+    from modern_document_converter_for_ai_library_spark.operators.sampling import (
+        budget_sample,
+        hash_micros_col,
+    )
+
+    rows = [
+        (i, "a" if i % 2 == 0 else "b", " ".join(["w"] * (5 + i % 17)))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+
+    def kept(budgets, **kw):
+        out = budget_sample(df, budgets, **kw)
+        return {r["doc_id"] for r in out.filter("kept").collect()}
+
+    # two-phase bucketed cumsum == the naive single global window per source
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("hash_micros", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    naive = (
+        df.select(
+            "doc_id",
+            "source",
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            hash_micros_col().alias("hash_micros"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn("kept", F.col("cum_tokens") <= F.lit(300))
+    )
+    got = budget_sample(df, {"a": 300, "b": 300}).orderBy("doc_id").collect()
+    want = naive.orderBy("doc_id").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    # n_buckets does not change the result (only the partitioning)
+    assert kept({"a": 300, "b": 150}, n_buckets=1) == kept(
+        {"a": 300, "b": 150}, n_buckets=64
+    )
+
+    # monotone in the budget: raising it only ADDS documents
+    k_small = kept({"a": 300}, default_budget=0)
+    k_big = kept({"a": 900}, default_budget=0)
+    assert k_small <= k_big and len(k_big) > len(k_small)
+
+    # zero budget keeps nothing; absent key falls back to default_budget
+    assert kept({"a": 0, "b": 0}) == set()
+    assert kept({}, default_budget=10**9) == {i for i in range(200)}
+
+    # prefix semantics: the first doc past the budget is dropped and no
+    # later (smaller) doc backfills — every kept doc's cum_tokens <= budget
+    # and the kept set is exactly a prefix of the hash order
+    out = budget_sample(df, {"a": 777, "b": 0}).collect()
+    a_rows = sorted(
+        (r for r in out if r["source"] == "a"),
+        key=lambda r: (r["hash_micros"], r["doc_id"]),
+    )
+    flags = [r["kept"] for r in a_rows]
+    assert flags == sorted(flags, reverse=True)  # True...True False...False
+    assert all(r["cum_tokens"] <= 777 for r in a_rows if r["kept"])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        budget_sample(df, {"a": -1})
