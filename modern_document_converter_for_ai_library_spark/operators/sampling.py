@@ -138,8 +138,16 @@ def budget_sample(
     hotter sources further; determinism is unaffected (tested two-phase
     == one-window).
     """
-    from pyspark.sql import Window
+    thr = _budget_expr(budgets, key_col, default_budget)
+    out = _cumulative_tokens(
+        df, key_col, id_col, text_col, salt, n_buckets
+    ).withColumn("kept", F.col("cum_tokens") <= thr)
+    return out.select(
+        id_col, key_col, "n_tokens", "hash_micros", "cum_tokens", "kept"
+    )
 
+
+def _budget_expr(budgets: dict, key_col: str, default_budget: int) -> F.Column:
     for k, v in budgets.items():
         if v < 0:
             raise ValueError(f"budget for {k!r} negative: {v}")
@@ -147,11 +155,25 @@ def budget_sample(
     for k, v in sorted(budgets.items()):
         cond = F.col(key_col) == k
         thr = F.when(cond, v) if thr is None else thr.when(cond, v)
-    thr = (
+    return (
         F.lit(default_budget).cast("bigint")
         if thr is None
         else thr.otherwise(default_budget).cast("bigint")
     )
+
+
+def _cumulative_tokens(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    text_col: str,
+    salt: str,
+    n_buckets: int,
+) -> DataFrame:
+    """(id, key, n_tokens, hash_micros, cum_tokens): the skew-safe
+    two-phase per-key running token sum in (hash_micros, id) order —
+    shared by :func:`budget_sample` and :func:`epoch_budget_sample`."""
+    from pyspark.sql import Window
 
     toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
     base = df.select(
@@ -184,14 +206,67 @@ def budget_sample(
         .orderBy("hash_micros", id_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = (
+    return (
         base.join(offsets, on=[key_col, "_bucket"], how="left")
         .withColumn(
             "cum_tokens",
             F.col("_offset") + F.sum("n_tokens").over(w_local),
         )
-        .withColumn("kept", F.col("cum_tokens") <= thr)
+        .drop("_bucket", "_offset")
+    )
+
+
+def epoch_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "",
+    default_budget: int = 0,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """UPSAMPLING token-budget mixing: when a source's budget EXCEEDS its
+    token mass, emit full repeat epochs plus a prefix of the last one —
+    the small-high-quality-source shape (training mixtures run Wikipedia
+    et al. for several epochs while web data stays sub-sampled).
+
+    For each source with total token mass T and budget B:
+
+      n_full = B // max(T, 1) full epochs (every document, epochs
+      0..n_full-1), then the remainder R = B - n_full*T is filled by the
+      standard greedy hash-priority prefix (documents with
+      cum_tokens <= R) as epoch n_full.
+
+    With B <= T this degenerates to exactly :func:`budget_sample`'s kept
+    set at epoch 0. Output one row per EMITTED COPY: (id, key, epoch,
+    n_tokens) — fan-out per document is n_full+1, i.e. bounded by the
+    caller's chosen upsampling factor, never by corpus size. The
+    per-source totals frame is one partial-aggregated groupBy of
+    sources-many rows; everything else reuses the two-phase cumulative
+    machinery (no global windows).
+    """
+    thr = _budget_expr(budgets, key_col, default_budget)
+    cum = _cumulative_tokens(df, key_col, id_col, text_col, salt, n_buckets)
+    totals = cum.groupBy(key_col).agg(F.sum("n_tokens").alias("_total"))
+    j = cum.join(totals, on=key_col, how="left").withColumn(
+        "_budget", thr
+    )
+    # `div` = exact integer division (no double rounding at huge budgets)
+    n_full = F.expr("_budget div greatest(_total, CAST(1 AS BIGINT))")
+    remainder = F.col("_budget") - n_full * F.col("_total")
+    out = (
+        j.withColumn("_n_full", n_full)
+        .withColumn("_rem", remainder)
+        .withColumn(
+            "epoch",
+            F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("_n_full"))),
+        )
+        .filter(
+            (F.col("epoch") < F.col("_n_full"))
+            | (F.col("cum_tokens") <= F.col("_rem"))
+        )
     )
     return out.select(
-        id_col, key_col, "n_tokens", "hash_micros", "cum_tokens", "kept"
+        id_col, key_col, "epoch", "n_tokens", "hash_micros", "cum_tokens"
     )

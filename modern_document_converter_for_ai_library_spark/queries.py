@@ -955,6 +955,60 @@ FROM c
 
 
 # ---------------------------------------------------------------------------
+# q_epoch_mix — UPSAMPLING token-budget mixing (operators/sampling.py:
+# epoch_budget_sample): budget > source token mass => full repeat epochs +
+# a hash-priority prefix of the last one. At sf0.01 src0 (~1.4k tokens)
+# upsamples to 2 full epochs + remainder under its 3.5k budget; at sf0.1
+# the same budget is a sub-mass prefix — both regimes oracled by the one
+# SQL below.
+# ---------------------------------------------------------------------------
+
+_EPOCH_BUDGETS = {"src0": 3500, "src1": 100}
+
+
+def spark_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import epoch_budget_sample
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source", "text"
+    )
+    return epoch_budget_sample(docs, _EPOCH_BUDGETS, default_budget=0)
+
+
+_EPOCH_MIX_SQL = r"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+         CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 1000000 AS BIGINT) AS hash_micros
+  FROM documents
+), c AS (
+  SELECT *,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY hash_micros, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM t
+), tot AS (
+  SELECT source, SUM(n_tokens) AS total FROM t GROUP BY source
+), j AS (
+  SELECT c.*, tot.total,
+         CASE WHEN c.source = 'src0' THEN 3500
+              WHEN c.source = 'src1' THEN 100
+              ELSE 0 END AS budget
+  FROM c JOIN tot USING (source)
+), k AS (
+  SELECT *,
+         budget // GREATEST(total, 1) AS n_full,
+         budget - (budget // GREATEST(total, 1)) * total AS rem
+  FROM j
+)
+SELECT doc_id, source, CAST(u.epoch AS BIGINT) AS epoch,
+       n_tokens, hash_micros, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM k, UNNEST(range(CAST(0 AS BIGINT), CAST(n_full + 1 AS BIGINT))) AS u(epoch)
+WHERE u.epoch < n_full OR cum_tokens <= rem
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_quality_funnel — the composed keep/reject decision a real pipeline
 # makes: Gopher quality AND repetition AND language gates, with
 # FIRST-FAILED-RULE attribution in fixed priority order (gopher →
@@ -5102,6 +5156,7 @@ SPARK_QUERIES = {
     "q_passage_dedup": spark_passage_dedup,
     "q_sample_mix": spark_sample_mix,
     "q_token_budget_mix": spark_token_budget_mix,
+    "q_epoch_mix": spark_epoch_mix,
     "q_decontaminate": spark_decontaminate,
     "q_fingerprint": spark_fingerprint,
     "q_minhash": spark_minhash,
@@ -5182,6 +5237,7 @@ ORACLE_SQL = {
     "q_passage_dedup": _PASSAGE_DEDUP_SQL,
     "q_sample_mix": _SAMPLE_MIX_SQL,
     "q_token_budget_mix": _TOKEN_BUDGET_SQL,
+    "q_epoch_mix": _EPOCH_MIX_SQL,
     "q_decontaminate": _DECONTAMINATE_SQL,
     "q_fingerprint": _FINGERPRINT_SQL,
     "q_minhash": _MINHASH_SQL,

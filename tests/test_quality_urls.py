@@ -405,3 +405,55 @@ def test_budget_sample_properties(spark):
 
     with _pytest.raises(ValueError):
         budget_sample(df, {"a": -1})
+
+
+def test_epoch_budget_sample_properties(spark):
+    from modern_document_converter_for_ai_library_spark.operators.sampling import (
+        budget_sample,
+        epoch_budget_sample,
+    )
+
+    rows = [
+        (i, "a" if i % 2 == 0 else "b", " ".join(["w"] * (5 + i % 17)))
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    mass = {
+        r["source"]: r["t"]
+        for r in df.groupBy("source")
+        .agg(
+            F.sum(F.size(F.split("text", " "))).alias("t")
+        )
+        .collect()
+    }
+
+    # sub-mass budget: degenerates to budget_sample's kept set, all epoch 0
+    out = epoch_budget_sample(df, {"a": 300}, default_budget=0).collect()
+    assert all(r["epoch"] == 0 for r in out)
+    base = {
+        r["doc_id"]
+        for r in budget_sample(df, {"a": 300}, default_budget=0)
+        .filter("kept")
+        .collect()
+    }
+    assert {r["doc_id"] for r in out} == base
+
+    # super-mass budget: n_full full epochs of EVERY source-a doc plus a
+    # prefix remainder; emitted token mass never exceeds the budget and
+    # the first dropped document would overflow it
+    budget = mass["a"] * 2 + 137
+    out = epoch_budget_sample(df, {"a": budget}, default_budget=0).collect()
+    a_docs = [r for r in rows if r[1] == "a"]
+    for ep in (0, 1):
+        assert sum(1 for r in out if r["epoch"] == ep) == len(a_docs)
+    emitted = sum(r["n_tokens"] for r in out)
+    assert emitted <= budget
+    last_epoch = [r for r in out if r["epoch"] == 2]
+    assert last_epoch  # the remainder prefix is non-empty (137 > min doc)
+    dropped_cums = sorted(
+        r["cum_tokens"]
+        for r in epoch_budget_sample(df, {"a": budget}).collect()
+        if r["epoch"] == 2
+    )
+    # every emitted remainder doc fits inside the remainder budget
+    assert all(c <= 137 for c in dropped_cums)
