@@ -1,0 +1,137 @@
+#!/usr/bin/env python3
+"""spark-submit entry point for corpus mixing (training-data tier).
+
+Usage (cluster):
+
+    zip -r mdcal.zip modern_document_converter_for_ai_library_spark
+    spark-submit --py-files mdcal.zip jobs/mix_job.py \
+        --input lake.db.documents --output lake.db.documents_mixed \
+        --mode budget --spec "web=2000000000,code=500000000" --default 0
+
+Modes (operators/sampling.py — all deterministic pure functions of
+(doc_id, salt), reproducible on any engine / partitioning / cluster size):
+
+    rate    hash-threshold stratified sampling; spec values are rates in
+            MICROS of probability (600000 = keep ~60% of the source)
+    budget  token-budget prefix: keep each source's docs in hash-priority
+            order until the source's token budget fills (spec values are
+            token budgets)
+    epochs  budget with UPSAMPLING: budgets above a source's token mass
+            emit full repeat epochs + a prefix remainder; output rows are
+            per emitted COPY with an `epoch` column
+
+Input/output targets accept Iceberg identifiers or parquet paths
+(sources/catalog.py). The job prints one JSON line with document/token
+accounting per run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def parse_spec(spec: str) -> dict[str, int]:
+    """'src0=3500,src1=0' -> {'src0': 3500, 'src1': 0} (empty spec ok)."""
+    out: dict[str, int] = {}
+    for part in filter(None, (p.strip() for p in (spec or "").split(","))):
+        key, _, val = part.partition("=")
+        if not _:
+            raise ValueError(f"spec entry {part!r} is not key=value")
+        out[key.strip()] = int(val)
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True, help="the mixed corpus")
+    p.add_argument("--mode", choices=["rate", "budget", "epochs"],
+                   default="budget")
+    p.add_argument("--spec", default="",
+                   help="per-source values: 'key=value,key=value' "
+                        "(rate: micros; budget/epochs: token budgets)")
+    p.add_argument("--default", type=int, default=0,
+                   help="value for sources absent from --spec")
+    p.add_argument("--salt", default="",
+                   help="decorrelates independent samples of one corpus")
+    p.add_argument("--key-col", default="source")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    spec = parse_spec(args.spec)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from modern_document_converter_for_ai_library_spark.operators.sampling import (
+        budget_sample,
+        epoch_budget_sample,
+        stratified_sample,
+    )
+    from modern_document_converter_for_ai_library_spark.plans import get_spark
+    from modern_document_converter_for_ai_library_spark.sources.catalog import (
+        read_documents,
+        write_documents,
+    )
+
+    pre_existing = SparkSession.getActiveSession() is not None
+    spark = get_spark(app_name=f"mdcal-mix-{args.mode}", master=args.master)
+    try:
+        docs = read_documents(spark, args.input)
+        common = dict(
+            key_col=args.key_col, id_col=args.id_col, salt=args.salt
+        )
+        if args.mode == "rate":
+            marked = stratified_sample(
+                docs, spec, default_micros=args.default, **common
+            )
+            kept = marked.filter("sampled").drop("hash_micros", "sampled")
+        elif args.mode == "budget":
+            sel = budget_sample(
+                docs, spec, text_col=args.text_col,
+                default_budget=args.default, **common
+            ).filter("kept")
+            kept = docs.join(
+                sel.select(args.id_col), on=args.id_col, how="leftsemi"
+            )
+        else:  # epochs — one output row per emitted COPY, epoch-tagged
+            sel = epoch_budget_sample(
+                docs, spec, text_col=args.text_col,
+                default_budget=args.default, **common
+            )
+            kept = docs.join(
+                sel.select(args.id_col, "epoch"), on=args.id_col, how="inner"
+            )
+        kept = kept.persist()
+        write_documents(kept, args.output, mode="overwrite")
+
+        toks = F.filter(F.split(F.col(args.text_col), " "), lambda x: x != "")
+        n_in = docs.count()
+        n_out = kept.count()
+        tokens_out = (
+            kept.select(F.sum(F.size(toks)).alias("t")).collect()[0]["t"] or 0
+        )
+        print(
+            json.dumps(
+                {
+                    "mode": args.mode,
+                    "n_docs_in": n_in,
+                    "n_rows_out": n_out,
+                    "tokens_out": int(tokens_out),
+                }
+            )
+        )
+        kept.unpersist()
+        return 0
+    finally:
+        if not pre_existing:
+            # keep an embedding caller's (e.g. test harness) session alive
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

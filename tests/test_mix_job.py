@@ -1,0 +1,99 @@
+"""End-to-end mixing job (jobs/mix_job.py): all three modes over a parquet
+corpus, output accounting consistent with the operator semantics."""
+
+import json
+import os
+import sys
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+
+from mix_job import main, parse_spec  # noqa: E402
+
+from modern_document_converter_for_ai_library_spark.operators.sampling import (  # noqa: E402
+    budget_sample,
+    epoch_budget_sample,
+)
+
+
+def test_parse_spec():
+    assert parse_spec("a=1, b=0 ,c=300") == {"a": 1, "b": 0, "c": 300}
+    assert parse_spec("") == {}
+    with pytest.raises(ValueError):
+        parse_spec("broken")
+
+
+@pytest.fixture()
+def corpus(spark, tmp_path):
+    rows = [
+        (i, "a" if i % 2 == 0 else "b", " ".join(["w"] * (5 + i % 17)))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    path = str(tmp_path / "docs")
+    df.write.mode("overwrite").parquet(path)
+    return df, path
+
+
+def _run(capsys, argv):
+    assert main(argv) == 0
+    line = [
+        l for l in capsys.readouterr().out.strip().splitlines()
+        if l.startswith("{")
+    ][-1]
+    return json.loads(line)
+
+
+def test_mix_job_rate(spark, corpus, tmp_path, capsys):
+    df, path = corpus
+    out = str(tmp_path / "rate_out")
+    stats = _run(capsys, [
+        "--input", path, "--output", out,
+        "--mode", "rate", "--spec", "a=1000000,b=0",
+    ])
+    got = spark.read.parquet(out)
+    assert stats["n_rows_out"] == got.count() == 100
+    assert {r["source"] for r in got.collect()} == {"a"}
+    # schema round-trips without the sampling scratch columns
+    assert set(got.columns) == {"doc_id", "source", "text"}
+
+
+def test_mix_job_budget(spark, corpus, tmp_path, capsys):
+    df, path = corpus
+    out = str(tmp_path / "budget_out")
+    stats = _run(capsys, [
+        "--input", path, "--output", out,
+        "--mode", "budget", "--spec", "a=300,b=150",
+    ])
+    want = {
+        r["doc_id"]
+        for r in budget_sample(df, {"a": 300, "b": 150}).filter("kept").collect()
+    }
+    got = spark.read.parquet(out)
+    assert {r["doc_id"] for r in got.collect()} == want
+    assert stats["n_rows_out"] == len(want)
+    assert stats["tokens_out"] <= 450
+
+
+def test_mix_job_epochs(spark, corpus, tmp_path, capsys):
+    df, path = corpus
+    mass = (
+        df.filter("source = 'a'")
+        .select(F.sum(F.size(F.split("text", " "))).alias("t"))
+        .collect()[0]["t"]
+    )
+    out = str(tmp_path / "epochs_out")
+    budget = mass * 2 + 137
+    stats = _run(capsys, [
+        "--input", path, "--output", out,
+        "--mode", "epochs", "--spec", f"a={budget}",
+    ])
+    want = epoch_budget_sample(df, {"a": budget}).collect()
+    got = spark.read.parquet(out)
+    assert stats["n_rows_out"] == got.count() == len(want)
+    # every document appears once per emitted epoch, epoch column present
+    assert got.filter("epoch = 1").count() == df.filter("source = 'a'").count()
+    assert stats["tokens_out"] <= budget
