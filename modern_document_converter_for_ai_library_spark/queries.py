@@ -2938,11 +2938,20 @@ def spark_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_sql() -> str:
-    sqd = (
-        "list_sum(list_transform(range(1, 65), "
-        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
-    )
+_SQD_SQL = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
+
+
+def _ivf_cells_prefix() -> tuple[str, str]:
+    """Shared CTE fragment ``v, c1, <lloyd rounds>, sf, af`` assigning every
+    embedding to its final k-means cell with the exact integer arithmetic of
+    ``ivf_build`` (seeds = K lowest-id vectors, Lloyd over the 1/mod id-mod
+    sample, floor-mean centroid updates). Returns (fragment, final-centroid
+    CTE name). Used by both the IVF ANN oracle and the SemDeDup oracle —
+    one source of truth for the cluster-assignment unroll."""
+    sqd = _SQD_SQL
     rounds = []
     prev = "c1"
     for r in range(1, _IVF_LLOYD + 1):
@@ -2978,8 +2987,7 @@ def _ivf_sql() -> str:
             )
         )
         prev = nxt
-    return """
-WITH v AS (
+    prefix = """v AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qe
   FROM embeddings
@@ -2995,7 +3003,20 @@ WITH v AS (
            row_number() OVER (PARTITION BY vec_id ORDER BY cdist ASC, cell ASC) AS rn
     FROM sf
   ) WHERE rn = 1
-), qq AS (
+)""".format(
+        k=_IVF_K,
+        rounds=", ".join(rounds),
+        fin=prev,
+        fdist=sqd.format(a="v.qe", b="c.cvec"),
+    )
+    return prefix, prev
+
+
+def _ivf_sql() -> str:
+    sqd = _SQD_SQL
+    prefix, fin = _ivf_cells_prefix()
+    return """
+WITH {prefix}, qq AS (
   SELECT qe AS qv FROM v ORDER BY vec_id LIMIT 1
 ), probes AS (
   SELECT cell FROM (
@@ -3015,16 +3036,80 @@ FROM cand
 ORDER BY qdot DESC, vec_id ASC
 LIMIT 10
 """.format(
-        k=_IVF_K,
+        prefix=prefix,
         p=_IVF_PROBE,
-        rounds=", ".join(rounds),
-        fin=prev,
-        fdist=sqd.format(a="v.qe", b="c.cvec"),
+        fin=fin,
         pdist=sqd.format(a="qq.qv", b="c.cvec"),
     )
 
 
 _IVF_SQL = _ivf_sql()
+
+
+# ---------------------------------------------------------------------------
+# q_semantic_dedup — SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means
+# cluster the embeddings (the same deterministic exact-integer Lloyd build as
+# q_ivf_topk — one source of truth, _ivf_cells_prefix), then inside each
+# cluster drop any member whose quantized cosine to an earlier-ranked member
+# (farther from the centroid first — the paper keeps the lowest-centroid-
+# similarity representative — ties toward the lower id) meets the threshold.
+# The pairwise term is an equi-self-join on `cell`, never all-pairs; at
+# corpus scale K grows with N so the per-cell quadratic stays bounded
+# (operators/semdedup.py, with a max_cell_size guard + oversized_cells
+# audit mirroring the LSH bucket cap).
+# ---------------------------------------------------------------------------
+
+# unit vectors quantized at 2^20 → dot ≈ cos * 2^40; 0.35 is below the
+# corpus's top within-cell band (max ~0.51) so the drop path is exercised
+# (~12% at sf0.01) while survivors dominate
+_SEMDEDUP_THR = int(0.35 * (1 << 40))
+
+
+def spark_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.semdedup import semantic_dedup
+
+    emb = _embeddings(spark, sf_dir)
+    out = semantic_dedup(
+        emb,
+        n_centroids=_IVF_K,
+        threshold_q=_SEMDEDUP_THR,
+        lloyd_iterations=_IVF_LLOYD,
+        lloyd_sample_mod=_IVF_SAMPLE_MOD,
+    )
+    return out.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("cell").cast("int").alias("cell"),
+        F.col("cdist").cast("bigint").alias("cdist"),
+        "kept",
+    )
+
+
+def _semdedup_sql() -> str:
+    prefix, fin = _ivf_cells_prefix()
+    return """
+WITH {prefix}, cd AS (
+  SELECT af.vec_id, af.qe, af.cell, {cdist} AS cdist
+  FROM af JOIN {fin} c USING (cell)
+), drops AS (
+  SELECT DISTINCT a.vec_id
+  FROM cd a JOIN cd b USING (cell)
+  WHERE (b.cdist > a.cdist OR (b.cdist = a.cdist AND b.vec_id < a.vec_id))
+    AND list_sum(list_transform(range(1, 65), i -> a.qe[i] * b.qe[i])) >= {thr}
+)
+SELECT CAST(cd.vec_id AS BIGINT) AS vec_id,
+       CAST(cd.cell AS INT) AS cell,
+       CAST(cd.cdist AS BIGINT) AS cdist,
+       d.vec_id IS NULL AS kept
+FROM cd LEFT JOIN drops d ON cd.vec_id = d.vec_id
+""".format(
+        prefix=prefix,
+        fin=fin,
+        thr=_SEMDEDUP_THR,
+        cdist=_SQD_SQL.format(a="af.qe", b="c.cvec"),
+    )
+
+
+_SEMDEDUP_SQL = _semdedup_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -5195,6 +5280,7 @@ SPARK_QUERIES = {
     "q_near_dedup_wide": spark_near_dedup_wide,
     "q_near_dedup_chain": spark_near_dedup_chain,
     "q_ivf_topk": spark_ivf_topk,
+    "q_semantic_dedup": spark_semantic_dedup,
     "q_salted_host_agg": spark_salted_host_agg,
     "q_events_hourly": spark_events_hourly,
     "q_boilerplate": spark_boilerplate,
@@ -5281,6 +5367,7 @@ ORACLE_SQL = {
     "q_near_dedup_wide": _NEAR_DEDUP_WIDE_SQL,
     "q_near_dedup_chain": _NEAR_DEDUP_CHAIN_SQL,
     "q_ivf_topk": _IVF_SQL,
+    "q_semantic_dedup": _SEMDEDUP_SQL,
     "q_salted_host_agg": _SALTED_HOST_SQL,
     "q_events_hourly": _EVENTS_HOURLY_SQL,
     "q_boilerplate": _BOILERPLATE_SQL,

@@ -19,9 +19,10 @@ from modern_document_converter_for_ai_library_spark.queries import SPARK_QUERIES
 SF_DIR = "/root/testdata/sf0.001"
 
 # q_ann_topk broadcasts a single query vector against the corpus and
-# q_ivf_topk broadcasts the 16-centroid table for cell assignment: a
-# BroadcastNestedLoopJoin over a tiny build side is the intended plan.
-CARTESIAN_OK = {"q_ann_topk", "q_ivf_topk"}
+# q_ivf_topk / q_semantic_dedup broadcast the 16-centroid table for cell
+# assignment: a BroadcastNestedLoopJoin over a tiny build side is the
+# intended plan.
+CARTESIAN_OK = {"q_ann_topk", "q_ivf_topk", "q_semantic_dedup"}
 
 # columns each query legitimately needs from the documents table; queries
 # not listed here read other tables or the full row by design
@@ -46,6 +47,7 @@ _WINDOW_OK = {
     # ivf_build ranks its <=16-row post-limit centroid seed with a global
     # row_number: a bounded-input window, not a corpus-wide reducer.
     "q_ivf_topk",
+    "q_semantic_dedup",
 }
 
 
