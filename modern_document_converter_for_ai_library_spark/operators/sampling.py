@@ -270,3 +270,46 @@ def epoch_budget_sample(
     return out.select(
         id_col, key_col, "epoch", "n_tokens", "hash_micros", "cum_tokens"
     )
+
+
+def group_split(
+    df: DataFrame,
+    splits: dict[str, int],
+    group_col: str = "source",
+    salt: str = "",
+) -> DataFrame:
+    """Leakage-safe named splits (train/val/test): adds ``split``.
+
+    The assignment hashes the GROUP key — host, source, url domain —
+    not the row id, so every document of a group lands in the SAME
+    split. That is the standard contamination control for eval holdouts:
+    near-duplicate pages within a site can never straddle train/test,
+    which row-level random splits routinely violate.
+
+    ``splits`` maps name -> width in micros and must sum to exactly
+    1e6 (every group assigned, no ambiguity). Assignment walks the
+    cumulative intervals in the caller's dict order, so
+    ``{"train": 800000, "val": 100000, "test": 100000}`` gives
+    [0, 8e5) -> train, [8e5, 9e5) -> val, [9e5, 1e6) -> test.
+
+    Properties inherited from hash-threshold sampling: reproducible
+    (pure function of (group, salt) — any engine, partitioning, or
+    cluster size), map-only (one md5 + a CASE; zero shuffles, zero
+    joins), and stable under re-proportioning of a LATER interval
+    (growing test at val's expense never moves anything out of train).
+    """
+    total = sum(splits.values())
+    if total != MICRO:
+        raise ValueError(f"split widths must sum to {MICRO}, got {total}")
+    if any(w < 0 for w in splits.values()):
+        raise ValueError("split widths must be non-negative")
+    hm = hash_micros_col(group_col, salt)
+    expr = None
+    acc = 0
+    *head, last = splits.items()
+    for name, width in head:
+        acc += width
+        cond = F.col("group_hash_micros") < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(last[0]) if expr is None else expr.otherwise(last[0])
+    return df.withColumn("group_hash_micros", hm).withColumn("split", expr)

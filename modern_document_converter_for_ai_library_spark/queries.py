@@ -908,6 +908,41 @@ FROM t
 
 
 # ---------------------------------------------------------------------------
+# q_group_split — leakage-safe train/val/test split (operators/sampling.py:
+# group_split): the split hash is over the GROUP key (source), so every
+# document of a group lands in the same split — near-duplicates within a
+# site can never straddle train/test. Map-only: one md5 + a CASE, zero
+# shuffles. 80/10/10 cumulative intervals in micros.
+# ---------------------------------------------------------------------------
+
+_SPLIT_WIDTHS = {"train": 800_000, "val": 100_000, "test": 100_000}
+
+
+def spark_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import group_split
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source"
+    )
+    return group_split(docs, _SPLIT_WIDTHS)
+
+
+_GROUP_SPLIT_SQL = r"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         CAST(CAST(concat('0x', substring(md5(source), 1, 8)) AS BIGINT)
+              % 1000000 AS BIGINT) AS group_hash_micros
+  FROM documents
+)
+SELECT doc_id, source, group_hash_micros,
+       CASE WHEN group_hash_micros < 800000 THEN 'train'
+            WHEN group_hash_micros < 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_token_budget_mix — token-budget corpus mixing (operators/sampling.py:
 # budget_sample): per-source greedy prefix in deterministic hash-priority
 # order until the source's token budget fills. Two-phase bucketed cumsum
@@ -5240,6 +5275,7 @@ SPARK_QUERIES = {
     "q_exact_dedup": spark_exact_dedup,
     "q_passage_dedup": spark_passage_dedup,
     "q_sample_mix": spark_sample_mix,
+    "q_group_split": spark_group_split,
     "q_token_budget_mix": spark_token_budget_mix,
     "q_epoch_mix": spark_epoch_mix,
     "q_decontaminate": spark_decontaminate,
@@ -5322,6 +5358,7 @@ ORACLE_SQL = {
     "q_exact_dedup": _EXACT_DEDUP_SQL,
     "q_passage_dedup": _PASSAGE_DEDUP_SQL,
     "q_sample_mix": _SAMPLE_MIX_SQL,
+    "q_group_split": _GROUP_SPLIT_SQL,
     "q_token_budget_mix": _TOKEN_BUDGET_SQL,
     "q_epoch_mix": _EPOCH_MIX_SQL,
     "q_decontaminate": _DECONTAMINATE_SQL,

@@ -457,3 +457,51 @@ def test_epoch_budget_sample_properties(spark):
     )
     # every emitted remainder doc fits inside the remainder budget
     assert all(c <= 137 for c in dropped_cums)
+
+
+def test_group_split_properties(spark):
+    import pytest as _pytest
+
+    from modern_document_converter_for_ai_library_spark.operators.sampling import (
+        group_split,
+    )
+
+    rows = [(i, f"host{i % 37}") for i in range(600)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    widths = {"train": 800_000, "val": 100_000, "test": 100_000}
+    out = group_split(df, widths).collect()
+
+    # leakage safety: every group lands wholly in ONE split
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["source"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_group.values())
+    assert {r["split"] for r in out} <= {"train", "val", "test"}
+
+    # deterministic across materializations / partitionings
+    again = group_split(df.repartition(7), widths).collect()
+    assert {(r["doc_id"], r["split"]) for r in again} == {
+        (r["doc_id"], r["split"]) for r in out
+    }
+
+    # re-proportioning a LATER interval never moves anything out of train:
+    # growing test at val's expense keeps every train group in train
+    moved = group_split(
+        df, {"train": 800_000, "val": 50_000, "test": 150_000}
+    ).collect()
+    train_before = {r["doc_id"] for r in out if r["split"] == "train"}
+    train_after = {r["doc_id"] for r in moved if r["split"] == "train"}
+    assert train_before == train_after
+
+    # contract: widths must cover [0, 1e6) exactly
+    with _pytest.raises(ValueError):
+        group_split(df, {"train": 500_000})
+
+    # map-only: zero Exchange in the executed plan
+    plan = (
+        group_split(df, widths)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
