@@ -9,14 +9,19 @@ Usage (cluster):
         --dupmap lake.db.duplicate_map --tier near --threshold 0.8
 
 Tiers:
-    exact   md5 content grouping (one shuffle)
-    near    MinHash -> banded LSH -> exact-Jaccard verify -> connected
-            components (operators/dedup.py:near_dedup)
+    exact     md5 content grouping (one shuffle)
+    near      MinHash -> banded LSH -> exact-Jaccard verify -> connected
+              components (operators/dedup.py:near_dedup)
+    semantic  SemDeDup (operators/semdedup.py): k-means cells + per-cell
+              cosine sweep over an embedding column; --threshold is the
+              cosine cutoff; embeddings come from --embeddings (a table
+              sharing --id-col) or from --vec-col on the input itself
 
 Outputs:
     --output   the SURVIVORS (canonical docs only) — the deduplicated corpus
-    --dupmap   (doc_id, canonical_doc_id, is_duplicate) for every input doc —
-               the audit/provenance table a training pipeline joins against
+    --dupmap   exact/near: (doc_id, canonical_doc_id, is_duplicate) for every
+               input doc; semantic: (doc_id, cell, kept) — SemDeDup picks a
+               per-cell representative rather than a canonical id
 
 Input/output targets accept Iceberg identifiers or parquet paths
 (sources/catalog.py). The job prints one JSON line with corpus/survivor
@@ -35,13 +40,24 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True, help="deduplicated survivors")
     p.add_argument("--dupmap", default=None, help="doc->canonical map table")
-    p.add_argument("--tier", choices=["exact", "near"], default="near")
+    p.add_argument("--tier", choices=["exact", "near", "semantic"],
+                   default="near")
     p.add_argument("--threshold", type=float, default=0.8,
-                   help="near tier: Jaccard threshold (0..1)")
+                   help="near: Jaccard threshold; semantic: cosine cutoff")
     p.add_argument("--n-bands", type=int, default=2)
     p.add_argument("--band-rows", type=int, default=2)
     p.add_argument("--max-bucket-size", type=int, default=100_000,
                    help="LSH bucket skew cap (dropped buckets audited)")
+    p.add_argument("--embeddings", default=None,
+                   help="semantic tier: embeddings table (defaults to the "
+                        "input itself carrying --vec-col)")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--n-centroids", type=int, default=16)
+    p.add_argument("--lloyd-iterations", type=int, default=2)
+    p.add_argument("--lloyd-sample-mod", type=int, default=None)
+    p.add_argument("--max-cell-size", type=int, default=100_000,
+                   help="semantic tier: cell skew cap (oversized cells "
+                        "kept wholesale, auditable)")
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--master", default=None)
@@ -68,6 +84,33 @@ def main(argv: list[str] | None = None) -> int:
         if args.tier == "exact":
             marked = exact_dedup(docs, text_col=args.text_col, id_col=args.id_col)
             dup_col = "is_duplicate"
+        elif args.tier == "semantic":
+            from modern_document_converter_for_ai_library_spark.operators.semdedup import (
+                semantic_dedup,
+            )
+
+            emb = (
+                read_documents(spark, args.embeddings)
+                if args.embeddings
+                else docs
+            )
+            verdicts = semantic_dedup(
+                emb,
+                n_centroids=args.n_centroids,
+                threshold=args.threshold,
+                lloyd_iterations=args.lloyd_iterations,
+                lloyd_sample_mod=args.lloyd_sample_mod,
+                max_cell_size=args.max_cell_size,
+                id_col=args.id_col,
+                vec_col=args.vec_col,
+            )
+            marked = docs.join(
+                verdicts.select(
+                    args.id_col, "cell", (~F.col("kept")).alias("is_semantic_duplicate")
+                ),
+                on=args.id_col,
+            )
+            dup_col = "is_semantic_duplicate"
         else:
             marked = near_dedup(
                 docs,
@@ -81,17 +124,22 @@ def main(argv: list[str] | None = None) -> int:
             dup_col = "is_near_duplicate"
         marked = marked.persist()
         survivors = marked.filter(~F.col(dup_col)).drop(
-            "canonical_doc_id", dup_col
+            "canonical_doc_id", "cell", dup_col
         )
         write_documents(survivors, args.output, mode="overwrite")
         if args.dupmap:
-            write_documents(
-                marked.select(args.id_col, "canonical_doc_id", F.col(dup_col)),
-                args.dupmap,
-                mode="overwrite",
-            )
+            if args.tier == "semantic":
+                dupmap = marked.select(
+                    args.id_col, "cell", (~F.col(dup_col)).alias("kept")
+                )
+            else:
+                dupmap = marked.select(
+                    args.id_col, "canonical_doc_id", F.col(dup_col)
+                )
+            write_documents(dupmap, args.dupmap, mode="overwrite")
         n_total = marked.count()
         n_survivors = survivors.count()
+        marked.unpersist()
         print(
             json.dumps(
                 {

@@ -60,3 +60,58 @@ def test_dedup_job_exact_tier(spark, tmp_path, capsys):
     assert rc == 0
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert report["n_survivors"] == 2
+
+
+def test_dedup_job_semantic_tier(spark, tmp_path, capsys):
+    import math
+
+    sys.path.insert(0, "/root/repo")
+    import jobs.dedup_job as job
+
+    def unit(vs):
+        n = math.sqrt(sum(v * v for v in vs))
+        return [v / n for v in vs]
+
+    def axis(i, eps=0.0):
+        v = [0.0] * 8
+        v[i] = 1.0
+        if eps:
+            v[(i + 1) % 8] = eps
+        return unit(v)
+
+    # docs carry their embedding inline (--embeddings defaults to input);
+    # 1~2 and 4~5 are semantic near-dups, 3 is same-cell but distinct
+    rows = [
+        (1, "doc one", axis(0)),
+        (2, "doc two", axis(0, eps=0.03)),
+        (3, "doc three", unit([1.0, 0.6, 0, 0, 0, 0, 0, 0])),
+        (4, "doc four", axis(1)),
+        (5, "doc five", axis(1, eps=0.02)),
+    ]
+    inp = str(tmp_path / "in3")
+    outp = str(tmp_path / "out3")
+    dmap = str(tmp_path / "dupmap3")
+    spark.createDataFrame(rows, ["doc_id", "text", "embedding"]).write.parquet(inp)
+
+    rc = job.main(
+        [
+            "--input", inp, "--output", outp, "--dupmap", dmap,
+            "--tier", "semantic", "--threshold", "0.95",
+            "--n-centroids", "2", "--lloyd-iterations", "1",
+        ]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["tier"] == "semantic"
+    assert report["n_docs"] == 5
+    assert report["n_survivors"] == 3  # one of each planted pair + doc 3
+    surv = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{outp}/*.parquet') ORDER BY 1"
+    ).fetchall()
+    assert len(surv) == 3
+    assert 3 in {r[0] for r in surv}
+    dm = duckdb.sql(
+        f"SELECT doc_id, cell, kept FROM read_parquet('{dmap}/*.parquet') ORDER BY 1"
+    ).fetchall()
+    assert len(dm) == 5
+    assert sum(1 for r in dm if r[2]) == 3
