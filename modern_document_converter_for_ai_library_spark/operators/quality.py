@@ -423,6 +423,50 @@ def classifier_score(
     )
 
 
+def _doc_bigram_counts(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    """(id, h1, h12, m): per-document hashed bigram multiplicities — the
+    shared bottom level of the hashed-LM aggregation pyramids
+    (:func:`bigram_lm_scores`, :func:`dsir_importance`). h1 hashes the
+    context token, h12 the (w1, w2) pair, both into ``n_buckets``."""
+    toks = _tokens(text_col)
+    pairs = F.expr(
+        "transform(slice(_toks, 1, greatest(size(_toks)-1, 0)), "
+        "(x, i) -> struct(x AS w1, element_at(_toks, i+2) AS w2))"
+    )
+    grams = (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .select(F.col(id_col), F.explode(pairs).alias("_g"))
+        .select(
+            F.col(id_col),
+            (
+                F.conv(F.substring(F.md5("_g.w1"), 1, 8), 16, 10).cast("bigint")
+                % n_buckets
+            ).alias("h1"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("\u001f", "_g.w1", "_g.w2")), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % n_buckets
+            ).alias("h12"),
+        )
+    )
+    return grams.groupBy(id_col, "h1", "h12").agg(
+        F.count("*").cast("bigint").alias("m")
+    )
+
+
+def _ilog2(col):
+    """floor(log2(col)) for positive BIGINTs via binary-string length —
+    exact in both engines (float log2 drifts at ulp boundaries)."""
+    return (F.length(F.bin(col)) - 1).cast("bigint")
+
+
 def bigram_lm_scores(
     df: DataFrame,
     text_col: str = "text",
@@ -463,40 +507,9 @@ def bigram_lm_scores(
     """
     from pyspark.sql.functions import broadcast
 
-    toks = _tokens(text_col)
-    pairs = F.expr(
-        "transform(slice(_toks, 1, greatest(size(_toks)-1, 0)), "
-        "(x, i) -> struct(x AS w1, element_at(_toks, i+2) AS w2))"
-    )
-    grams = (
-        df.select(F.col(id_col), toks.alias("_toks"))
-        .select(F.col(id_col), F.explode(pairs).alias("_g"))
-        .select(
-            F.col(id_col),
-            (
-                F.conv(F.substring(F.md5("_g.w1"), 1, 8), 16, 10).cast("bigint")
-                % n_buckets
-            ).alias("h1"),
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat_ws("\u001f", "_g.w1", "_g.w2")), 1, 8
-                    ),
-                    16,
-                    10,
-                ).cast("bigint")
-                % n_buckets
-            ).alias("h12"),
-        )
-    )
-    docgrams = grams.groupBy(id_col, "h1", "h12").agg(
-        F.count("*").cast("bigint").alias("m")
-    )
+    docgrams = _doc_bigram_counts(df, text_col, id_col, n_buckets)
     model12 = docgrams.groupBy("h12").agg(F.sum("m").alias("c12"))
     model1 = docgrams.groupBy("h1").agg(F.sum("m").alias("c1"))
-
-    def _ilog2(col):
-        return (F.length(F.bin(col)) - 1).cast("bigint")
 
     scored = (
         docgrams.join(broadcast(model12), on="h12")
@@ -530,5 +543,98 @@ def bigram_lm_scores(
         (
             (F.col("n_bigrams") > 0)
             & (bpg <= F.lit(max_bits_per_gram_micros))
+        ).alias("keep"),
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1 << 20,
+    smoothing: int = 256,
+    select_threshold_micros: int = 0,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169), re-expressed over the hashed bigram machinery of
+    :func:`bigram_lm_scores`: estimate hashed-n-gram models of the RAW
+    corpus (``df`` itself) and of a TARGET distribution sample
+    (``target``), then score every raw document by its importance —
+    how much shorter its code is under the target model than under the
+    raw model:
+
+        importance_bits(doc) = code_len_raw(doc) - code_len_target(doc)
+                             = sum_g m_g * (bits_raw(g) - bits_target(g))
+
+    Positive = the document looks more like the target than like the
+    raw pool — DSIR's log importance weight log(p_target/p_raw), here as
+    EXACT integer floor-log2 code lengths (``_ilog2``) so both engines
+    agree bit-for-bit; float ln() would drift at ulp boundaries.
+
+    Divergence from the paper, documented: DSIR proper resamples with
+    Gumbel-noised weights; this operator exposes the deterministic
+    building block — the exact integer weight plus a threshold verdict
+    (``keep`` iff importance_per_gram_micros >= threshold over >=1
+    bigram). Plug the weight into any sampler (e.g. hash-threshold
+    acceptance from sampling.py) for the randomized variant.
+
+    Scale shape: both models are hashed into ``n_buckets`` rows —
+    bounded and broadcastable regardless of corpus size (Weinberger
+    '09); the target sample is typically small (the paper uses the
+    target task's train set). Data-scale shuffles: the per-doc gram
+    count and the final per-doc sum, both map-side combined. Model
+    joins are broadcast. Raw-model grams absent from the target model
+    cost ``bits_target = ilog2(smoothing) - 0`` via count-0 coalesce —
+    the same smoothing floor the raw side uses.
+    """
+    from pyspark.sql.functions import broadcast
+
+    docgrams = _doc_bigram_counts(df, text_col, id_col, n_buckets)
+    raw12 = docgrams.groupBy("h12").agg(F.sum("m").alias("c12_r"))
+    raw1 = docgrams.groupBy("h1").agg(F.sum("m").alias("c1_r"))
+
+    tgrams = _doc_bigram_counts(target, text_col, id_col, n_buckets)
+    tgt12 = tgrams.groupBy("h12").agg(F.sum("m").alias("c12_t"))
+    tgt1 = tgrams.groupBy("h1").agg(F.sum("m").alias("c1_t"))
+
+    scored = (
+        docgrams.join(broadcast(raw12), on="h12")
+        .join(broadcast(raw1), on="h1")
+        .join(broadcast(tgt12), on="h12", how="left")
+        .join(broadcast(tgt1), on="h1", how="left")
+        .fillna({"c12_t": 0, "c1_t": 0})
+    )
+    bits_raw = _ilog2(F.col("c1_r") + F.lit(smoothing)) - _ilog2(
+        F.col("c12_r") + 1
+    )
+    bits_tgt = _ilog2(F.col("c1_t") + F.lit(smoothing)) - _ilog2(
+        F.col("c12_t") + 1
+    )
+    scored = scored.select(
+        F.col(id_col),
+        F.col("m"),
+        (F.col("m") * (bits_raw - bits_tgt)).alias("_bits"),
+    )
+    g = scored.groupBy(id_col).agg(
+        F.sum("_bits").cast("bigint").alias("importance_bits"),
+        F.sum("m").cast("bigint").alias("n_bigrams"),
+    )
+    out = (
+        df.select(F.col(id_col))
+        .join(g, on=id_col, how="left")
+        .fillna({"importance_bits": 0, "n_bigrams": 0})
+    )
+    ipg = F.expr(
+        "importance_bits * %d div greatest(n_bigrams, 1)" % MICRO
+    ).cast("bigint")
+    return out.select(
+        F.col(id_col),
+        "importance_bits",
+        "n_bigrams",
+        ipg.alias("importance_per_gram_micros"),
+        (
+            (F.col("n_bigrams") > 0)
+            & (ipg >= F.lit(select_threshold_micros))
         ).alias("keep"),
     )

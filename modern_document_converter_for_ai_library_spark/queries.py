@@ -4579,6 +4579,74 @@ def spark_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(df)
 
 
+# ---------------------------------------------------------------------------
+# q_dsir_select — DSIR data selection (Xie et al. 2023, arXiv:2302.03169):
+# hashed-bigram models of the raw pool and of a target sample (here the
+# lang='en' slice), each document scored by its exact-integer importance —
+# code length under the raw model minus code length under the target model
+# (operators/quality.py:dsir_importance). keep = target-leaning (>= 0
+# micros per gram). The oracle derives the target model from the same
+# per-doc gram counts restricted to the target slice — identical sums.
+# Integer div semantics on NEGATIVE importance match by construction:
+# Spark `div` and DuckDB `//` both truncate toward zero.
+# ---------------------------------------------------------------------------
+
+
+def spark_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import dsir_importance
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "lang", "text"
+    )
+    target = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+    return dsir_importance(docs.select("doc_id", "text"), target)
+
+
+_DSIR_SQL = r"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+    ('0x' || substring(md5(p.w1), 1, 8))::BIGINT % 1048576 AS h1,
+    ('0x' || substring(md5(p.w1 || chr(31) || p.w2), 1, 8))::BIGINT % 1048576 AS h12
+  FROM t, UNNEST(list_transform(list_slice(toks, 1, greatest(len(toks) - 1, 0)),
+                 (x, i) -> {'w1': x, 'w2': toks[i + 1]})) AS u(p)
+), dg AS (
+  SELECT doc_id, h1, h12, COUNT(*)::BIGINT AS m FROM g GROUP BY 1, 2, 3
+), r12 AS (
+  SELECT h12, SUM(m)::BIGINT AS c12_r FROM dg GROUP BY 1
+), r1 AS (
+  SELECT h1, SUM(m)::BIGINT AS c1_r FROM dg GROUP BY 1
+), tdg AS (
+  SELECT dg.* FROM dg JOIN t USING (doc_id) WHERE t.lang = 'en'
+), t12 AS (
+  SELECT h12, SUM(m)::BIGINT AS c12_t FROM tdg GROUP BY 1
+), t1 AS (
+  SELECT h1, SUM(m)::BIGINT AS c1_t FROM tdg GROUP BY 1
+), sc AS (
+  SELECT dg.doc_id,
+    SUM(m)::BIGINT AS n_bigrams,
+    SUM(m * (((length(printf('%b', c1_r + 256)) - 1)
+            - (length(printf('%b', c12_r + 1)) - 1))
+           - ((length(printf('%b', COALESCE(c1_t, 0) + 256)) - 1)
+            - (length(printf('%b', COALESCE(c12_t, 0) + 1)) - 1))))::BIGINT AS bits
+  FROM dg JOIN r12 USING (h12) JOIN r1 USING (h1)
+          LEFT JOIN t12 USING (h12) LEFT JOIN t1 USING (h1)
+  GROUP BY 1
+)
+SELECT t.doc_id,
+  COALESCE(sc.bits, 0) AS importance_bits,
+  COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+  COALESCE(sc.bits * 1000000 // sc.n_bigrams, 0) AS importance_per_gram_micros,
+  COALESCE(sc.n_bigrams > 0
+           AND (sc.bits * 1000000 // sc.n_bigrams) >= 0,
+           FALSE) AS keep
+FROM t LEFT JOIN sc USING (doc_id)
+"""
+
+
 _LM_QUALITY_SQL = r"""
 WITH t AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -5327,6 +5395,7 @@ SPARK_QUERIES = {
     "q_case_name_legacy": spark_case_name_legacy,
     "q_legacy_rename": spark_legacy_rename,
     "q_lm_quality": spark_lm_quality,
+    "q_dsir_select": spark_dsir_select,
     "q_interleave_stats": spark_interleave_stats,
     "q_cms_topk": spark_cms_topk,
     "q_hll_distinct": spark_hll_distinct,
@@ -5415,6 +5484,7 @@ ORACLE_SQL = {
     "q_case_name_legacy": _CASE_NAME_SQL,
     "q_legacy_rename": _LEGACY_RENAME_SQL,
     "q_lm_quality": _LM_QUALITY_SQL,
+    "q_dsir_select": _DSIR_SQL,
     "q_interleave_stats": _INTERLEAVE_SQL,
     "q_cms_topk": _CMS_SQL,
     "q_hll_distinct": _HLL_SQL,
