@@ -313,3 +313,72 @@ def group_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     expr = F.lit(last[0]) if expr is None else expr.otherwise(last[0])
     return df.withColumn("group_hash_micros", hm).withColumn("split", expr)
+
+
+def shard_assign(
+    df: DataFrame,
+    shard_tokens: int,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "",
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Deterministic fixed-token-mass shard layout — the terminal step
+    between a mixed/packed corpus and the trainer's storage: assign every
+    document to a shard of ~``shard_tokens`` tokens so dataloader workers
+    stream balanced files.
+
+    Documents are laid out per ``key_col`` in the repo's canonical
+    deterministic order ``(hash_micros, id)`` (the same priority order
+    the mixing samplers keep, so a budget-sampled prefix occupies a
+    PREFIX of the shards); each document is assigned by its START
+    offset in that layout:
+
+        shard_id = (cum_tokens - n_tokens) div shard_tokens
+
+    Start-offset assignment keeps every document whole (never split
+    across shards). Consequences, both deliberate: a shard's actual
+    token mass is < shard_tokens + max_doc_tokens (the last document
+    straddles the boundary it started before), and a document LONGER
+    than ``shard_tokens`` makes the following shard ids skip — ids are
+    monotone in layout order but not necessarily dense. The manifest
+    (:func:`shard_manifest`) records actual masses.
+
+    Scale shape: identical to :func:`budget_sample` — the skew-safe
+    two-phase bucketed cumulative sum (``_cumulative_tokens``), no
+    per-key global window; a 100-TB single-source corpus spreads over
+    ``n_buckets`` partitions. Pure function of row values: same corpus
+    => same shards under any partitioning, caching, or recompute.
+    """
+    if shard_tokens <= 0:
+        raise ValueError(f"shard_tokens must be positive, got {shard_tokens}")
+    cum = _cumulative_tokens(df, key_col, id_col, text_col, salt, n_buckets)
+    shard = F.expr(
+        "(cum_tokens - n_tokens) div CAST(%d AS BIGINT)" % shard_tokens
+    ).cast("bigint")
+    return cum.select(
+        id_col,
+        key_col,
+        "n_tokens",
+        "hash_micros",
+        "cum_tokens",
+        shard.alias("shard_id"),
+    )
+
+
+def shard_manifest(
+    assigned: DataFrame, key_col: str = "source"
+) -> DataFrame:
+    """Per-shard audit/lineage record over :func:`shard_assign` output:
+    (key, shard_id, n_docs, shard_token_count, min/max hash_micros) —
+    the write-side manifest a resumable shard writer checks before
+    re-emitting a shard (cf. operators/manifest.py's content-stable
+    markers). One partial-aggregated groupBy; output is bounded by
+    total_tokens / shard_tokens rows, not corpus size."""
+    return assigned.groupBy(key_col, "shard_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("shard_token_count"),
+        F.min("hash_micros").cast("bigint").alias("min_hash_micros"),
+        F.max("hash_micros").cast("bigint").alias("max_hash_micros"),
+    )

@@ -1044,6 +1044,69 @@ WHERE u.epoch < n_full OR cum_tokens <= rem
 
 
 # ---------------------------------------------------------------------------
+# q_shard_assign / q_shard_manifest — deterministic fixed-token-mass shard
+# layout (operators/sampling.py:shard_assign): every document assigned by
+# its START offset in the canonical (hash_micros, doc_id) layout —
+# shard_id = (cum_tokens - n_tokens) div 400 — via the same two-phase
+# bucketed cumsum as the mixers; the manifest is the bounded per-shard
+# audit (n_docs, actual token mass, hash range). Oracle = one plain
+# window per source; start offsets are non-negative so `div` vs `//`
+# rounding cannot diverge.
+# ---------------------------------------------------------------------------
+
+_SHARD_TOKENS = 400
+
+
+def spark_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import shard_assign
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source", "text"
+    )
+    return shard_assign(docs, _SHARD_TOKENS)
+
+
+def spark_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import shard_assign, shard_manifest
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source", "text"
+    )
+    return shard_manifest(shard_assign(docs, _SHARD_TOKENS))
+
+
+_SHARD_BASE_SQL = r"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+         CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 1000000 AS BIGINT) AS hash_micros
+  FROM documents
+), c AS (
+  SELECT *,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY hash_micros, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, n_tokens, hash_micros,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST((cum_tokens - n_tokens) // 400 AS BIGINT) AS shard_id
+FROM c
+"""
+
+_SHARD_SQL = _SHARD_BASE_SQL
+
+_SHARD_MANIFEST_SQL = (
+    "WITH a AS (" + _SHARD_BASE_SQL + ")\n"
+    "SELECT source, shard_id, COUNT(*)::BIGINT AS n_docs,\n"
+    "       SUM(n_tokens)::BIGINT AS shard_token_count,\n"
+    "       MIN(hash_micros)::BIGINT AS min_hash_micros,\n"
+    "       MAX(hash_micros)::BIGINT AS max_hash_micros\n"
+    "FROM a GROUP BY source, shard_id"
+)
+
+
+# ---------------------------------------------------------------------------
 # q_quality_funnel — the composed keep/reject decision a real pipeline
 # makes: Gopher quality AND repetition AND language gates, with
 # FIRST-FAILED-RULE attribution in fixed priority order (gopher →
@@ -5345,6 +5408,8 @@ SPARK_QUERIES = {
     "q_sample_mix": spark_sample_mix,
     "q_group_split": spark_group_split,
     "q_token_budget_mix": spark_token_budget_mix,
+    "q_shard_assign": spark_shard_assign,
+    "q_shard_manifest": spark_shard_manifest,
     "q_epoch_mix": spark_epoch_mix,
     "q_decontaminate": spark_decontaminate,
     "q_fingerprint": spark_fingerprint,
@@ -5429,6 +5494,8 @@ ORACLE_SQL = {
     "q_sample_mix": _SAMPLE_MIX_SQL,
     "q_group_split": _GROUP_SPLIT_SQL,
     "q_token_budget_mix": _TOKEN_BUDGET_SQL,
+    "q_shard_assign": _SHARD_SQL,
+    "q_shard_manifest": _SHARD_MANIFEST_SQL,
     "q_epoch_mix": _EPOCH_MIX_SQL,
     "q_decontaminate": _DECONTAMINATE_SQL,
     "q_fingerprint": _FINGERPRINT_SQL,

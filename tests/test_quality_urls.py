@@ -505,3 +505,84 @@ def test_group_split_properties(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_shard_assign_properties(spark):
+    import hashlib
+
+    from modern_document_converter_for_ai_library_spark.operators.sampling import (
+        shard_assign,
+        shard_manifest,
+    )
+
+    rows = [
+        (i, "a" if i % 2 == 0 else "b", " ".join(["w"] * (5 + i % 17)))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    width = 60
+    got = {
+        r["doc_id"]: r for r in shard_assign(df, width).collect()
+    }
+
+    # pure-Python twin: lay out per source in (hash_micros, id) order and
+    # assign by start offset
+    def hm(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1_000_000
+
+    docs = [(i, s, len(t.split())) for i, s, t in rows]
+    for src in ("a", "b"):
+        cum = 0
+        for i, s, n in sorted(
+            (d for d in docs if d[1] == src), key=lambda d: (hm(d[0]), d[0])
+        ):
+            assert got[i]["shard_id"] == cum // width, i
+            cum += n
+            assert got[i]["cum_tokens"] == cum, i
+
+    # pure function of row values: identical under any partitioning and
+    # a different bucket count (two-phase == two-phase with 1 bucket ==
+    # the naive single window)
+    a = sorted(map(tuple, shard_assign(df, width).collect()))
+    b = sorted(map(tuple, shard_assign(df.repartition(7), width).collect()))
+    c = sorted(map(tuple, shard_assign(df, width, n_buckets=1).collect()))
+    assert a == b == c
+
+    # manifest: masses sum to the corpus total; every shard's actual mass
+    # is bounded by width + max_doc_tokens - 1 (start-offset semantics)
+    man = shard_manifest(shard_assign(df, width)).collect()
+    total = sum(n for _, _, n in docs)
+    assert sum(r["shard_token_count"] for r in man) == total
+    max_doc = max(n for _, _, n in docs)
+    for r in man:
+        assert r["shard_token_count"] < width + max_doc, r
+    assert shard_assign(df, width).count() == len(rows)
+
+
+def test_shard_assign_oversize_doc_skips_ids(spark):
+    from modern_document_converter_for_ai_library_spark.operators.sampling import (
+        shard_assign,
+    )
+    import pytest as _pytest
+
+    # one document wider than several shards: it owns the shard its start
+    # falls in, and later documents resume at start-offset ids — ids skip,
+    # stay monotone in layout order, and the doc is never split
+    rows = [
+        (1, "a", " ".join(["w"] * 10)),
+        (2, "a", " ".join(["w"] * 95)),
+        (3, "a", " ".join(["w"] * 10)),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = sorted(
+        shard_assign(df, 20).collect(), key=lambda r: r["cum_tokens"]
+    )
+    starts = [r["cum_tokens"] - r["n_tokens"] for r in out]
+    assert [r["shard_id"] for r in out] == [s // 20 for s in starts]
+    ids = [r["shard_id"] for r in out]
+    assert ids == sorted(ids)
+    # each doc appears exactly once
+    assert len({r["doc_id"] for r in out}) == 3
+
+    with _pytest.raises(ValueError):
+        shard_assign(df, 0)
