@@ -19,6 +19,11 @@ Modes (operators/sampling.py — all deterministic pure functions of
     epochs  budget with UPSAMPLING: budgets above a source's token mass
             emit full repeat epochs + a prefix remainder; output rows are
             per emitted COPY with an `epoch` column
+    shard   terminal storage layout: assign every document to a fixed-
+            token-mass shard (--shard-tokens) by start offset in the
+            canonical hash-priority order and write the corpus
+            PARTITIONED BY shard_id, plus a per-shard manifest table at
+            --manifest (default <output>_manifest for path targets)
 
 Input/output targets accept Iceberg identifiers or parquet paths
 (sources/catalog.py). The job prints one JSON line with document/token
@@ -47,8 +52,13 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True, help="the mixed corpus")
-    p.add_argument("--mode", choices=["rate", "budget", "epochs"],
+    p.add_argument("--mode", choices=["rate", "budget", "epochs", "shard"],
                    default="budget")
+    p.add_argument("--shard-tokens", type=int, default=0,
+                   help="shard mode: target token mass per shard")
+    p.add_argument("--manifest", default=None,
+                   help="shard mode: manifest target "
+                        "(default <output>_manifest for path targets)")
     p.add_argument("--spec", default="",
                    help="per-source values: 'key=value,key=value' "
                         "(rate: micros; budget/epochs: token budgets)")
@@ -70,6 +80,8 @@ def main(argv: list[str] | None = None) -> int:
     from modern_document_converter_for_ai_library_spark.operators.sampling import (
         budget_sample,
         epoch_budget_sample,
+        shard_assign,
+        shard_manifest,
         stratified_sample,
     )
     from modern_document_converter_for_ai_library_spark.plans import get_spark
@@ -85,6 +97,49 @@ def main(argv: list[str] | None = None) -> int:
         common = dict(
             key_col=args.key_col, id_col=args.id_col, salt=args.salt
         )
+        if args.mode == "shard":
+            if args.shard_tokens <= 0:
+                raise SystemExit("--mode shard requires --shard-tokens > 0")
+            assigned = shard_assign(
+                docs, args.shard_tokens, text_col=args.text_col, **common
+            )
+            sharded = docs.join(
+                assigned.select(args.id_col, "n_tokens", "shard_id"),
+                on=args.id_col,
+                how="inner",
+            ).persist()
+            write_documents(
+                sharded, args.output, mode="overwrite",
+                partition_by=["shard_id"],
+            )
+            man = shard_manifest(
+                assigned, key_col=args.key_col
+            ).persist()
+            manifest_target = args.manifest or (args.output + "_manifest")
+            write_documents(man, manifest_target, mode="overwrite")
+            stats = man.agg(
+                F.count("*").alias("n_shards"),
+                F.sum("shard_token_count").alias("tokens_out"),
+                F.max("shard_token_count").alias("max_shard_tokens"),
+            ).collect()[0]
+            print(
+                json.dumps(
+                    {
+                        "mode": "shard",
+                        "n_docs_in": docs.count(),
+                        "n_rows_out": sharded.count(),
+                        "tokens_out": int(stats["tokens_out"] or 0),
+                        "n_shards": int(stats["n_shards"]),
+                        "max_shard_tokens": int(
+                            stats["max_shard_tokens"] or 0
+                        ),
+                        "manifest": manifest_target,
+                    }
+                )
+            )
+            sharded.unpersist()
+            man.unpersist()
+            return 0
         if args.mode == "rate":
             marked = stratified_sample(
                 docs, spec, default_micros=args.default, **common

@@ -40,9 +40,16 @@ def iceberg_available(spark: SparkSession) -> bool:
 
 
 def write_documents(
-    df: DataFrame, target: str, mode: str = "append"
+    df: DataFrame, target: str, mode: str = "append",
+    partition_by: list[str] | None = None,
 ) -> None:
-    """Write a span-shaped DataFrame to an Iceberg table or parquet path."""
+    """Write a span-shaped DataFrame to an Iceberg table or parquet path.
+
+    ``partition_by`` lays the files out by the named columns (e.g. the
+    shard layout's ``shard_id``); for Iceberg targets it becomes the
+    table partition spec, which only applies when the table is (re)created
+    — append mode inherits the existing spec, so passing partition_by with
+    append on a table target is rejected rather than silently ignored."""
     if is_table_identifier(target):
         spark = df.sparkSession
         if not iceberg_available(spark):
@@ -52,6 +59,17 @@ def write_documents(
                 "iceberg-spark-runtime package or use a path target"
             )
         writer = df.writeTo(target)
+        if partition_by:
+            if mode != "overwrite":
+                raise ValueError(
+                    "partition_by on a table target requires overwrite "
+                    "(the partition spec is set at table creation)"
+                )
+            from pyspark.sql import functions as _F
+
+            writer = writer.partitionedBy(
+                *[_F.col(c) for c in partition_by]
+            )
         if mode == "append":
             writer.append()
         elif mode == "overwrite":
@@ -59,7 +77,10 @@ def write_documents(
         else:
             raise ValueError(f"unsupported mode: {mode!r}")
         return
-    df.write.mode(mode).parquet(target)
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(target)
 
 
 def read_documents(spark: SparkSession, target: str) -> DataFrame:

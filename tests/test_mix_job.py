@@ -97,3 +97,34 @@ def test_mix_job_epochs(spark, corpus, tmp_path, capsys):
     # every document appears once per emitted epoch, epoch column present
     assert got.filter("epoch = 1").count() == df.filter("source = 'a'").count()
     assert stats["tokens_out"] <= budget
+
+
+def test_mix_job_shard(spark, corpus, tmp_path, capsys):
+    df, path = corpus
+    out = str(tmp_path / "shard_out")
+    stats = _run(capsys, [
+        "--input", path, "--output", out,
+        "--mode", "shard", "--shard-tokens", "60",
+    ])
+    got = spark.read.parquet(out)
+    # every document lands in exactly one shard; layout is partitioned
+    assert stats["n_rows_out"] == got.count() == 200
+    assert "shard_id" in got.columns
+    assert any(
+        d.startswith("shard_id=") for d in os.listdir(out)
+        if not d.startswith(("_", "."))
+    )
+    # manifest written next to the output, mass accounting consistent
+    man = spark.read.parquet(stats["manifest"])
+    assert set(man.columns) == {
+        "source", "shard_id", "n_docs", "shard_token_count",
+        "min_hash_micros", "max_hash_micros",
+    }
+    assert stats["tokens_out"] == sum(
+        r["shard_token_count"] for r in man.collect()
+    )
+    max_doc = max(5 + i % 17 for i in range(200))
+    assert stats["max_shard_tokens"] < 60 + max_doc
+    # shard mode requires a width
+    with pytest.raises(SystemExit):
+        main(["--input", path, "--output", out, "--mode", "shard"])
