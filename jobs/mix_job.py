@@ -103,8 +103,11 @@ def main(argv: list[str] | None = None) -> int:
             assigned = shard_assign(
                 docs, args.shard_tokens, text_col=args.text_col, **common
             )
-            sharded = docs.join(
-                assigned.select(args.id_col, "n_tokens", "shard_id"),
+            # only shard_id is grafted on (token counts live in the
+            # manifest) — and a pre-existing shard_id column is replaced,
+            # so re-sharding an already-sharded corpus works
+            sharded = docs.drop("shard_id").join(
+                assigned.select(args.id_col, "shard_id"),
                 on=args.id_col,
                 how="inner",
             ).persist()

@@ -128,3 +128,25 @@ def test_mix_job_shard(spark, corpus, tmp_path, capsys):
     # shard mode requires a width
     with pytest.raises(SystemExit):
         main(["--input", path, "--output", out, "--mode", "shard"])
+
+
+def test_mix_job_shard_reshard_idempotent(spark, corpus, tmp_path, capsys):
+    # re-sharding an already-sharded corpus replaces shard_id instead of
+    # colliding on the duplicate column
+    df, path = corpus
+    first = str(tmp_path / "shard_a")
+    _run(capsys, [
+        "--input", path, "--output", first,
+        "--mode", "shard", "--shard-tokens", "60",
+    ])
+    second = str(tmp_path / "shard_b")
+    stats = _run(capsys, [
+        "--input", first, "--output", second,
+        "--mode", "shard", "--shard-tokens", "120",
+    ])
+    got = spark.read.parquet(second)
+    assert stats["n_rows_out"] == got.count() == 200
+    assert got.columns.count("shard_id") == 1
+    # wider shards => no more shards than the narrow layout
+    narrow = spark.read.parquet(first).select("shard_id").distinct().count()
+    assert got.select("shard_id").distinct().count() <= narrow
