@@ -52,7 +52,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="semantic tier: embeddings table (defaults to the "
                         "input itself carrying --vec-col)")
     p.add_argument("--vec-col", default="embedding")
-    p.add_argument("--n-centroids", type=int, default=16)
+    p.add_argument("--n-centroids", type=int, default=16,
+                   help="semantic tier: k-means cells; scale with corpus "
+                        "size (target cells under --max-cell-size, e.g. "
+                        "n_docs/50k) or the sweep skips oversized cells — "
+                        "see oversized_cells in the job's JSON output")
     p.add_argument("--lloyd-iterations", type=int, default=2)
     p.add_argument("--lloyd-sample-mod", type=int, default=None)
     p.add_argument("--max-cell-size", type=int, default=100_000,
@@ -104,12 +108,17 @@ def main(argv: list[str] | None = None) -> int:
                 id_col=args.id_col,
                 vec_col=args.vec_col,
             )
+            # LEFT join: documents with no embedding row were never judged
+            # and must survive (and be counted) — an inner join would
+            # silently drop them from survivors, dupmap, and the rate's
+            # denominator. Unjudged rows keep cell = null.
             marked = docs.join(
                 verdicts.select(
                     args.id_col, "cell", (~F.col("kept")).alias("is_semantic_duplicate")
                 ),
                 on=args.id_col,
-            )
+                how="left",
+            ).fillna({"is_semantic_duplicate": False})
             dup_col = "is_semantic_duplicate"
         else:
             marked = near_dedup(
@@ -139,17 +148,35 @@ def main(argv: list[str] | None = None) -> int:
             write_documents(dupmap, args.dupmap, mode="overwrite")
         n_total = marked.count()
         n_survivors = survivors.count()
-        marked.unpersist()
-        print(
-            json.dumps(
-                {
-                    "tier": args.tier,
-                    "n_docs": n_total,
-                    "n_survivors": n_survivors,
-                    "duplicate_rate": round(1 - n_survivors / max(n_total, 1), 6),
-                }
+        stats = {
+            "tier": args.tier,
+            "n_docs": n_total,
+            "n_survivors": n_survivors,
+            "duplicate_rate": round(1 - n_survivors / max(n_total, 1), 6),
+        }
+        if args.tier == "semantic":
+            # surface the two silent-no-op modes: cells over the skew cap
+            # are kept wholesale (sweep skipped), and documents without an
+            # embedding row are never judged — a run where these dominate
+            # did not actually deduplicate anything
+            over = (
+                marked.filter(F.col("cell").isNotNull())
+                .groupBy("cell")
+                .agg(F.count("*").alias("n"))
+                .filter(F.col("n") > args.max_cell_size)
+                .agg(
+                    F.count("*").alias("cells"),
+                    F.coalesce(F.sum("n"), F.lit(0)).alias("docs"),
+                )
+                .collect()[0]
             )
-        )
+            stats["oversized_cells"] = int(over["cells"])
+            stats["docs_in_oversized_cells"] = int(over["docs"])
+            stats["n_unjudged"] = marked.filter(
+                F.col("cell").isNull()
+            ).count()
+        marked.unpersist()
+        print(json.dumps(stats))
         return 0
     finally:
         if not pre_existing:

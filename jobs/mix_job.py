@@ -22,8 +22,10 @@ Modes (operators/sampling.py — all deterministic pure functions of
     shard   terminal storage layout: assign every document to a fixed-
             token-mass shard (--shard-tokens) by start offset in the
             canonical hash-priority order and write the corpus
-            PARTITIONED BY shard_id, plus a per-shard manifest table at
-            --manifest (default <output>_manifest for path targets)
+            PARTITIONED BY (key, shard_id) — shard ids are per key, so
+            the key must be part of the physical layout or one directory
+            would pool shard 0 of every source — plus a per-shard
+            manifest table at --manifest (default <output>_manifest)
 
 Input/output targets accept Iceberg identifiers or parquet paths
 (sources/catalog.py). The job prints one JSON line with document/token
@@ -113,7 +115,7 @@ def main(argv: list[str] | None = None) -> int:
             ).persist()
             write_documents(
                 sharded, args.output, mode="overwrite",
-                partition_by=["shard_id"],
+                partition_by=[args.key_col, "shard_id"],
             )
             man = shard_manifest(
                 assigned, key_col=args.key_col
@@ -167,7 +169,11 @@ def main(argv: list[str] | None = None) -> int:
         kept = kept.persist()
         write_documents(kept, args.output, mode="overwrite")
 
-        toks = F.filter(F.split(F.col(args.text_col), " "), lambda x: x != "")
+        from modern_document_converter_for_ai_library_spark.operators.quality import (
+            _tokens,
+        )
+
+        toks = _tokens(args.text_col)
         n_in = docs.count()
         n_out = kept.count()
         tokens_out = (

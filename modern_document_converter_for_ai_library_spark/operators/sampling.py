@@ -139,9 +139,12 @@ def budget_sample(
     == one-window).
     """
     thr = _budget_expr(budgets, key_col, default_budget)
+    # the thr > 0 guard keeps zero-token documents out of EXCLUDED
+    # (budget-0) sources — their inclusive cum_tokens of 0 would
+    # otherwise satisfy 0 <= 0 and leak empty docs into the mix
     out = _cumulative_tokens(
         df, key_col, id_col, text_col, salt, n_buckets
-    ).withColumn("kept", F.col("cum_tokens") <= thr)
+    ).withColumn("kept", (F.col("cum_tokens") <= thr) & (thr > F.lit(0)))
     return out.select(
         id_col, key_col, "n_tokens", "hash_micros", "cum_tokens", "kept"
     )
@@ -175,7 +178,9 @@ def _cumulative_tokens(
     shared by :func:`budget_sample` and :func:`epoch_budget_sample`."""
     from pyspark.sql import Window
 
-    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    from .quality import _tokens
+
+    toks = _tokens(text_col)
     base = df.select(
         F.col(id_col),
         F.col(key_col),
@@ -252,8 +257,14 @@ def epoch_budget_sample(
     j = cum.join(totals, on=key_col, how="left").withColumn(
         "_budget", thr
     )
-    # `div` = exact integer division (no double rounding at huge budgets)
-    n_full = F.expr("_budget div greatest(_total, CAST(1 AS BIGINT))")
+    # `div` = exact integer division (no double rounding at huge budgets).
+    # A zero-token-mass source yields n_full = 0 outright — dividing by a
+    # clamped total of 1 would read the whole BUDGET as an epoch count and
+    # explode budget+1 copies of every empty document.
+    n_full = F.expr(
+        "CASE WHEN _total = 0 THEN CAST(0 AS BIGINT) "
+        "ELSE _budget div _total END"
+    )
     remainder = F.col("_budget") - n_full * F.col("_total")
     out = (
         j.withColumn("_n_full", n_full)
@@ -263,8 +274,14 @@ def epoch_budget_sample(
             F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("_n_full"))),
         )
         .filter(
-            (F.col("epoch") < F.col("_n_full"))
-            | (F.col("cum_tokens") <= F.col("_rem"))
+            (
+                (F.col("epoch") < F.col("_n_full"))
+                | (F.col("cum_tokens") <= F.col("_rem"))
+            )
+            # budget-0 sources are fully excluded — without this, their
+            # zero-token documents pass cum_tokens 0 <= rem 0 (the same
+            # leak budget_sample guards against)
+            & (F.col("_budget") > 0)
         )
     )
     return out.select(

@@ -984,7 +984,7 @@ WITH t AS (
 )
 SELECT doc_id, source, n_tokens, hash_micros,
        CAST(cum_tokens AS BIGINT) AS cum_tokens,
-       cum_tokens <= budget AS kept
+       cum_tokens <= budget AND budget > 0 AS kept
 FROM c
 """
 
@@ -1032,14 +1032,14 @@ WITH t AS (
   FROM c JOIN tot USING (source)
 ), k AS (
   SELECT *,
-         budget // GREATEST(total, 1) AS n_full,
-         budget - (budget // GREATEST(total, 1)) * total AS rem
+         CASE WHEN total = 0 THEN 0 ELSE budget // total END AS n_full,
+         budget - (CASE WHEN total = 0 THEN 0 ELSE budget // total END) * total AS rem
   FROM j
 )
 SELECT doc_id, source, CAST(u.epoch AS BIGINT) AS epoch,
        n_tokens, hash_micros, CAST(cum_tokens AS BIGINT) AS cum_tokens
 FROM k, UNNEST(range(CAST(0 AS BIGINT), CAST(n_full + 1 AS BIGINT))) AS u(epoch)
-WHERE u.epoch < n_full OR cum_tokens <= rem
+WHERE (u.epoch < n_full OR cum_tokens <= rem) AND budget > 0
 """
 
 

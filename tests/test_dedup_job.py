@@ -115,3 +115,91 @@ def test_dedup_job_semantic_tier(spark, tmp_path, capsys):
     ).fetchall()
     assert len(dm) == 5
     assert sum(1 for r in dm if r[2]) == 3
+
+
+def test_dedup_job_semantic_partial_embeddings(spark, tmp_path, capsys):
+    import math
+
+    sys.path.insert(0, "/root/repo")
+    import jobs.dedup_job as job
+
+    def unit(vs):
+        n = math.sqrt(sum(v * v for v in vs))
+        return [v / n for v in vs]
+
+    docs = [(i, f"doc {i}") for i in range(1, 7)]
+    # embeddings cover only docs 1-4 (1~2 near-dup); 5 and 6 are unjudged
+    # and must SURVIVE, appear in the dupmap, and count in the denominator
+    embs = [
+        (1, unit([1.0, 0, 0, 0])),
+        (2, unit([1.0, 0.02, 0, 0])),
+        (3, unit([0, 1.0, 0, 0])),
+        (4, unit([0, 0, 1.0, 0])),
+    ]
+    inp = str(tmp_path / "in4")
+    emb = str(tmp_path / "emb4")
+    outp = str(tmp_path / "out4")
+    dmap = str(tmp_path / "dupmap4")
+    spark.createDataFrame(docs, ["doc_id", "text"]).write.parquet(inp)
+    spark.createDataFrame(embs, ["doc_id", "embedding"]).write.parquet(emb)
+
+    rc = job.main(
+        [
+            "--input", inp, "--output", outp, "--dupmap", dmap,
+            "--embeddings", emb,
+            "--tier", "semantic", "--threshold", "0.95",
+            "--n-centroids", "2", "--lloyd-iterations", "1",
+        ]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["n_docs"] == 6
+    assert report["n_unjudged"] == 2
+    assert report["n_survivors"] == 5  # 1-of-(1,2), 3, 4, and unjudged 5, 6
+    surv = {
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{outp}/*.parquet')"
+        ).fetchall()
+    }
+    assert {3, 4, 5, 6} <= surv and len(surv) == 5
+    dm = duckdb.sql(
+        f"SELECT doc_id, cell, kept FROM read_parquet('{dmap}/*.parquet') ORDER BY 1"
+    ).fetchall()
+    assert len(dm) == 6
+    assert all(r[2] for r in dm if r[0] in (5, 6))
+
+
+def test_dedup_job_semantic_oversized_cells_audited(spark, tmp_path, capsys):
+    import math
+
+    sys.path.insert(0, "/root/repo")
+    import jobs.dedup_job as job
+
+    def unit(vs):
+        n = math.sqrt(sum(v * v for v in vs))
+        return [v / n for v in vs]
+
+    # every vector near one axis => one fat cell; the cap forces the sweep
+    # to skip it wholesale and the JSON must say so instead of reading as
+    # a clean "duplicate_rate 0.0" run
+    rows = [
+        (i, f"doc {i}", unit([1.0, 0.001 * i, 0, 0])) for i in range(1, 9)
+    ]
+    inp = str(tmp_path / "in5")
+    outp = str(tmp_path / "out5")
+    spark.createDataFrame(rows, ["doc_id", "text", "embedding"]).write.parquet(inp)
+
+    rc = job.main(
+        [
+            "--input", inp, "--output", outp,
+            "--tier", "semantic", "--threshold", "0.95",
+            "--n-centroids", "1", "--lloyd-iterations", "1",
+            "--max-cell-size", "3",
+        ]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["oversized_cells"] >= 1
+    assert report["docs_in_oversized_cells"] == 8
+    assert report["n_survivors"] == 8  # kept wholesale — and now visibly so

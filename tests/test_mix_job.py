@@ -110,9 +110,16 @@ def test_mix_job_shard(spark, corpus, tmp_path, capsys):
     # every document lands in exactly one shard; layout is partitioned
     assert stats["n_rows_out"] == got.count() == 200
     assert "shard_id" in got.columns
+    # physical layout is (key, shard_id) — shard ids are per source, so a
+    # shard_id-only layout would pool shard 0 of every source in one dir
+    srcdirs = [
+        d for d in os.listdir(out)
+        if d.startswith("source=") and not d.startswith(("_", "."))
+    ]
+    assert sorted(srcdirs) == ["source=a", "source=b"]
     assert any(
-        d.startswith("shard_id=") for d in os.listdir(out)
-        if not d.startswith(("_", "."))
+        d.startswith("shard_id=")
+        for d in os.listdir(os.path.join(out, srcdirs[0]))
     )
     # manifest written next to the output, mass accounting consistent
     man = spark.read.parquet(stats["manifest"])
