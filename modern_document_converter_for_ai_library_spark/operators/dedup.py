@@ -688,6 +688,124 @@ def repeated_ngram_stats(
     )
 
 
+def exact_substring_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 20,
+) -> DataFrame:
+    """Cross-document duplicated-SPAN excision — the "ExactSubstr" dedup
+    of Lee et al. 2022 (Deduplicating Training Data Makes Language Models
+    Better, arXiv:2107.06499) re-expressed over sliding token ``n``-grams
+    instead of a suffix array: where :func:`repeated_ngram_stats` only
+    MEASURES repeated-substring exposure and :func:`passage_dedup` drops
+    aligned fixed chunks, this cuts the duplicated token runs themselves
+    out of the documents at any alignment, keeping exactly one copy
+    corpus-wide.
+
+    Semantics (engine-deterministic, mirrored verbatim by the DuckDB
+    oracle): an n-gram occurrence ``(doc, pos)`` is a *duplicate* when its
+    content (md5 of the space-joined window) occurs more than once
+    corpus-wide and the occurrence is not the global first — the minimal
+    ``(doc_id, pos)``.  Every token covered by any duplicate occurrence's
+    ``[pos, pos+n-1]`` window is removed; the rest reassemble in order.
+    Docs shorter than ``n`` tokens carry no gram and pass through intact.
+    Output: ``(id, n_tokens, n_removed, text_clean)`` for every input row.
+
+    Plan shape (100 TB): the gram explode is ~tokens-per-doc rows; ONE
+    window shuffle keyed by the gram hash computes corpus count + global
+    first occurrence (map-side partial aggregation does not apply to
+    windows, but the key cardinality is ~total tokens and a boilerplate
+    gram repeated k times is one k-row hash cell, never a join fan-out);
+    duplicate starts then roll up per doc (shuffle on id) and fold into
+    merged removal intervals INSIDE an array expression, so the final
+    token-coverage test is O(tokens x intervals) per row in codegen —
+    no per-token join, no Python. The intervals join back to the corpus
+    on the id; documents containing no duplicate span skip the fold via
+    the left join's null arm.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens_col(text_col)
+    size = F.size("_toks")
+    grams = F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(1), size - n + 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("_toks", i, n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = (
+        df.withColumn("_toks", toks)
+        .select(
+            F.col(id_col),
+            F.posexplode(grams).alias("_p0", "gram"),
+        )
+        .withColumn("pos", (F.col("_p0") + 1).cast("bigint"))
+        .drop("_p0")
+    )
+    w = Window.partitionBy("gram")
+    first = F.min(F.struct(F.col(id_col), F.col("pos"))).over(w)
+    dup = (
+        ex.withColumn("_cnt", F.count("*").over(w))
+        .withColumn("_first", first)
+        .filter(
+            (F.col("_cnt") > 1)
+            & ~(
+                (F.col("_first")[id_col] == F.col(id_col))
+                & (F.col("_first")["pos"] == F.col("pos"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+    # sorted duplicate starts -> merged [s, e] intervals, folded in one
+    # array expression (starts are sorted asc, so append-or-extend-last)
+    iv_t = "array<struct<s: bigint, e: bigint>>"
+    spans = dup.groupBy(id_col).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("pos")),
+            F.expr(f"CAST(array() AS {iv_t})"),
+            lambda acc, p: F.when(
+                (F.size(acc) > 0)
+                & (p <= F.element_at(acc, -1)["e"] + 1),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(
+                        F.struct(
+                            F.element_at(acc, -1)["s"].alias("s"),
+                            F.greatest(
+                                F.element_at(acc, -1)["e"], p + n - 1
+                            ).alias("e"),
+                        )
+                    ),
+                ),
+            ).otherwise(
+                F.concat(
+                    acc,
+                    F.array(F.struct(p.alias("s"), (p + n - 1).alias("e"))),
+                )
+            ),
+        ).alias("_iv")
+    )
+    base = df.withColumn("_toks", toks).select(F.col(id_col), "_toks")
+    joined = base.join(spans, on=id_col, how="left").withColumn(
+        "_iv", F.coalesce("_iv", F.expr(f"CAST(array() AS {iv_t})"))
+    )
+    kept = F.filter(
+        "_toks",
+        lambda t, i: ~F.exists(
+            "_iv",
+            lambda s: ((i + 1) >= s["s"]) & ((i + 1) <= s["e"]),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("_toks").cast("bigint").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.array_join(kept, " ").alias("text_clean"),
+    )
+
+
 def decontaminate(
     df: DataFrame,
     benchmark: DataFrame,

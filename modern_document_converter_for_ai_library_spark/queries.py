@@ -5385,6 +5385,68 @@ FROM d
 """
 
 
+# ---------------------------------------------------------------------------
+# q_substr_removal — duplicated-SPAN excision (ExactSubstr, Lee et al.
+# 2022, arXiv:2107.06499, over sliding token 20-grams instead of a suffix
+# array; operators/dedup.py:exact_substring_removal). Where
+# q_repeated_ngrams measures exposure, this CUTS the duplicated runs out
+# of the text, keeping exactly the global first (min (doc_id, pos))
+# occurrence of each duplicated gram. The oracle recomputes winner +
+# coverage relationally: a token is removed iff some non-winner duplicate
+# gram occurrence in the same doc covers its position.
+# ---------------------------------------------------------------------------
+
+
+def spark_substr_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_substring_removal
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    return exact_substring_removal(docs, n=20)
+
+
+_SUBSTR_REMOVAL_SQL = r"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+         md5(array_to_string(list_slice(toks, u.i, u.i + 19), ' ')) AS gram
+  FROM t, UNNEST(range(1, len(toks) - 18)) AS u(i)
+  WHERE len(toks) >= 20
+), w AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY gram) AS cnt,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+  FROM g
+), d AS (
+  SELECT doc_id, pos FROM w WHERE cnt > 1 AND rn > 1
+), tok AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos, toks[CAST(u.i AS INT)] AS tok
+  FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)
+), r AS (
+  SELECT DISTINCT tok.doc_id, tok.pos
+  FROM tok JOIN d ON tok.doc_id = d.doc_id
+               AND tok.pos BETWEEN d.pos AND d.pos + 19
+), p AS (
+  SELECT tok.doc_id,
+         COUNT(*)::BIGINT AS n_tokens,
+         SUM(CASE WHEN r.pos IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+         COALESCE(string_agg(CASE WHEN r.pos IS NULL THEN tok.tok END,
+                             ' ' ORDER BY tok.pos), '') AS text_clean
+  FROM tok LEFT JOIN r ON tok.doc_id = r.doc_id AND tok.pos = r.pos
+  GROUP BY tok.doc_id
+)
+SELECT t.doc_id,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(p.n_removed, 0) AS n_removed,
+       COALESCE(p.text_clean, '') AS text_clean
+FROM t LEFT JOIN p USING (doc_id)
+"""
+
+
 import os as _os
 
 _ORACLE_SF_TAG = _os.environ.get("SPARK_GRAFT_ORACLE_SF", "0.01").replace(".", "_")
@@ -5470,6 +5532,7 @@ SPARK_QUERIES = {
     "q_caption_pairs": spark_caption_pairs,
     "q_media_dedup": spark_media_dedup,
     "q_repeated_ngrams": spark_repeated_ngrams,
+    "q_substr_removal": spark_substr_removal,
     "q_group_sample": spark_group_sample,
     "q_log_histogram": spark_log_histogram,
     "q_chunk_overlap": spark_chunk_overlap,
@@ -5561,6 +5624,7 @@ ORACLE_SQL = {
     "q_caption_pairs": _CAPTION_PAIRS_SQL,
     "q_media_dedup": _MEDIA_DEDUP_SQL,
     "q_repeated_ngrams": _REPEATED_NGRAMS_SQL,
+    "q_substr_removal": _SUBSTR_REMOVAL_SQL,
     "q_group_sample": _GROUP_SAMPLE_SQL,
     "q_log_histogram": _LOG_HISTOGRAM_SQL,
     "q_chunk_overlap": _CHUNK_OVERLAP_SQL,
