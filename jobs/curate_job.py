@@ -1,0 +1,287 @@
+#!/usr/bin/env python3
+"""spark-submit entry point for END-TO-END corpus curation — the whole
+training-data funnel as one job, chaining the repo's oracled operators
+in the canonical order a DataComp/RefinedWeb-style pipeline runs them:
+
+    quality      Gopher + repetition + language gates, first-failed-rule
+                 attribution (operators/quality.py:quality_funnel)
+    exact        content-hash dedup, keep one copy (dedup.py:exact_dedup)
+    near         MinHash/LSH near-dedup, connected-component canonical
+                 survivors (dedup.py:near_dedup)
+    substr       duplicated-SPAN excision at any alignment — rewrites
+                 text, drops docs left empty (ExactSubstr, Lee et al.
+                 2022; dedup.py:exact_substring_removal); opt-in via
+                 --substr-n > 0
+    decontaminate 13-gram benchmark-overlap removal when --benchmark is
+                 given (dedup.py:decontaminate)
+    mix          token-budget mixing when --mix-spec is given
+                 (sampling.py:budget_sample)
+    shard        fixed-token-mass training-shard layout + manifest when
+                 --shard-tokens > 0 (sampling.py:shard_assign/manifest)
+
+Every stage is deterministic (pure function of row values + salt), so
+the whole funnel is reproducible on any cluster size or partitioning.
+Stages are individually skippable; each enabled stage persists its
+survivor frame, counts it for the accounting line, and unpersists its
+predecessor — peak executor storage is two adjacent stage frames, never
+the whole chain.
+
+Usage (cluster):
+
+    zip -r mdcal.zip modern_document_converter_for_ai_library_spark
+    spark-submit --py-files mdcal.zip jobs/curate_job.py \
+        --input lake.db.documents_raw --output lake.db.documents_train \
+        --benchmark lake.db.eval_docs \
+        --mix-spec "web=2000000000,code=500000000" \
+        --shard-tokens 100000000
+
+Input/output targets accept Iceberg identifiers or parquet paths
+(sources/catalog.py). The job prints ONE JSON line: per-stage in/out
+document counts (plus first-failed-rule attribution for the quality
+stage and removed-token mass for substr), final token mass, and the
+output/manifest targets.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--skip-quality", action="store_true")
+    p.add_argument("--skip-exact", action="store_true")
+    p.add_argument("--skip-near", action="store_true")
+    p.add_argument("--near-threshold", type=int, default=500_000,
+                   help="near tier: Jaccard verify threshold in micros")
+    p.add_argument("--substr-n", type=int, default=0,
+                   help="duplicated-span excision window in tokens "
+                        "(0 = stage off; the ExactSubstr literature "
+                        "uses ~50 BPE tokens)")
+    p.add_argument("--benchmark", default=None,
+                   help="eval-set table/path; enables decontamination")
+    p.add_argument("--mix-spec", default="",
+                   help="token budgets 'key=value,...'; enables the mix "
+                        "stage (values are per-source token budgets)")
+    p.add_argument("--mix-default", type=int, default=0,
+                   help="budget for sources absent from --mix-spec")
+    p.add_argument("--shard-tokens", type=int, default=0,
+                   help="target token mass per training shard "
+                        "(0 = plain unpartitioned write)")
+    p.add_argument("--manifest", default=None,
+                   help="shard manifest target (default "
+                        "<output>_manifest)")
+    p.add_argument("--salt", default="")
+    p.add_argument("--key-col", default="source")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from modern_document_converter_for_ai_library_spark.operators.dedup import (
+        decontaminate,
+        exact_dedup,
+        exact_substring_removal,
+        near_dedup,
+    )
+    from modern_document_converter_for_ai_library_spark.operators.quality import (
+        _tokens,
+        quality_funnel,
+    )
+    from modern_document_converter_for_ai_library_spark.operators.sampling import (
+        budget_sample,
+        shard_assign,
+        shard_manifest,
+    )
+    from modern_document_converter_for_ai_library_spark.plans import get_spark
+    from modern_document_converter_for_ai_library_spark.queries import STOPWORDS
+    from modern_document_converter_for_ai_library_spark.sources.catalog import (
+        read_documents,
+        write_documents,
+    )
+
+    try:  # module form (tests) and plain-script form (spark-submit)
+        from jobs.mix_job import parse_spec
+    except ImportError:
+        import os as _os
+
+        sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+        from mix_job import parse_spec
+
+    id_col, text_col, key_col = args.id_col, args.text_col, args.key_col
+    mix_spec = parse_spec(args.mix_spec)
+
+    pre_existing = SparkSession.getActiveSession() is not None
+    spark = get_spark(app_name="mdcal-curate", master=args.master)
+    try:
+        cur = read_documents(spark, args.input).persist()
+        stages: dict[str, dict] = {}
+        n_cur = cur.count()
+        n_input = n_cur
+
+        def advance(name: str, nxt, extra: dict | None = None):
+            """Persist the next stage frame, count it, release the
+            previous one; record the stage's accounting row."""
+            nonlocal cur, n_cur
+            nxt = nxt.persist()
+            n_out = nxt.count()
+            cur.unpersist()
+            stages[name] = {"n_in": n_cur, "n_out": n_out, **(extra or {})}
+            cur, n_cur = nxt, n_out
+
+        if not args.skip_quality:
+            verdicts = quality_funnel(
+                cur, STOPWORDS, text_col=text_col, id_col=id_col
+            ).persist()
+            fails = {
+                r["first_failed_rule"]: r["n"]
+                for r in verdicts.filter(~F.col("keep"))
+                .groupBy("first_failed_rule")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            kept = cur.join(
+                verdicts.filter(F.col("keep")).select(id_col),
+                on=id_col,
+                how="left_semi",
+            )
+            advance("quality", kept, {"failed_by_rule": fails})
+            verdicts.unpersist()
+
+        if not args.skip_exact:
+            marked = exact_dedup(cur, text_col=text_col, id_col=id_col)
+            advance(
+                "exact",
+                marked.filter(~F.col("is_duplicate")).select(cur.columns),
+            )
+
+        if not args.skip_near:
+            marked = near_dedup(
+                cur,
+                text_col=text_col,
+                id_col=id_col,
+                threshold_micros=args.near_threshold,
+            )
+            advance(
+                "near",
+                marked.filter(
+                    F.col("canonical_doc_id") == F.col(id_col)
+                ).select(cur.columns),
+            )
+
+        if args.substr_n > 0:
+            rewritten = exact_substring_removal(
+                cur, text_col=text_col, id_col=id_col, n=args.substr_n
+            )
+            removed = int(
+                rewritten.agg(
+                    F.coalesce(F.sum("n_removed"), F.lit(0))
+                ).collect()[0][0]
+            )
+            carried = [c for c in cur.columns if c != text_col]
+            nxt = (
+                cur.select(*carried)
+                .join(
+                    rewritten.filter(F.length("text_clean") > 0).select(
+                        id_col, F.col("text_clean").alias(text_col)
+                    ),
+                    on=id_col,
+                    how="inner",
+                )
+            )
+            advance("substr", nxt, {"tokens_removed": removed})
+
+        if args.benchmark:
+            bench = read_documents(spark, args.benchmark)
+            marked = decontaminate(
+                cur, bench, text_col=text_col, id_col=id_col
+            )
+            nxt = cur.join(
+                marked.filter(~F.col("contaminated")).select(id_col),
+                on=id_col,
+                how="left_semi",
+            )
+            advance("decontaminate", nxt)
+
+        if mix_spec or args.mix_default > 0:
+            sampled = budget_sample(
+                cur,
+                mix_spec,
+                key_col=key_col,
+                id_col=id_col,
+                text_col=text_col,
+                salt=args.salt,
+                default_budget=args.mix_default,
+            )
+            nxt = cur.join(
+                sampled.filter(F.col("kept")).select(id_col),
+                on=id_col,
+                how="left_semi",
+            )
+            advance("mix", nxt)
+
+        manifest_target = None
+        if args.shard_tokens > 0:
+            assigned = shard_assign(
+                cur,
+                args.shard_tokens,
+                key_col=key_col,
+                id_col=id_col,
+                text_col=text_col,
+                salt=args.salt,
+            ).persist()
+            sharded = cur.drop("shard_id").join(
+                assigned.select(id_col, "shard_id"), on=id_col, how="inner"
+            )
+            write_documents(
+                sharded, args.output, mode="overwrite",
+                partition_by=[key_col, "shard_id"],
+            )
+            man = shard_manifest(assigned, key_col=key_col)
+            manifest_target = args.manifest or (args.output + "_manifest")
+            write_documents(man, manifest_target, mode="overwrite")
+            stages["shard"] = {
+                "n_in": n_cur,
+                "n_out": n_cur,
+                "n_shards": man.count(),
+            }
+            assigned.unpersist()
+        else:
+            write_documents(cur, args.output, mode="overwrite")
+
+        tokens_out = int(
+            cur.agg(
+                F.coalesce(
+                    F.sum(F.size(_tokens(text_col)).cast("bigint")),
+                    F.lit(0),
+                )
+            ).collect()[0][0]
+        )
+        cur.unpersist()
+        print(
+            json.dumps(
+                {
+                    "n_input": n_input,
+                    "n_output": n_cur,
+                    "tokens_out": tokens_out,
+                    "stages": stages,
+                    "output": args.output,
+                    "manifest": manifest_target,
+                }
+            )
+        )
+        return 0
+    finally:
+        if not pre_existing:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
