@@ -712,20 +712,23 @@ def exact_substring_removal(
     Docs shorter than ``n`` tokens carry no gram and pass through intact.
     Output: ``(id, n_tokens, n_removed, text_clean)`` for every input row.
 
-    Plan shape (100 TB): the gram explode is ~tokens-per-doc rows; ONE
-    window shuffle keyed by the gram hash computes corpus count + global
-    first occurrence (map-side partial aggregation does not apply to
-    windows, but the key cardinality is ~total tokens and a boilerplate
-    gram repeated k times is one k-row hash cell, never a join fan-out);
-    duplicate starts then roll up per doc (shuffle on id) and fold into
-    merged removal intervals INSIDE an array expression, so the final
-    token-coverage test is O(tokens x intervals) per row in codegen —
-    no per-token join, no Python. The intervals join back to the corpus
-    on the id; documents containing no duplicate span skip the fold via
-    the left join's null arm.
+    Plan shape (100 TB): the gram explode is ~tokens-per-doc rows.
+    Corpus count + global first occurrence come from a PARTIAL-AGGREGATED
+    groupBy on the gram hash — deliberately NOT a window: a window puts a
+    boilerplate gram repeated 10^9 times into ONE unsorted partition cell
+    with no map-side combine (straggler/OOM at scale), whereas the
+    groupBy combines hot grams inside every map task and ships one
+    (cnt, min) cell per distinct gram. The aggregate, filtered to
+    duplicated grams only, joins back to the exploded occurrences — the
+    single full-scale shuffle in the plan, AQE-skew-splittable, and its
+    output is exactly the duplicate occurrences the operator needs.
+    Duplicate starts then roll up per doc (slim shuffle on id) and fold
+    into merged removal intervals INSIDE an array expression, so the
+    final token-coverage test is O(tokens x intervals) per row in
+    codegen — no per-token join, no Python. The intervals join back to
+    the corpus on the id; documents containing no duplicate span skip
+    the fold via the left join's null arm.
     """
-    from pyspark.sql import Window
-
     toks = tokens_col(text_col)
     size = F.size("_toks")
     grams = F.when(
@@ -744,14 +747,19 @@ def exact_substring_removal(
         .withColumn("pos", (F.col("_p0") + 1).cast("bigint"))
         .drop("_p0")
     )
-    w = Window.partitionBy("gram")
-    first = F.min(F.struct(F.col(id_col), F.col("pos"))).over(w)
+    dup_grams = (
+        ex.groupBy("gram")
+        .agg(
+            F.count("*").alias("_cnt"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first"),
+        )
+        .filter(F.col("_cnt") > 1)
+        .select("gram", "_first")
+    )
     dup = (
-        ex.withColumn("_cnt", F.count("*").over(w))
-        .withColumn("_first", first)
+        ex.join(dup_grams, on="gram")
         .filter(
-            (F.col("_cnt") > 1)
-            & ~(
+            ~(
                 (F.col("_first")[id_col] == F.col(id_col))
                 & (F.col("_first")["pos"] == F.col("pos"))
             )

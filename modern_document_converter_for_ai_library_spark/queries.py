@@ -459,6 +459,67 @@ FROM t
 
 
 # ---------------------------------------------------------------------------
+# q_bpe_pair_counts — the first round of BPE tokenizer TRAINING
+# (operators/bpe.py): weighted adjacent character-pair counts over the
+# corpus word-frequency table, top 20 by (freq desc, left, right) — the
+# argmax row is the trainer's first merge. The full iterative trainer
+# (bpe_train) is merge-history-dependent and not SQL-expressible; it is
+# pinned against a sequential pure-Python twin in tests/test_bpe.py.
+# Plan: one corpus-scale partial-aggregated groupBy(word), then pair
+# explode + groupBy over the BOUNDED vocabulary table only.
+# ---------------------------------------------------------------------------
+
+
+def spark_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.bpe import word_frequencies
+
+    wf = word_frequencies(_docs(spark, sf_dir))
+    pairs = (
+        wf.filter(F.length("word") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.struct(
+                        F.col("word").substr(i, F.lit(1)).alias("left"),
+                        F.col("word")
+                        .substr(i + 1, F.lit(1))
+                        .alias("right"),
+                    ),
+                )
+            ).alias("pair"),
+            "freq",
+        )
+        .groupBy("pair.left", "pair.right")
+        .agg(F.sum("freq").cast("bigint").alias("pair_freq"))
+    )
+    return pairs.orderBy(
+        F.col("pair_freq").desc(), F.col("left"), F.col("right")
+    ).limit(20)
+
+
+_BPE_PAIR_COUNTS_SQL = """
+WITH w AS (
+  SELECT u.word FROM documents,
+         UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS u(word)
+), wf AS (
+  SELECT word, COUNT(*)::BIGINT AS freq FROM w GROUP BY 1
+), p AS (
+  SELECT word[CAST(u.i AS INT)] AS left_c,
+         word[CAST(u.i AS INT) + 1] AS right_c,
+         freq
+  FROM wf, UNNEST(range(1, CAST(length(word) AS BIGINT))) AS u(i)
+  WHERE length(word) >= 2
+)
+SELECT left_c AS "left", right_c AS "right",
+       SUM(freq)::BIGINT AS pair_freq
+FROM p GROUP BY 1, 2
+ORDER BY pair_freq DESC, "left", "right"
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_pack_sequences — sequence packing for pretraining batches (operators/
 # packing.py): greedy first-fit-in-order within deterministic buckets
 # (here doc_id % 4 so the DuckDB oracle can mirror the layout), budget 512
@@ -5457,6 +5518,7 @@ SPARK_QUERIES = {
     "q_token_stats": spark_token_stats,
     "q_quality_langid": spark_quality_langid,
     "q_token_bpe": spark_token_bpe,
+    "q_bpe_pair_counts": spark_bpe_pair_counts,
     "q_pack_sequences": spark_pack_sequences,
     "q_pii_scrub": spark_pii_scrub,
     "q_quality_funnel": spark_quality_funnel,
@@ -5544,6 +5606,7 @@ ORACLE_SQL = {
     "q_token_stats": _TOKEN_STATS_SQL,
     "q_quality_langid": _QUALITY_SQL,
     "q_token_bpe": _TOKEN_BPE_SQL,
+    "q_bpe_pair_counts": _BPE_PAIR_COUNTS_SQL,
     "q_pack_sequences": _PACK_SQL,
     "q_pii_scrub": _PII_SQL,
     "q_quality_funnel": _funnel_sql(),

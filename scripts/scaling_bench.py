@@ -88,7 +88,7 @@ def _write_chunk(args: tuple) -> int:
         with open(os.path.join(path, f"shard-{chunk_idx:04d}.warc.gz"), "wb") as f:
             f.write(b"".join(members))
         return end - start
-    if job in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality"):
+    if job in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr"):
         from modern_document_converter_for_ai_library_spark.sources.synth import (
             _make_html_doc,
         )
@@ -209,6 +209,17 @@ def run_job(d, balance=None):
         from modern_document_converter_for_ai_library_spark.operators.quality import quality_funnel
         from modern_document_converter_for_ai_library_spark.queries import STOPWORDS
         return quality_funnel(d, langid_stopwords=STOPWORDS, text_col="html")
+    if "{job}" == "substr":
+        # shuffle-operator probe 4: duplicated-span excision (ExactSubstr
+        # shape) — the repo's HEAVIEST shuffle: a partial-aggregated
+        # groupBy on the sliding 20-gram hash over ~tokens-per-doc
+        # exploded rows, a join back to the occurrences, then a per-doc
+        # rollup and a corpus join. The synthetic pages draw sentences
+        # from a fixed pool, so duplicate 20-grams are DENSE (most of
+        # every page is excised) — the adversarial shape for the gram
+        # aggregate's hot cells.
+        from modern_document_converter_for_ai_library_spark.operators.dedup import exact_substring_removal
+        return exact_substring_removal(d, text_col="html")
     if "{job}" == "lm":
         # shuffle-operator probe 3: the CCNet-shape LM quality stage —
         # two partial-aggregated groupBys (per-doc gram counts, then the
@@ -292,7 +303,7 @@ def main() -> None:
     ap.add_argument("--md", default=None, help="write/refresh this markdown report")
     ap.add_argument(
         "--job",
-        choices=["convert", "html", "warc", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality"],
+        choices=["convert", "html", "warc", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr"],
         default="convert",
         help="which end-to-end kernel job to measure (html = "
         "strip_boilerplate_html over the synthetic web-page corpus; warc = "
@@ -316,9 +327,9 @@ def main() -> None:
         legacy = os.path.join(args.corpus, f".complete_{args.docs}")
         if os.path.exists(legacy):
             marker = legacy
-    if args.job in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality") and not os.path.exists(marker):
+    if args.job in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr") and not os.path.exists(marker):
         # these jobs share identical corpus content — reuse any sibling
-        for sib in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality"):
+        for sib in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr"):
             sib_marker = os.path.join(args.corpus, f".complete_{sib}_{args.docs}")
             if os.path.exists(sib_marker):
                 marker = sib_marker
