@@ -55,6 +55,20 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--output", required=True)
     p.add_argument("--skip-quality", action="store_true")
     p.add_argument("--skip-exact", action="store_true")
+    p.add_argument("--blocklist", default="",
+                   help="comma-separated bad words; enables the C4 "
+                        "blocklist stage (drop any flagged doc)")
+    p.add_argument("--blocklist-phrases", default="",
+                   help="comma-separated bad phrases (space-joined "
+                        "tokens) for the blocklist stage")
+    p.add_argument("--line-dedup", action="store_true",
+                   help="corpus-wide repeated-line removal (RefinedWeb "
+                        "line-wise dedup) before the document tiers")
+    p.add_argument("--line-width", type=int, default=0,
+                   help="pseudo-line width in tokens (0 = split on "
+                        "newlines; use >0 for newline-less corpora)")
+    p.add_argument("--line-min-count", type=int, default=3,
+                   help="corpus occurrences at which a line is struck")
     p.add_argument("--skip-near", action="store_true")
     p.add_argument("--near-threshold", type=int, default=500_000,
                    help="near tier: Jaccard verify threshold in micros")
@@ -89,10 +103,12 @@ def main(argv: list[str] | None = None) -> int:
         decontaminate,
         exact_dedup,
         exact_substring_removal,
+        line_dedup,
         near_dedup,
     )
     from modern_document_converter_for_ai_library_spark.operators.quality import (
         _tokens,
+        blocklist_filter,
         quality_funnel,
     )
     from modern_document_converter_for_ai_library_spark.operators.sampling import (
@@ -154,6 +170,68 @@ def main(argv: list[str] | None = None) -> int:
             )
             advance("quality", kept, {"failed_by_rule": fails})
             verdicts.unpersist()
+
+        if args.blocklist:
+            terms = [t for t in args.blocklist.split(",") if t]
+            phrases = [
+                t for t in args.blocklist_phrases.split(",") if t
+            ]
+            marked = blocklist_filter(
+                cur, terms, phrases, text_col=text_col, id_col=id_col
+            )
+            nxt = cur.join(
+                marked.filter(~F.col("flagged")).select(id_col),
+                on=id_col,
+                how="left_semi",
+            )
+            advance("blocklist", nxt)
+
+        if args.line_dedup:
+            if args.line_width > 0:
+                w = F.lit(args.line_width)
+                toks = _tokens(text_col)
+                lines = F.when(
+                    F.size("_ld_toks") > 0,
+                    F.transform(
+                        F.sequence(
+                            F.lit(0),
+                            F.floor(
+                                (F.size("_ld_toks") + w - 1) / w
+                            ).cast("int")
+                            - 1,
+                        ),
+                        lambda i: F.array_join(
+                            F.slice("_ld_toks", i * w + 1, w), " "
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+                framed = cur.withColumn("_ld_toks", toks).select(
+                    F.col(id_col), lines.alias("lines")
+                )
+                sep = " "
+            else:
+                framed = cur.select(
+                    F.col(id_col),
+                    F.split(F.col(text_col), "\n").alias("lines"),
+                )
+                sep = "\n"
+            res = line_dedup(
+                framed, min_count=args.line_min_count, sep=sep
+            )
+            struck = int(
+                res.agg(
+                    F.coalesce(F.sum("n_removed"), F.lit(0))
+                ).collect()[0][0]
+            )
+            carried = [c for c in cur.columns if c != text_col]
+            nxt = cur.select(*carried).join(
+                res.filter(
+                    F.col("keep_doc") & (F.length("text_clean") > 0)
+                ).select(id_col, F.col("text_clean").alias(text_col)),
+                on=id_col,
+                how="inner",
+            )
+            advance("line_dedup", nxt, {"lines_struck": struck})
 
         if not args.skip_exact:
             marked = exact_dedup(cur, text_col=text_col, id_col=id_col)

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import minhash_col, shingle_hashes_col, tokens_col
+from ..plans.caching import CacheScope, scoped_persist
 
 MICRO = 1_000_000
 
@@ -646,30 +647,50 @@ def repeated_ngram_stats(
     mid-chunk; a sliding window catches a repeat at ANY token offset,
     the property the suffix-array substring-dedup literature targets).
 
-    A gram is "duplicated" when its content (md5 of the space-joined
-    window) occurs more than once corpus-wide — including twice within
-    one document. Output: (id, n_grams, n_dup_grams, dup_fraction_micros)
-    for every document with at least one full window; docs shorter than
-    ``n`` tokens carry no signal and are excluded.
+    A gram is "duplicated" when its content key (60-bit truncated md5 of
+    the space-joined window, same engine-reproducible key as
+    :func:`exact_substring_removal`) occurs more than once corpus-wide —
+    including twice within one document. Output: (id, n_grams,
+    n_dup_grams, dup_fraction_micros) for every document with at least
+    one full window; docs shorter than ``n`` tokens carry no signal and
+    are excluded.
 
-    Plan shape: the explode is ~tokens-per-doc rows; the gram-count
-    groupBy and the count-back join both shuffle on the gram hash with
-    map-side partial aggregation (a boilerplate gram repeated k times is
-    one k-count cell, never a fan-out); the final per-doc rollup shuffles
-    on the id. No windows, no driver state.
+    Plan shape: the explode is ~tokens-per-doc rows, built as a position
+    explode + flat gram projection so the md5 stays in whole-stage
+    codegen (not an interpreted higher-order lambda); the gram-count
+    groupBy and the count-back join both shuffle on the 8-byte gram key
+    with map-side partial aggregation (a boilerplate gram repeated k
+    times is one k-count cell, never a fan-out); the final per-doc
+    rollup shuffles on the id. No windows, no driver state.
     """
     toks = tokens_col(text_col)
     size = F.size("_toks")
-    grams = F.when(
-        size >= n,
-        F.transform(
-            F.sequence(F.lit(1), size - n + 1),
-            lambda i: F.md5(F.concat_ws(" ", F.slice("_toks", i, n))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     ex = (
         df.withColumn("_toks", toks)
-        .select(F.col(id_col), F.explode(grams).alias("gram"))
+        .filter(size >= n)
+        .select(
+            F.col(id_col),
+            "_toks",
+            F.explode(F.sequence(F.lit(1), size - n + 1)).alias("_p"),
+        )
+        .select(
+            id_col,
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ", F.slice("_toks", F.col("_p"), F.lit(n))
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("gram"),
+        )
     )
     counts = ex.groupBy("gram").agg(F.count("*").cast("bigint").alias("_cnt"))
     return (
@@ -693,6 +714,9 @@ def exact_substring_removal(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 20,
+    prefilter_bits: int | None = None,
+    prefilter_k: int = 5,
+    cache_scope: "CacheScope | None" = None,
 ) -> DataFrame:
     """Cross-document duplicated-SPAN excision — the "ExactSubstr" dedup
     of Lee et al. 2022 (Deduplicating Training Data Makes Language Models
@@ -705,9 +729,18 @@ def exact_substring_removal(
 
     Semantics (engine-deterministic, mirrored verbatim by the DuckDB
     oracle): an n-gram occurrence ``(doc, pos)`` is a *duplicate* when its
-    content (md5 of the space-joined window) occurs more than once
-    corpus-wide and the occurrence is not the global first — the minimal
-    ``(doc_id, pos)``.  Every token covered by any duplicate occurrence's
+    content key occurs more than once corpus-wide and the occurrence is
+    not the global first — the minimal ``(doc_id, pos)``. The key is the
+    first 15 hex chars of the window's md5 as a BIGINT (60 bits): an
+    8-byte radix-sortable shuffle key instead of a 32-char string —
+    measured 147.6 -> 130.9 s at 6 cores on the 250k-page
+    dense-duplicate corpus, and it removed the 2.2x bimodal run-to-run
+    variance the string key showed at 24 cores (196/197/87 s -> a
+    stable 111/96/98 s) — still reproducible bit-for-bit in any engine
+    with md5 (DuckDB: ``('0x' || substring(md5(w), 1, 15))::BIGINT``).
+    Key collisions falsely mark a span duplicated with probability
+    ~g^2/2^61 for g corpus grams — at a TRILLION grams that is ~0.04%
+    of one percent of spans, below any curation significance.  Every token covered by any duplicate occurrence's
     ``[pos, pos+n-1]`` window is removed; the rest reassemble in order.
     Docs shorter than ``n`` tokens carry no gram and pass through intact.
     Output: ``(id, n_tokens, n_removed, text_clean)`` for every input row.
@@ -731,21 +764,38 @@ def exact_substring_removal(
     """
     toks = tokens_col(text_col)
     size = F.size("_toks")
-    grams = F.when(
-        size >= n,
-        F.transform(
-            F.sequence(F.lit(1), size - n + 1),
-            lambda i: F.md5(F.concat_ws(" ", F.slice("_toks", i, n))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # positions explode FIRST, the gram key is then a flat projection —
+    # whole-stage-codegen territory. Building the gram array inside an
+    # F.transform lambda instead leaves every md5 in INTERPRETED
+    # higher-order evaluation (the same trap the simhash sketch builder
+    # measured at 8x; see BENCH/BASELINE.md round-3 notes).
     ex = (
         df.withColumn("_toks", toks)
+        .filter(size >= n)
         .select(
             F.col(id_col),
-            F.posexplode(grams).alias("_p0", "gram"),
+            "_toks",
+            F.explode(F.sequence(F.lit(1), size - n + 1)).alias("_p"),
         )
-        .withColumn("pos", (F.col("_p0") + 1).cast("bigint"))
-        .drop("_p0")
+        .select(
+            id_col,
+            F.col("_p").cast("bigint").alias("pos"),
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ", F.slice("_toks", F.col("_p"), F.lit(n))
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("gram"),
+        )
     )
     dup_grams = (
         ex.groupBy("gram")
@@ -756,8 +806,47 @@ def exact_substring_removal(
         .filter(F.col("_cnt") > 1)
         .select("gram", "_first")
     )
+    occ = ex
+    if prefilter_bits:
+        # Bloom prefilter on the occurrence side of the dup join
+        # (operators/bloom.py): broadcast a bounded m-bit sketch of the
+        # duplicated gram keys and drop non-candidate occurrences
+        # MAP-SIDE, before they reach the join exchange. Exact semantics
+        # are untouched — false positives still fail the inner join; the
+        # bloom has no false negatives. At realistic duplicate density
+        # (~5% of occurrences duplicated) this removes ~95% of the
+        # join's shuffle volume; at adversarial density (everything
+        # duplicated) it degrades gracefully to the plain plan plus two
+        # short-string md5 probes per occurrence. The sketch is bounded
+        # by construction (m bits, never by corpus size); when the
+        # duplicated-gram cardinality overwhelms m the FP rate drifts
+        # toward 1 and the plan smoothly becomes the unfiltered one.
+        #
+        # Lineage discipline (the part that makes this a win instead of
+        # a 3x regression): dup_grams feeds the sketch AND the verify
+        # join, so it must be persisted or the gram aggregate's
+        # corpus-scale shuffle re-executes per consumer. The sketch
+        # DataFrame is persisted too (n_shards rows of m/64 longs —
+        # bounded by parameters, never by data), staying entirely
+        # JVM-side: its rebuild-from-cache lineage is one bounded
+        # aggregate over the cached dup_grams.
+        from .bloom import bloom_build, bloom_member
+
+        dup_grams = scoped_persist(dup_grams, cache_scope)
+        filt = scoped_persist(
+            bloom_build(dup_grams, "gram", m=prefilter_bits, k=prefilter_k),
+            cache_scope,
+        )
+        occ = (
+            bloom_member(
+                ex, filt, "gram",
+                m=prefilter_bits, k=prefilter_k, out_col="_bf_hit",
+            )
+            .filter(F.col("_bf_hit"))
+            .drop("_bf_hit")
+        )
     dup = (
-        ex.join(dup_grams, on="gram")
+        occ.join(dup_grams, on="gram")
         .filter(
             ~(
                 (F.col("_first")[id_col] == F.col(id_col))
@@ -1257,5 +1346,85 @@ def near_dedup_incremental(
         .drop("canonical")
         .withColumn(
             "is_near_duplicate", F.col(id_col) != F.col("canonical_doc_id")
+        )
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    lines_col: str = "lines",
+    id_col: str = "doc_id",
+    min_count: int = 3,
+    max_removed_frac_micros: int = 300_000,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide repeated-LINE removal — the line-wise dedup stage of
+    RefinedWeb (Penedo et al. 2023, arXiv:2306.01116 §3.3, after the
+    MassiveText precedent): lines whose exact content recurs across the
+    corpus are boilerplate (navigation chrome, cookie banners, share
+    widgets) and are struck from every document; documents that lose too
+    much of their body are dropped wholesale.
+
+    Input is ``(id, array<string> lines)`` — segmentation is the CALLER's
+    policy (newline split for real pages; any deterministic chunking for
+    line-less text). An occurrence counts toward the corpus tally even
+    when the repeats sit inside one document.
+
+    Semantics (engine-deterministic): a line is removed iff its content
+    key — 60-bit truncated md5, the shared radix-sortable BIGINT gram key
+    of :func:`exact_substring_removal` — occurs ``>= min_count`` times
+    corpus-wide. ``keep_doc`` is false when removed lines exceed
+    ``max_removed_frac_micros`` of the document's lines (integer
+    cross-multiplied; no floats). Output: ``(id, n_lines, n_removed,
+    text_clean, keep_doc)`` — ``text_clean`` joins survivors with
+    ``sep`` (newline by default; pass a space when the caller's
+    segmentation was token chunks); every input row appears.
+
+    Plan shape: positions explode to ~lines-per-doc rows with the key a
+    flat codegen projection; ONE partial-aggregated groupBy on the 8-byte
+    key (a banner repeated k times is one k-count cell, never a fan-out);
+    the removed-position set joins back on the key and folds per doc; the
+    corpus rejoin is by id. Identical scaling envelope to the measured
+    ExactSubstr probe minus its interval arithmetic — no windows, no
+    driver state, no Python.
+    """
+    key = (
+        F.conv(F.substring(F.md5(F.col("_line")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("_k")
+    )
+    ex = df.select(
+        F.col(id_col), F.posexplode(lines_col).alias("_p", "_line")
+    ).select(id_col, "_p", key)
+    dup_keys = (
+        ex.groupBy("_k")
+        .agg(F.count("*").alias("_cnt"))
+        .filter(F.col("_cnt") >= min_count)
+        .select("_k")
+    )
+    removed = (
+        ex.join(dup_keys, on="_k")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("_p")).alias("_rm"))
+    )
+    n_lines = F.size(lines_col).cast("bigint")
+    n_removed = F.coalesce(F.size("_rm"), F.lit(0)).cast("bigint")
+    kept = F.filter(
+        lines_col,
+        lambda line, i: ~F.coalesce(
+            F.array_contains("_rm", i), F.lit(False)
+        ),
+    )
+    return (
+        df.join(removed, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            n_lines.alias("n_lines"),
+            n_removed.alias("n_removed"),
+            F.array_join(kept, sep).alias("text_clean"),
+            (
+                n_removed * MICRO
+                <= F.lit(max_removed_frac_micros) * n_lines
+            ).alias("keep_doc"),
         )
     )

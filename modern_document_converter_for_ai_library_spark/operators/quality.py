@@ -638,3 +638,58 @@ def dsir_importance(
             & (ipg >= F.lit(select_threshold_micros))
         ).alias("keep"),
     )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    terms: "list[str] | tuple[str, ...]",
+    phrases: "list[str] | tuple[str, ...]" = (),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bad-word / bad-phrase blocklist screening — the C4 "dirty, naughty
+    ... word list" stage (Raffel et al. 2020, arXiv:1910.10683 §2.2:
+    "removed any page that contained any word on [the] list") and the
+    UT1-blacklist URL/content tier RefinedWeb layers on top.
+
+    ``terms`` match whole whitespace tokens; ``phrases`` match as
+    space-joined token subsequences (both case-insensitive). Blocklists
+    are crafted artifacts of a few thousand entries — parameters, never
+    data — so both live inside the plan as literal arrays and the whole
+    operator is MAP-ONLY whole-stage codegen: zero shuffles, zero joins,
+    zero Python at any corpus size.
+
+    Output per input row: ``n_term_hits`` (token occurrences matching any
+    term), ``n_terms_matched`` (distinct terms present), ``n_phrases_
+    matched`` (distinct phrases present), ``flagged`` (any hit — C4 drops
+    these). Exact-integer; DuckDB reproduces rows bit-for-bit.
+    """
+    terms_arr = F.array(*[F.lit(t.lower()) for t in terms])
+    low = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda x: x != ""
+    )
+    base = df.withColumn("_lt", low)
+    n_hits = F.size(
+        F.filter("_lt", lambda t: F.array_contains(terms_arr, t))
+    ).cast("bigint")
+    n_terms = F.size(F.array_intersect("_lt", terms_arr)).cast("bigint")
+    joined = F.concat_ws(" ", F.lit(""), F.array_join("_lt", " "), F.lit(""))
+    n_phrases = (
+        F.size(
+            F.filter(
+                F.array(*[F.lit(p.lower()) for p in phrases]),
+                lambda p: F.contains(
+                    joined, F.concat(F.lit(" "), p, F.lit(" "))
+                ),
+            )
+        ).cast("bigint")
+        if phrases
+        else F.lit(0).cast("bigint")
+    )
+    return base.select(
+        F.col(id_col),
+        n_hits.alias("n_term_hits"),
+        n_terms.alias("n_terms_matched"),
+        n_phrases.alias("n_phrases_matched"),
+        ((n_hits > 0) | (n_phrases > 0)).alias("flagged"),
+    )

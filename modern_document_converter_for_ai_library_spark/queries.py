@@ -520,6 +520,75 @@ LIMIT 20
 
 
 # ---------------------------------------------------------------------------
+# q_bloom_dedup — cross-snapshot membership via a distributed Bloom filter
+# (operators/bloom.py): even-doc_id documents play the HISTORICAL corpus
+# (their content hashes build the filter — one bounded groupBy, output a
+# single 64Ki-bit array row); odd-doc_id documents are the INCOMING batch,
+# each answering "maybe seen before?" through a broadcast of the filter +
+# a codegen forall over its 5 probe bits — zero data-side shuffle, no
+# join against the history. The key is the md5 of the first 8 whitespace
+# tokens (a content-prefix fingerprint — the synthetic corpus has no
+# byte-identical full texts, but shared openings collide, which is what
+# prefix-keyed crawl dedup catches). Shared prefixes across the split
+# MUST flag (no false negatives); false positives are deterministic
+# given the md5 hash family, so the DuckDB oracle reproduces verdicts
+# bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_BLOOM_M, _BLOOM_K = 1 << 16, 5
+
+
+def spark_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.bloom import bloom_build, bloom_member
+
+    prefix = F.array_join(
+        F.slice(F.filter(F.split("text", " "), lambda x: x != ""), 1, 8),
+        " ",
+    )
+    d = _docs(spark, sf_dir).select("doc_id", F.md5(prefix).alias("h"))
+    base = d.filter(F.col("doc_id") % 2 == 0)
+    filt = bloom_build(base, "h", m=_BLOOM_M, k=_BLOOM_K)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    out = bloom_member(new, filt, "h", m=_BLOOM_M, k=_BLOOM_K)
+    return out.select("doc_id", "maybe_seen").orderBy("doc_id")
+
+
+_BLOOM_SQL = f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         md5(array_to_string(list_slice(
+           list_filter(string_split(text, ' '), x -> x <> ''), 1, 8), ' '))
+           AS h
+  FROM documents
+), hp AS (
+  SELECT ('0x' || substring(h, 1, 8))::BIGINT AS h1,
+         ('0x' || substring(h, 9, 8))::BIGINT AS h2
+  FROM d WHERE doc_id % 2 = 0
+), pos AS (
+  SELECT (h1 + u.i * (2 * h2 + 1)) % {_BLOOM_M} AS p
+  FROM hp, UNNEST(range(0, {_BLOOM_K})) AS u(i)
+), words AS (
+  SELECT p // 64 AS widx,
+         bit_or(1::HUGEINT << CAST(p % 64 AS INT)) AS word
+  FROM pos GROUP BY 1
+), np AS (
+  SELECT doc_id,
+         (('0x' || substring(h, 1, 8))::BIGINT
+          + u.i * (2 * ('0x' || substring(h, 9, 8))::BIGINT + 1))
+           % {_BLOOM_M} AS p
+  FROM d, UNNEST(range(0, {_BLOOM_K})) AS u(i)
+  WHERE doc_id % 2 = 1
+)
+SELECT np.doc_id,
+       bool_and(COALESCE((w.word >> CAST(np.p % 64 AS INT)) & 1, 0) = 1)
+         AS maybe_seen
+FROM np LEFT JOIN words w ON w.widx = np.p // 64
+GROUP BY 1
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_pack_sequences — sequence packing for pretraining batches (operators/
 # packing.py): greedy first-fit-in-order within deterministic buckets
 # (here doc_id % 4 so the DuckDB oracle can mirror the layout), budget 512
@@ -5406,9 +5475,10 @@ FROM r WHERE sample_rank <= 3
 # q_repeated_ngrams — sliding-window repeated-substring exposure
 # (operators/dedup.py:repeated_ngram_stats): the alignment-free
 # complement to q_passage_dedup. A token 8-gram is duplicated when its
-# md5 occurs >1 times corpus-wide; per-doc output is the duplicated-gram
-# fraction. The oracle rebuilds the same sliding windows with DuckDB
-# list lambdas (1-based list_slice mapped to the same windows).
+# 60-bit truncated-md5 key occurs >1 times corpus-wide; per-doc output is
+# the duplicated-gram fraction. The oracle rebuilds the same sliding
+# windows with DuckDB list lambdas (1-based list_slice mapped to the
+# same windows) and the identical truncated key.
 # ---------------------------------------------------------------------------
 
 
@@ -5427,7 +5497,9 @@ WITH t AS (
   SELECT did,
     CASE WHEN len(toks) >= 8
          THEN list_transform(range(1, len(toks) - 8 + 2),
-                i -> md5(array_to_string(list_slice(toks, i, i + 7), ' ')))
+                i -> ('0x' || substring(md5(
+                    array_to_string(list_slice(toks, i, i + 7), ' ')
+                  ), 1, 15))::BIGINT)
          ELSE [] END AS grams
   FROM t
 ), e AS (
@@ -5474,7 +5546,9 @@ WITH t AS (
   FROM documents
 ), g AS (
   SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
-         md5(array_to_string(list_slice(toks, u.i, u.i + 19), ' ')) AS gram
+         ('0x' || substring(md5(
+             array_to_string(list_slice(toks, u.i, u.i + 19), ' ')
+           ), 1, 15))::BIGINT AS gram
   FROM t, UNNEST(range(1, len(toks) - 18)) AS u(i)
   WHERE len(toks) >= 20
 ), w AS (
@@ -5512,6 +5586,182 @@ import os as _os
 
 _ORACLE_SF_TAG = _os.environ.get("SPARK_GRAFT_ORACLE_SF", "0.01").replace(".", "_")
 
+
+# ---------------------------------------------------------------------------
+# q_line_dedup — corpus-wide repeated-line removal (RefinedWeb line-wise
+# dedup, Penedo et al. 2023 arXiv:2306.01116 §3.3; operators/dedup.py:
+# line_dedup). The synthetic corpus has no newlines, so the query's
+# segmentation policy is fixed 6-token chunks (the operator takes caller
+# lines); a line is struck everywhere when its 60-bit key occurs >= 3
+# times corpus-wide, and a document keeping < 70% of its lines is
+# flagged for drop. The oracle rebuilds chunks, counts, and the strike
+# set with identical integer key math.
+# ---------------------------------------------------------------------------
+
+_LINE_W, _LINE_MIN_COUNT = 6, 3
+
+
+def spark_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import line_dedup
+
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    w = F.lit(_LINE_W)
+    lines = F.when(
+        F.size("_toks") > 0,
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.size("_toks") + w - 1) / w).cast("int") - 1,
+            ),
+            lambda i: F.array_join(F.slice("_toks", i * w + 1, w), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    docs = (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "text")
+        .withColumn("_toks", toks)
+        .select("doc_id", lines.alias("lines"))
+    )
+    return line_dedup(docs, min_count=_LINE_MIN_COUNT).orderBy("doc_id")
+
+
+_LINE_DEDUP_SQL = f"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+         array_to_string(list_slice(
+           toks, CAST(u.i * {_LINE_W} + 1 AS INT),
+           CAST(u.i * {_LINE_W} + {_LINE_W} AS INT)), ' ') AS line
+  FROM t, UNNEST(range(0, (len(toks) + {_LINE_W} - 1) // {_LINE_W})) AS u(i)
+), k AS (
+  SELECT doc_id, pos,
+         ('0x' || substring(md5(line), 1, 15))::BIGINT AS key, line
+  FROM c
+), d AS (
+  SELECT key FROM k GROUP BY key HAVING COUNT(*) >= {_LINE_MIN_COUNT}
+), r AS (
+  SELECT k.doc_id, k.pos FROM k JOIN d ON k.key = d.key
+), agg AS (
+  SELECT k.doc_id,
+         COUNT(*)::BIGINT AS n_lines,
+         SUM(CASE WHEN r.pos IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_removed,
+         COALESCE(string_agg(CASE WHEN r.pos IS NULL THEN k.line END,
+                             chr(10) ORDER BY k.pos), '') AS text_clean
+  FROM k LEFT JOIN r ON k.doc_id = r.doc_id AND k.pos = r.pos
+  GROUP BY k.doc_id
+)
+SELECT t.doc_id,
+       COALESCE(agg.n_lines, 0) AS n_lines,
+       COALESCE(agg.n_removed, 0) AS n_removed,
+       COALESCE(agg.text_clean, '') AS text_clean,
+       COALESCE(agg.n_removed, 0) * 1000000
+         <= 300000 * COALESCE(agg.n_lines, 0) AS keep_doc
+FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+ORDER BY t.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_blocklist — bad-word / bad-phrase screening (the C4 blocklist stage,
+# Raffel et al. 2020 arXiv:1910.10683 §2.2; operators/quality.py:
+# blocklist_filter). Whole-token terms + space-joined phrases, both
+# case-insensitive, map-only codegen (the blocklist is a parameter, not
+# data — it lives in the plan as a literal array; zero shuffles).
+# ---------------------------------------------------------------------------
+
+_BLOCK_TERMS = ("dup", "slow", "stale")
+_BLOCK_PHRASES = ("join order", "batch batch")
+
+
+def spark_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import blocklist_filter
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    return blocklist_filter(
+        docs, terms=_BLOCK_TERMS, phrases=_BLOCK_PHRASES
+    ).orderBy("doc_id")
+
+
+_BLOCKLIST_SQL = """
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(list_filter(toks,
+           t -> list_contains(['dup', 'slow', 'stale'], t)))::BIGINT
+         AS n_term_hits,
+       len(list_filter(['dup', 'slow', 'stale'],
+           t -> list_contains(toks, t)))::BIGINT AS n_terms_matched,
+       len(list_filter(['join order', 'batch batch'],
+           p -> contains(' ' || array_to_string(toks, ' ') || ' ',
+                         ' ' || p || ' ')))::BIGINT AS n_phrases_matched,
+       len(list_filter(toks,
+           t -> list_contains(['dup', 'slow', 'stale'], t))) > 0
+         OR len(list_filter(['join order', 'batch batch'],
+           p -> contains(' ' || array_to_string(toks, ' ') || ' ',
+                         ' ' || p || ' '))) > 0 AS flagged
+FROM t
+ORDER BY doc_id
+"""
+
+
+
+# ---------------------------------------------------------------------------
+# q_unigram_seed — unigram-LM tokenizer seed-vocabulary counts
+# (operators/unigram.py, Kudo 2018 arXiv:1804.10959): every substring of
+# length 2..6 of every distinct word, occurrence-weighted by corpus word
+# frequency — the bounded-table round that seeds hard-EM training (the
+# EM rounds themselves are differential-tested against the sequential
+# twin, like BPE's merge sequence). Top 50 by (count desc, piece asc) —
+# a total order, so LIMIT is deterministic in both engines.
+# ---------------------------------------------------------------------------
+
+
+def spark_unigram_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.bpe import word_frequencies
+    from .operators.unigram import seed_piece_counts
+
+    docs = _docs(spark, sf_dir).select("text")
+    wf = word_frequencies(docs)
+    return (
+        seed_piece_counts(wf, max_piece_len=6)
+        .filter(F.length("piece") >= 2)
+        .select("piece", F.col("count").alias("piece_count"))
+        .orderBy(F.col("piece_count").desc(), "piece")
+        .limit(50)
+    )
+
+
+_UNIGRAM_SEED_SQL = """
+WITH w AS (
+  SELECT word, COUNT(*)::BIGINT AS freq FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+      AS word
+    FROM documents
+  ) GROUP BY word
+), p AS (
+  SELECT substring(word, CAST(i.i AS INT), CAST(l.l AS INT)) AS piece,
+         freq
+  FROM w,
+       UNNEST(range(1, len(word) + 1)) AS i(i),
+       UNNEST(range(1, least(6, len(word) - i.i + 1) + 1)) AS l(l)
+)
+SELECT piece, SUM(freq)::BIGINT AS piece_count
+FROM p WHERE length(piece) >= 2
+GROUP BY piece
+ORDER BY piece_count DESC, piece
+LIMIT 50
+"""
+
+
 SPARK_QUERIES = {
     "q_classify_scores": spark_classify_scores,
     "q_normalize_chain": spark_normalize_chain,
@@ -5519,6 +5769,7 @@ SPARK_QUERIES = {
     "q_quality_langid": spark_quality_langid,
     "q_token_bpe": spark_token_bpe,
     "q_bpe_pair_counts": spark_bpe_pair_counts,
+    "q_bloom_dedup": spark_bloom_dedup,
     "q_pack_sequences": spark_pack_sequences,
     "q_pii_scrub": spark_pii_scrub,
     "q_quality_funnel": spark_quality_funnel,
@@ -5598,6 +5849,9 @@ SPARK_QUERIES = {
     "q_group_sample": spark_group_sample,
     "q_log_histogram": spark_log_histogram,
     "q_chunk_overlap": spark_chunk_overlap,
+    "q_line_dedup": spark_line_dedup,
+    "q_blocklist": spark_blocklist,
+    "q_unigram_seed": spark_unigram_seed,
 }
 
 ORACLE_SQL = {
@@ -5607,6 +5861,7 @@ ORACLE_SQL = {
     "q_quality_langid": _QUALITY_SQL,
     "q_token_bpe": _TOKEN_BPE_SQL,
     "q_bpe_pair_counts": _BPE_PAIR_COUNTS_SQL,
+    "q_bloom_dedup": _BLOOM_SQL,
     "q_pack_sequences": _PACK_SQL,
     "q_pii_scrub": _PII_SQL,
     "q_quality_funnel": _funnel_sql(),
@@ -5691,4 +5946,7 @@ ORACLE_SQL = {
     "q_group_sample": _GROUP_SAMPLE_SQL,
     "q_log_histogram": _LOG_HISTOGRAM_SQL,
     "q_chunk_overlap": _CHUNK_OVERLAP_SQL,
+    "q_line_dedup": _LINE_DEDUP_SQL,
+    "q_blocklist": _BLOCKLIST_SQL,
+    "q_unigram_seed": _UNIGRAM_SEED_SQL,
 }

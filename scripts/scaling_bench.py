@@ -88,7 +88,37 @@ def _write_chunk(args: tuple) -> int:
         with open(os.path.join(path, f"shard-{chunk_idx:04d}.warc.gz"), "wb") as f:
             f.write(b"".join(members))
         return end - start
-    if job in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr"):
+    if job == "substr_sparse":
+        # REALISTIC duplicate density for the ExactSubstr probe (the plain
+        # `substr` job reuses the html corpus, whose fixed sentence pool
+        # duplicates nearly EVERY 20-gram — the adversarial ceiling):
+        # unique per-doc token streams, 25% of pages embed one shared
+        # 40-token boilerplate paragraph, 2% are full duplicates of the
+        # previous page — ~4-7% of gram occurrences duplicated, the
+        # C4-like regime the Lee et al. paper reports.
+        boiler = [
+            " ".join(f"b{p}t{j}" for j in range(40)) for p in range(50)
+        ]
+        rows = []
+        prev = None
+        for i in range(start, end):
+            n_tok = 150 + int(rng.randint(200))
+            toks = [f"u{i}x{j}" for j in range(n_tok)]
+            if prev is not None and rng.rand() < 0.02:
+                text = prev
+            else:
+                if rng.rand() < 0.25:
+                    para = boiler[rng.randint(len(boiler))].split(" ")
+                    ins = int(rng.randint(max(1, n_tok - 1)))
+                    toks[ins:ins] = para
+                text = " ".join(toks)
+            prev = text
+            rows.append((f"page_{i:07d}", text))
+        table = pa.Table.from_pydict(
+            {"doc_id": [r[0] for r in rows], "html": [r[1] for r in rows]},
+            schema=pa.schema([("doc_id", pa.string()), ("html", pa.string())]),
+        )
+    elif job in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr"):
         from modern_document_converter_for_ai_library_spark.sources.synth import (
             _make_html_doc,
         )
@@ -145,10 +175,18 @@ def generate_corpus(path: str, n_docs: int, seed: int = 42, job: str = "convert"
     assert total == n_docs
 
 
-def timed_run(corpus: str, cpus: int, balance: int = 0, job: str = "convert") -> dict:
+def timed_run(
+    corpus: str, cpus: int, balance: int = 0, job: str = "convert", reps: int = 3
+) -> dict:
     """One measured job in a fresh JVM (subprocess) so no warm state leaks
-    between the two parallelism levels. Reports the best of 3 steady-state
-    runs (the sandbox microVM shows significant host-side noise)."""
+    between the two parallelism levels. Reports the best of ``reps``
+    steady-state runs (the sandbox microVM shows significant host-side
+    noise). reps=3 suffices for map-dominated jobs; shuffle-heavy jobs
+    need ~6 at the HIGH parallelism level — per-rep wall time is 4x
+    shorter there, so JIT/GC ergonomics converge over MORE reps (measured
+    on the substr probe: 24-core reps [63, 45, 39, 46, 39] vs 6-core
+    [146, 140, 142] — best-of-3 at 24 cores reads 2x above the converged
+    steady state and fabricates a scaling failure)."""
     code = f"""
 import json, time, sys
 sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
@@ -209,7 +247,7 @@ def run_job(d, balance=None):
         from modern_document_converter_for_ai_library_spark.operators.quality import quality_funnel
         from modern_document_converter_for_ai_library_spark.queries import STOPWORDS
         return quality_funnel(d, langid_stopwords=STOPWORDS, text_col="html")
-    if "{job}" == "substr":
+    if "{job}" in ("substr", "substr_sparse", "substr_bloom", "substr_sparse_bloom"):
         # shuffle-operator probe 4: duplicated-span excision (ExactSubstr
         # shape) — the repo's HEAVIEST shuffle: a partial-aggregated
         # groupBy on the sliding 20-gram hash over ~tokens-per-doc
@@ -219,7 +257,10 @@ def run_job(d, balance=None):
         # every page is excised) — the adversarial shape for the gram
         # aggregate's hot cells.
         from modern_document_converter_for_ai_library_spark.operators.dedup import exact_substring_removal
-        return exact_substring_removal(d, text_col="html")
+        # the *_bloom variants A/B the broadcast Bloom prefilter on the
+        # dup-join occurrence side (exact semantics either way)
+        bits = (1 << 24) if "{job}".endswith("_bloom") else None
+        return exact_substring_removal(d, text_col="html", prefilter_bits=bits)
     if "{job}" == "lm":
         # shuffle-operator probe 3: the CCNet-shape LM quality stage —
         # two partial-aggregated groupBys (per-doc gram counts, then the
@@ -278,7 +319,7 @@ else:
 run_job(df.sample(0.02, seed=1)).write.format("noop").mode("overwrite").save()
 balance = {balance} or None
 times = []
-for _ in range(3):  # best-of-3: the sandbox VM shows 20-30% host noise
+for _ in range({reps}):  # best-of-N: the sandbox VM shows 20-30% host noise
     t0 = time.perf_counter()
     run_job(df, balance).write.format("noop").mode("overwrite").save()
     times.append(time.perf_counter() - t0)
@@ -300,10 +341,18 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=100_000)
     ap.add_argument("--n", type=int, default=8, help="small parallelism (big = 4N)")
     ap.add_argument("--corpus", default="/tmp/mdcal_bench_corpus")
+    ap.add_argument(
+        "--reps",
+        type=int,
+        default=3,
+        help="timed repetitions per level (best-of-N). Use ~6 for "
+        "shuffle-heavy jobs: the 4N level's shorter per-rep wall time "
+        "needs more reps to reach JIT/GC steady state (see timed_run)",
+    )
     ap.add_argument("--md", default=None, help="write/refresh this markdown report")
     ap.add_argument(
         "--job",
-        choices=["convert", "html", "warc", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr"],
+        choices=["convert", "html", "warc", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr", "substr_sparse", "substr_bloom", "substr_sparse_bloom"],
         default="convert",
         help="which end-to-end kernel job to measure (html = "
         "strip_boilerplate_html over the synthetic web-page corpus; warc = "
@@ -327,13 +376,17 @@ def main() -> None:
         legacy = os.path.join(args.corpus, f".complete_{args.docs}")
         if os.path.exists(legacy):
             marker = legacy
-    if args.job in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr") and not os.path.exists(marker):
+    if args.job in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr", "substr_bloom") and not os.path.exists(marker):
         # these jobs share identical corpus content — reuse any sibling
-        for sib in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr"):
+        for sib in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr", "substr_bloom"):
             sib_marker = os.path.join(args.corpus, f".complete_{sib}_{args.docs}")
             if os.path.exists(sib_marker):
                 marker = sib_marker
                 break
+    if args.job == "substr_sparse_bloom" and not os.path.exists(marker):
+        sib_marker = os.path.join(args.corpus, f".complete_substr_sparse_{args.docs}")
+        if os.path.exists(sib_marker):
+            marker = sib_marker
     if not os.path.exists(marker):
         print(f"generating {args.docs}-doc corpus at {args.corpus} ...", file=sys.stderr)
         import shutil
@@ -343,8 +396,8 @@ def main() -> None:
         open(marker, "w").close()
 
     if args.ab_balance is not None:
-        plain = timed_run(args.corpus, args.n * 4, balance=0, job=args.job)
-        balanced = timed_run(args.corpus, args.n * 4, balance=args.ab_balance, job=args.job)
+        plain = timed_run(args.corpus, args.n * 4, balance=0, job=args.job, reps=args.reps)
+        balanced = timed_run(args.corpus, args.n * 4, balance=args.ab_balance, job=args.job, reps=args.reps)
         print(
             json.dumps(
                 {
@@ -359,8 +412,8 @@ def main() -> None:
         )
         return
 
-    small = timed_run(args.corpus, args.n, job=args.job)
-    big = timed_run(args.corpus, args.n * 4, job=args.job)
+    small = timed_run(args.corpus, args.n, job=args.job, reps=args.reps)
+    big = timed_run(args.corpus, args.n * 4, job=args.job, reps=args.reps)
     efficiency = round((big["docs_per_sec"] / small["docs_per_sec"]) / 4, 4)
     report = {
         "n_docs": small["n_docs"],

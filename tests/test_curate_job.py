@@ -130,3 +130,49 @@ def test_curate_job_single_stage(spark, tmp_path, capsys):
         f"SELECT count(*) FROM read_parquet('{out}/*.parquet')"
     ).fetchone()[0]
     assert n == 2
+
+
+def test_curate_job_blocklist_and_line_dedup(spark, tmp_path, capsys):
+    import jobs.curate_job as job
+
+    banner = "accept all cookies"
+    rows = [
+        (1, "a", "zzz bad zzz"),                       # blocklist victim
+        (2, "a", banner + "\nu2a\nu2b\nu2c"),
+        (3, "a", banner + "\nu3a\nu3b\nu3c"),
+        (4, "a", banner + "\nu4a\nu4b\nu4c"),
+        (5, "a", banner),                              # banner-only: dropped
+    ]
+    inp = str(tmp_path / "raw")
+    out = str(tmp_path / "clean")
+    spark.createDataFrame(rows, ["doc_id", "source", "text"]).write.parquet(
+        inp
+    )
+    rc = job.main(
+        [
+            "--input", inp, "--output", out,
+            "--skip-quality", "--skip-exact", "--skip-near",
+            "--blocklist", "bad,awful",
+            "--line-dedup", "--line-min-count", "3",
+        ]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    st = rep["stages"]
+    assert list(st) == ["blocklist", "line_dedup"]
+    assert (st["blocklist"]["n_in"], st["blocklist"]["n_out"]) == (5, 4)
+    # the banner occurs 4x >= 3 -> struck everywhere it appears
+    assert st["line_dedup"] == {
+        "n_in": 4, "n_out": 3, "lines_struck": 4
+    }
+    got = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            f"SELECT doc_id, text FROM read_parquet('{out}/**/*.parquet')"
+        ).fetchall()
+    }
+    assert got == {
+        2: "u2a\nu2b\nu2c",
+        3: "u3a\nu3b\nu3c",
+        4: "u4a\nu4b\nu4c",
+    }

@@ -40,6 +40,10 @@ _DOCS_NEEDED = {
     "q_langid_ngram": {"doc_id", "text"},
     "q_simhash_pairs": {"doc_id", "text"},
     "q_near_dedup_chain": {"doc_id"},
+    "q_bloom_dedup": {"doc_id", "text"},
+    "q_line_dedup": {"doc_id", "text"},
+    "q_blocklist": {"doc_id", "text"},
+    "q_unigram_seed": {"text"},
 }
 
 

@@ -92,6 +92,37 @@ def test_short_and_empty_docs_pass_through(spark):
     assert got[3] == (0, 0, "")
 
 
+def test_bloom_prefilter_is_semantically_invisible(spark):
+    """prefilter_bits only thins the dup-join's shuffle input; false
+    positives fail the inner join, the bloom has no false negatives —
+    so the output must be IDENTICAL to the unfiltered plan, token for
+    token, including with a deliberately tiny (collision-rich) filter."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(8)]
+    docs = {
+        d: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 15)))
+        for d in range(1, 30)
+    }
+    shared = " ".join(f"s{i}" for i in range(23))
+    docs[100] = "aa bb " + shared
+    docs[101] = shared + " zz"
+    df = spark.createDataFrame(sorted(docs.items()), ["doc_id", "text"])
+    for bits in (64, 1 << 16):  # 64 bits = near-total FP saturation
+        plain = {
+            r["doc_id"]: tuple(r)
+            for r in exact_substring_removal(df, n=3).collect()
+        }
+        pre = {
+            r["doc_id"]: tuple(r)
+            for r in exact_substring_removal(
+                df, n=3, prefilter_bits=bits
+            ).collect()
+        }
+        assert pre == plain
+
+
 @pytest.mark.parametrize("n", [2, 3])
 def test_randomized_against_twin(spark, n):
     import random
