@@ -5762,6 +5762,74 @@ LIMIT 50
 """
 
 
+
+# ---------------------------------------------------------------------------
+# q_kcenter — greedy k-center diversity coreset over the embeddings table
+# (operators/coreset.py, Gonzalez 1985 farthest-first): the "keep what
+# spans the space" selector complementing SemDeDup's "drop what's too
+# close". k=4 rounds; integer-quantized squared distances; seed = min
+# vec_id; ties (dist desc, id asc). The oracle unrolls the identical
+# rounds relationally — selection is a pure function of the corpus.
+# ---------------------------------------------------------------------------
+
+
+def spark_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.coreset import kcenter_select
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    return kcenter_select(emb, k=4).orderBy("round")
+
+
+_KCENTER_DIST = (
+    "list_sum(list_transform(range(1, len({a}.qe) + 1), "
+    "i -> ({a}.qe[i] - {b}.qe[i]) * ({a}.qe[i] - {b}.qe[i])))::BIGINT"
+)
+
+_KCENTER_SQL = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qe
+  FROM embeddings
+), c0 AS (
+  SELECT vec_id, qe FROM e ORDER BY vec_id LIMIT 1
+), d1 AS (
+  SELECT e.vec_id, e.qe, {_KCENTER_DIST.format(a='e', b='c')} AS d
+  FROM e, c0 c
+), c1 AS (
+  SELECT vec_id, qe, d FROM d1
+  WHERE vec_id NOT IN (SELECT vec_id FROM c0)
+  ORDER BY d DESC, vec_id LIMIT 1
+), d2 AS (
+  SELECT e.vec_id, e.qe,
+         least(e.d, {_KCENTER_DIST.format(a='e', b='c')}) AS d
+  FROM d1 e, c1 c
+), c2 AS (
+  SELECT vec_id, qe, d FROM d2
+  WHERE vec_id NOT IN (SELECT vec_id FROM c0 UNION ALL
+                       SELECT vec_id FROM c1)
+  ORDER BY d DESC, vec_id LIMIT 1
+), d3 AS (
+  SELECT e.vec_id, e.qe,
+         least(e.d, {_KCENTER_DIST.format(a='e', b='c')}) AS d
+  FROM d2 e, c2 c
+), c3 AS (
+  SELECT vec_id, qe, d FROM d3
+  WHERE vec_id NOT IN (SELECT vec_id FROM c0 UNION ALL
+                       SELECT vec_id FROM c1 UNION ALL
+                       SELECT vec_id FROM c2)
+  ORDER BY d DESC, vec_id LIMIT 1
+)
+SELECT 0::BIGINT AS round, vec_id, 0::BIGINT AS qdist FROM c0
+UNION ALL SELECT 1, vec_id, d FROM c1
+UNION ALL SELECT 2, vec_id, d FROM c2
+UNION ALL SELECT 3, vec_id, d FROM c3
+ORDER BY round
+"""
+
+
 SPARK_QUERIES = {
     "q_classify_scores": spark_classify_scores,
     "q_normalize_chain": spark_normalize_chain,
@@ -5852,6 +5920,7 @@ SPARK_QUERIES = {
     "q_line_dedup": spark_line_dedup,
     "q_blocklist": spark_blocklist,
     "q_unigram_seed": spark_unigram_seed,
+    "q_kcenter": spark_kcenter,
 }
 
 ORACLE_SQL = {
@@ -5949,4 +6018,5 @@ ORACLE_SQL = {
     "q_line_dedup": _LINE_DEDUP_SQL,
     "q_blocklist": _BLOCKLIST_SQL,
     "q_unigram_seed": _UNIGRAM_SEED_SQL,
+    "q_kcenter": _KCENTER_SQL,
 }
