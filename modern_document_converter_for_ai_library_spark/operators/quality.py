@@ -693,3 +693,128 @@ def blocklist_filter(
         n_phrases.alias("n_phrases_matched"),
         ((n_hits > 0) | (n_phrases > 0)).alias("flagged"),
     )
+
+
+def perceptron_train(
+    df: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    epochs: int = 3,
+    lr_micros: int = MICRO,
+):
+    """Distributed training of the linear quality classifier that
+    :func:`classifier_score` applies — the learn-the-filter half of the
+    fasttext/FineWeb-Edu recipe, as the FULL-BATCH perceptron (Rosenblatt
+    1958; the batch variant sums updates over all current mistakes per
+    epoch, which is what makes it order-free and therefore exactly
+    reproducible on any partitioning — sequential SGD is not).
+
+    ``label_col`` must hold +1/-1. Returns ``(weights, bias_micros,
+    history)`` where ``weights`` is a (token, weight_micros) DataFrame —
+    the exact input contract of classifier_score — and ``history`` is
+    one ``{"epoch": e, "n_mistakes": m}`` row per epoch (training
+    stops early at zero mistakes).
+
+    Plan shape: the corpus is tokenized and term-frequency-reduced ONCE
+    ((id, token, tf) persisted across epochs — the only corpus-scale
+    shuffle). Each epoch is then: broadcast-join the bounded vocab
+    weights + per-doc score aggregate; mistake filter; one
+    partial-aggregated gradient groupBy(token); a vocab-scale outer
+    join to fold the update in (persist/release per epoch, the
+    bpe_train bounded-iteration pattern). All arithmetic is integer
+    micros — no float summation-order sensitivity — so training is a
+    pure function of the corpus (twin-tested; the first two epochs are
+    DuckDB-oracled relationally by q_perceptron).
+    """
+    from pyspark.sql.functions import broadcast
+
+    tf = (
+        df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("_tok"))
+        .groupBy(id_col, "_tok")
+        .agg(F.count("*").cast("bigint").alias("_tf"))
+        .persist()
+    )
+    tf.count()
+    labels = df.select(
+        F.col(id_col), F.col(label_col).cast("bigint").alias("_y")
+    )
+    weights = None  # (token, weight_micros) DataFrame, zero-initialised
+    bias = 0
+    history: list[dict] = []
+    try:
+        for epoch in range(epochs):
+            if weights is None:
+                scored = labels.select(
+                    id_col, "_y", F.lit(0).cast("bigint").alias("_score")
+                )
+            else:
+                s = (
+                    tf.join(broadcast(weights), on="_tok", how="left")
+                    .groupBy(id_col)
+                    .agg(
+                        F.sum(
+                            F.col("_tf")
+                            * F.coalesce("weight_micros", F.lit(0))
+                        )
+                        .cast("bigint")
+                        .alias("_score")
+                    )
+                )
+                scored = labels.join(s, on=id_col, how="left").fillna(
+                    {"_score": 0}
+                )
+            mistakes = scored.filter(
+                F.col("_y") * (F.col("_score") + F.lit(bias)) <= 0
+            ).select(id_col, "_y")
+            agg = mistakes.agg(
+                F.count("*").alias("_n"), F.sum("_y").alias("_sy")
+            ).collect()[0]
+            n_mist = int(agg["_n"])
+            history.append({"epoch": epoch, "n_mistakes": n_mist})
+            if n_mist == 0:
+                break
+            bias += lr_micros * int(agg["_sy"] or 0)
+            grad = (
+                tf.join(mistakes, on=id_col)
+                .groupBy("_tok")
+                .agg(
+                    (F.sum(F.col("_y") * F.col("_tf")) * lr_micros)
+                    .cast("bigint")
+                    .alias("_delta")
+                )
+            )
+            if weights is None:
+                nxt = grad.select(
+                    F.col("_tok"), F.col("_delta").alias("weight_micros")
+                )
+            else:
+                nxt = (
+                    weights.join(grad, on="_tok", how="full")
+                    .select(
+                        "_tok",
+                        (
+                            F.coalesce("weight_micros", F.lit(0))
+                            + F.coalesce("_delta", F.lit(0))
+                        )
+                        .cast("bigint")
+                        .alias("weight_micros"),
+                    )
+                    .filter(F.col("weight_micros") != 0)
+                )
+            nxt = nxt.persist()
+            nxt.count()
+            if weights is not None:
+                weights.unpersist()
+            weights = nxt
+    finally:
+        tf.unpersist()
+    if weights is None:
+        weights = df.sparkSession.createDataFrame(
+            [], "_tok: string, weight_micros: bigint"
+        )
+    return (
+        weights.select(F.col("_tok").alias("token"), "weight_micros"),
+        bias,
+        history,
+    )

@@ -5830,6 +5830,87 @@ ORDER BY round
 """
 
 
+
+# ---------------------------------------------------------------------------
+# q_perceptron — distributed training of the linear quality classifier
+# (operators/quality.py:perceptron_train, full-batch perceptron): labels
+# are the learnable planted rule "document mentions 'spark'"; two
+# training epochs; output = top-50 learned weights. The oracle unrolls
+# both epochs relationally (epoch 1 from zero weights makes every doc a
+# mistake; epoch 2 re-scores under w1) with identical integer-micro
+# arithmetic. The bounded result re-materializes driver-side so the
+# query leaks no cached frames.
+# ---------------------------------------------------------------------------
+
+
+def spark_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import perceptron_train
+
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "text",
+        F.when(F.array_contains(toks, "spark"), 1)
+        .otherwise(-1)
+        .alias("label"),
+    )
+    weights, _bias, _hist = perceptron_train(docs, epochs=2)
+    top = weights.orderBy(
+        F.desc("weight_micros"), "token"
+    ).limit(50).collect()
+    weights.unpersist()
+    return spark.createDataFrame(
+        [(r["token"], r["weight_micros"]) for r in top],
+        "token: string, weight_micros: bigint",
+    )
+
+
+_PERCEPTRON_SQL = """
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), lab AS (
+  SELECT doc_id,
+         CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE -1 END AS y
+  FROM t
+), tf AS (
+  SELECT doc_id, tok, COUNT(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+  GROUP BY doc_id, tok
+), w1 AS (
+  -- epoch 1: zero weights + zero bias -> margin 0 for every doc -> all
+  -- docs are mistakes; w1 = lr * sum(y * tf), zero weights pruned
+  SELECT tf.tok, 1000000 * SUM(lab.y * tf.tf)::BIGINT AS w
+  FROM tf JOIN lab USING (doc_id)
+  GROUP BY tf.tok
+  HAVING SUM(lab.y * tf.tf) <> 0
+), b1 AS (
+  SELECT 1000000 * SUM(y)::BIGINT AS b FROM lab
+), s2 AS (
+  SELECT tf.doc_id, SUM(tf.tf * COALESCE(w1.w, 0))::BIGINT AS score
+  FROM tf LEFT JOIN w1 ON tf.tok = w1.tok
+  GROUP BY tf.doc_id
+), m2 AS (
+  SELECT lab.doc_id, lab.y
+  FROM lab LEFT JOIN s2 USING (doc_id), b1
+  WHERE lab.y * (COALESCE(s2.score, 0) + b1.b) <= 0
+), g2 AS (
+  SELECT tf.tok, 1000000 * SUM(m2.y * tf.tf)::BIGINT AS delta
+  FROM tf JOIN m2 USING (doc_id)
+  GROUP BY tf.tok
+), w2 AS (
+  SELECT COALESCE(w1.tok, g2.tok) AS tok,
+         COALESCE(w1.w, 0) + COALESCE(g2.delta, 0) AS w
+  FROM w1 FULL OUTER JOIN g2 ON w1.tok = g2.tok
+)
+SELECT tok AS token, w::BIGINT AS weight_micros
+FROM w2 WHERE w <> 0
+ORDER BY weight_micros DESC, token
+LIMIT 50
+"""
+
+
 SPARK_QUERIES = {
     "q_classify_scores": spark_classify_scores,
     "q_normalize_chain": spark_normalize_chain,
@@ -5921,6 +6002,7 @@ SPARK_QUERIES = {
     "q_blocklist": spark_blocklist,
     "q_unigram_seed": spark_unigram_seed,
     "q_kcenter": spark_kcenter,
+    "q_perceptron": spark_perceptron,
 }
 
 ORACLE_SQL = {
@@ -6019,4 +6101,5 @@ ORACLE_SQL = {
     "q_blocklist": _BLOCKLIST_SQL,
     "q_unigram_seed": _UNIGRAM_SEED_SQL,
     "q_kcenter": _KCENTER_SQL,
+    "q_perceptron": _PERCEPTRON_SQL,
 }
