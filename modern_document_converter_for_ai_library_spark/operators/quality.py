@@ -712,7 +712,10 @@ def perceptron_train(
 
     ``label_col`` must hold +1/-1. Returns ``(weights, bias_micros,
     history)`` where ``weights`` is a (token, weight_micros) DataFrame —
-    the exact input contract of classifier_score — and ``history`` is
+    the exact input contract of classifier_score, returned PERSISTED
+    because scoring consumes it repeatedly; the caller owns its
+    lifetime (``weights.unpersist()`` when done — unpersisting is safe,
+    recompute replays deterministic integer lineage) — and ``history`` is
     one ``{"epoch": e, "n_mistakes": m}`` row per epoch (training
     stops early at zero mistakes).
 

@@ -159,3 +159,56 @@ def test_resume_pending_propagates_corrupt_output(spark, tmp_path):
     (bad / "part-0000.parquet").write_bytes(b"this is not parquet")
     with pytest.raises(Exception):
         resume_pending(df, str(bad)).count()
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions: iterative trainers / selectors release their frames
+# ---------------------------------------------------------------------------
+
+
+def test_kcenter_releases_all_caches(spark):
+    from modern_document_converter_for_ai_library_spark.operators.coreset import (
+        kcenter_select,
+    )
+
+    before = _cached_rdd_ids(spark)
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i % 3)]) for i in range(20)],
+        "vec_id: bigint, embedding: array<float>",
+    )
+    out = kcenter_select(df, k=3)
+    assert out.count() == 3
+    assert _cached_rdd_ids(spark) == before
+
+
+def test_unigram_train_releases_all_caches(spark):
+    from modern_document_converter_for_ai_library_spark.operators.unigram import (
+        unigram_train,
+    )
+
+    before = _cached_rdd_ids(spark)
+    df = spark.createDataFrame(
+        [("a", "low lower lowest low low")], ["doc_id", "text"]
+    )
+    vocab = unigram_train(df, vocab_size=10, rounds=1)
+    assert vocab
+    assert _cached_rdd_ids(spark) == before
+
+
+def test_perceptron_train_caller_owns_only_the_weights(spark):
+    from modern_document_converter_for_ai_library_spark.operators.quality import (
+        perceptron_train,
+    )
+
+    before = _cached_rdd_ids(spark)
+    df = spark.createDataFrame(
+        [(1, "spark good", 1), (2, "spam bad", -1)],
+        "doc_id: bigint, text: string, label: int",
+    )
+    weights, _bias, _hist = perceptron_train(df, epochs=3)
+    # exactly one cached frame remains: the returned weights table
+    # (documented caller-owned — classifier_score consumes it repeatedly)
+    leaked = _cached_rdd_ids(spark) - before
+    assert len(leaked) == 1
+    weights.unpersist()
+    assert _cached_rdd_ids(spark) == before

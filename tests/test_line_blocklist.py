@@ -174,3 +174,19 @@ def test_blocklist_is_map_only(spark):
         .toString()
     )
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_line_dedup_randomized_twin_sweep(spark):
+    import random
+
+    rng = random.Random(7)
+    pool = [f"line {i} content words" for i in range(12)]
+    docs = [
+        (
+            f"d{j}",
+            [pool[rng.randrange(len(pool))] for _ in range(rng.randrange(1, 7))],
+        )
+        for j in range(40)
+    ]
+    for mc in (2, 3, 5):
+        assert _run(spark, docs, min_count=mc) == _twin(docs, min_count=mc)

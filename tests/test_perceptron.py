@@ -93,3 +93,18 @@ def test_composes_with_classifier_score(spark):
     got = {r["doc_id"]: r["keep"] for r in scored.collect()}
     weights.unpersist()
     assert got == {d: (lab == 1) for d, _, lab in ROWS}
+
+
+def test_randomized_twin_sweep(spark):
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(15)] + ["spark", "spam"]
+    rows = []
+    for i in range(30):
+        toks = [vocab[rng.randrange(len(vocab))] for _ in range(rng.randrange(3, 12))]
+        rows.append((i, " ".join(toks), 1 if "spark" in toks else -1))
+    for epochs in (1, 2, 4):
+        assert _train(spark, rows, epochs=epochs) == twin_train(
+            rows, epochs=epochs
+        )
