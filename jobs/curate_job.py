@@ -55,6 +55,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--output", required=True)
     p.add_argument("--skip-quality", action="store_true")
     p.add_argument("--skip-exact", action="store_true")
+    p.add_argument("--classifier-seed", default=None,
+                   help="labeled seed table/path (text + label in +1/-1) "
+                        "for the learned-filter stage: trains the "
+                        "full-batch perceptron on the seed, scores the "
+                        "corpus, drops docs below --classifier-threshold")
+    p.add_argument("--classifier-epochs", type=int, default=5)
+    p.add_argument("--classifier-threshold", type=int, default=1,
+                   help="keep docs with score_micros >= this (micros)")
     p.add_argument("--blocklist", default="",
                    help="comma-separated bad words; enables the C4 "
                         "blocklist stage (drop any flagged doc)")
@@ -109,6 +117,8 @@ def main(argv: list[str] | None = None) -> int:
     from modern_document_converter_for_ai_library_spark.operators.quality import (
         _tokens,
         blocklist_filter,
+        classifier_score,
+        perceptron_train,
         quality_funnel,
     )
     from modern_document_converter_for_ai_library_spark.operators.sampling import (
@@ -170,6 +180,42 @@ def main(argv: list[str] | None = None) -> int:
             )
             advance("quality", kept, {"failed_by_rule": fails})
             verdicts.unpersist()
+
+        if args.classifier_seed:
+            # the FineWeb-Edu shape: a small labeled seed set trains the
+            # linear filter, the filter screens the whole corpus. The
+            # seed is bounded (annotation budgets are thousands of docs),
+            # so training cost is independent of corpus size; scoring is
+            # one broadcast vocab join + per-doc sum.
+            seed = read_documents(spark, args.classifier_seed)
+            weights, bias, hist = perceptron_train(
+                seed,
+                text_col=text_col,
+                id_col=id_col,
+                epochs=args.classifier_epochs,
+            )
+            scored = classifier_score(
+                cur,
+                text_col=text_col,
+                id_col=id_col,
+                weights=weights,
+                bias_micros=bias,
+                threshold_micros=args.classifier_threshold,
+            )
+            nxt = cur.join(
+                scored.filter(F.col("keep")).select(id_col),
+                on=id_col,
+                how="left_semi",
+            )
+            advance(
+                "classifier",
+                nxt,
+                {
+                    "train_mistakes": [h["n_mistakes"] for h in hist],
+                    "n_seed": seed.count(),
+                },
+            )
+            weights.unpersist()
 
         if args.blocklist:
             terms = [t for t in args.blocklist.split(",") if t]

@@ -118,7 +118,7 @@ def _write_chunk(args: tuple) -> int:
             {"doc_id": [r[0] for r in rows], "html": [r[1] for r in rows]},
             schema=pa.schema([("doc_id", pa.string()), ("html", pa.string())]),
         )
-    elif job in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr"):
+    elif job in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr", "perceptron"):
         from modern_document_converter_for_ai_library_spark.sources.synth import (
             _make_html_doc,
         )
@@ -261,6 +261,23 @@ def run_job(d, balance=None):
         # dup-join occurrence side (exact semantics either way)
         bits = (1 << 24) if "{job}".endswith("_bloom") else None
         return exact_substring_removal(d, text_col="html", prefilter_bits=bits)
+    if "{job}" == "perceptron":
+        # training-family probe: 2 full-batch perceptron epochs under
+        # hash-parity labels — unlearnable by construction, so every
+        # epoch keeps ~half the corpus as mistakes: the heaviest STABLE
+        # per-epoch load (a learnable rule would shrink the mistake set
+        # and make epoch cost input-dependent). Training runs its own
+        # actions inside the timed region; the weights cache is released
+        # before return so reps don't accumulate executor storage.
+        from pyspark.sql import functions as F
+        from modern_document_converter_for_ai_library_spark.operators.quality import perceptron_train
+        labeled = d.select(
+            "doc_id", F.col("html").alias("text"),
+            F.when(F.conv(F.substring(F.md5("doc_id"), 1, 8), 16, 10)
+                   .cast("bigint") % 2 == 0, 1).otherwise(-1).alias("label"))
+        w, _b, _h = perceptron_train(labeled, epochs=2)
+        w.unpersist()
+        return d.sparkSession.range(1)
     if "{job}" == "lm":
         # shuffle-operator probe 3: the CCNet-shape LM quality stage —
         # two partial-aggregated groupBys (per-doc gram counts, then the
@@ -352,7 +369,7 @@ def main() -> None:
     ap.add_argument("--md", default=None, help="write/refresh this markdown report")
     ap.add_argument(
         "--job",
-        choices=["convert", "html", "warc", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr", "substr_sparse", "substr_bloom", "substr_sparse_bloom"],
+        choices=["convert", "html", "warc", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr", "substr_sparse", "substr_bloom", "substr_sparse_bloom", "perceptron"],
         default="convert",
         help="which end-to-end kernel job to measure (html = "
         "strip_boilerplate_html over the synthetic web-page corpus; warc = "
@@ -376,9 +393,9 @@ def main() -> None:
         legacy = os.path.join(args.corpus, f".complete_{args.docs}")
         if os.path.exists(legacy):
             marker = legacy
-    if args.job in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr", "substr_bloom") and not os.path.exists(marker):
+    if args.job in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr", "substr_bloom", "perceptron") and not os.path.exists(marker):
         # these jobs share identical corpus content — reuse any sibling
-        for sib in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr", "substr_bloom"):
+        for sib in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr", "substr_bloom", "perceptron"):
             sib_marker = os.path.join(args.corpus, f".complete_{sib}_{args.docs}")
             if os.path.exists(sib_marker):
                 marker = sib_marker

@@ -176,3 +176,51 @@ def test_curate_job_blocklist_and_line_dedup(spark, tmp_path, capsys):
         3: "u3a\nu3b\nu3c",
         4: "u4a\nu4b\nu4c",
     }
+
+
+def test_curate_job_learned_filter(spark, tmp_path, capsys):
+    import jobs.curate_job as job
+
+    # seed: the annotator-labeled set; "edu" marks quality (separable)
+    seed_rows = [
+        (100, "edu facts and edu prose", 1),
+        (101, "edu style writing here", 1),
+        (102, "junk junk clickbait junk", -1),
+        (103, "clickbait junk words", -1),
+    ]
+    corpus_rows = [
+        (1, "a", "real edu document body"),
+        (2, "a", "clickbait junk page"),
+        (3, "a", "more edu material text"),
+    ]
+    seed = str(tmp_path / "seed")
+    inp = str(tmp_path / "raw")
+    out = str(tmp_path / "kept")
+    spark.createDataFrame(
+        seed_rows, "doc_id: bigint, text: string, label: int"
+    ).write.parquet(seed)
+    spark.createDataFrame(
+        corpus_rows, ["doc_id", "source", "text"]
+    ).write.parquet(inp)
+    rc = job.main(
+        [
+            "--input", inp, "--output", out,
+            "--skip-quality", "--skip-exact", "--skip-near",
+            "--classifier-seed", seed,
+        ]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    st = rep["stages"]
+    assert list(st) == ["classifier"]
+    assert st["classifier"]["n_seed"] == 4
+    # separable seed: training reaches zero mistakes
+    assert st["classifier"]["train_mistakes"][-1] == 0
+    assert (st["classifier"]["n_in"], st["classifier"]["n_out"]) == (3, 2)
+    got = sorted(
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{out}/**/*.parquet')"
+        ).fetchall()
+    )
+    assert got == [1, 3]
