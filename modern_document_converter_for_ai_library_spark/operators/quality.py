@@ -702,6 +702,7 @@ def perceptron_train(
     id_col: str = "doc_id",
     epochs: int = 3,
     lr_micros: int = MICRO,
+    hash_tokens: bool = True,
 ):
     """Distributed training of the linear quality classifier that
     :func:`classifier_score` applies — the learn-the-filter half of the
@@ -719,28 +720,116 @@ def perceptron_train(
     one ``{"epoch": e, "n_mistakes": m}`` row per epoch (training
     stops early at zero mistakes).
 
-    Plan shape: the corpus is tokenized and term-frequency-reduced ONCE
-    ((id, token, tf) persisted across epochs — the only corpus-scale
-    shuffle). Each epoch is then: broadcast-join the bounded vocab
-    weights + per-doc score aggregate; mistake filter; one
-    partial-aggregated gradient groupBy(token); a vocab-scale outer
-    join to fold the update in (persist/release per epoch, the
-    bpe_train bounded-iteration pattern). All arithmetic is integer
-    micros — no float summation-order sensitivity — so training is a
-    pure function of the corpus (twin-tested; the first two epochs are
-    DuckDB-oracled relationally by q_perceptron).
+    Plan shape: the corpus is hash-partitioned by document in ONE
+    exchange BEFORE tokenization — the *document rows* are
+    repartitioned by ``id``, then exploded; Generate preserves the
+    child's HashPartitioning, so the (id, token, tf) groupBy that
+    follows is exchange-free (HashPartitioning(id) satisfies the
+    (id, token) clustering) and the persisted cache comes out
+    id-partitioned. Shuffling doc rows moves ~the corpus bytes (1M
+    rows) where shuffling exploded tokens moves 244M slim rows and
+    aggregate-then-repartition pays two exchanges plus two aggregation
+    passes; fresh-JVM best-of-3 at 24 cores on 1M docs: 17.5 s
+    (doc-row shuffle) vs 20.1 s (exploded-token shuffle) vs 49.7 s
+    (aggregate-then-repartition).
+
+    The LABEL rides inside the tf cache (constant per doc, folded by
+    max() in the same aggregate), which makes every epoch ZERO-exchange
+    end to end: scoring is a broadcast weight join + groupBy(id) on the
+    id-partitioned cache (no shuffle), the mistake frame inherits that
+    same partitioning through filter, and the gradient's tf⋈mistakes
+    join is co-partitioned on both sides — no labels re-scan of the
+    source, no label exchange, nothing corpus-scale moves after the one
+    tf-build shuffle. Stage isolation motivated this: the earlier
+    labels-join epoch plan measured parallelism-INDEPENDENT (~18 s at
+    both 6 and 24 cores on 1M docs) because each epoch re-scanned the
+    source for labels and exchanged them behind a collect barrier.
+
+    The epoch JOIN KEY is ``xxhash64(token)`` (``hash_tokens=True``),
+    not the token string: scanning the cached string column costs ~8 s
+    per epoch at BOTH 6 and 24 cores on 1M docs (83M UTF8String
+    materializations — allocation-bound, parallelism-independent),
+    while the fixed-width bigint column scans in ~1.0 s at 24 cores
+    (9.3 s -> 1.0 s measured on the broadcast-score pass; the columnar
+    cache prunes the unused column either way, and with hash keys the
+    cache never stores strings at all). Token strings are resolved
+    ONCE at the end: a source-side pass (scan -> explode -> partial
+    groupBy(xxhash64) with min/max token — it re-tokenizes, but
+    SCALES like the tf build instead of paying the allocation wall
+    per epoch) yields the hash->token dim, an exact collision guard
+    (min != max anywhere => two distinct tokens shared a hash cell =>
+    training merged their weights) raises instead of returning silently
+    wrong weights, and a vocab-scale join renders (token,
+    weight_micros). P(collision) ~ V^2/2^65 — ~3e-6 at a 10M-token
+    vocab; ``hash_tokens=False`` keeps the string-keyed epochs for
+    adversarial vocabularies (twin-tested identical).
+    The per-epoch id-join carries a SHUFFLE_HASH hint on the mistake
+    side — SortMergeJoin would re-SORT the 83M-row cache inside every
+    epoch (measured 40.6 s vs 5.2 s for the first gradient at 24
+    cores); hash-probing the mistake table streams the cache unsorted,
+    and the mistake frame can never broadcast (corpus-scale — half the
+    docs under the probe's parity labels) but its per-partition hash
+    table is |mistakes|/shuffle_partitions.
+
+    Empty documents (no tokens) never enter the tf cache, yet the
+    full-batch semantics still count them: their score is identically
+    0 every epoch, so they are mistakes iff y*(0+bias) <= 0 and they
+    contribute only to the bias (no tokens -> no gradient rows). Their
+    (+1, -1) counts are measured ONCE up front (one exchange-free
+    aggregate over the cache + one slim source aggregate) and folded
+    into each epoch's mistake count / bias update as exact driver
+    arithmetic. Each epoch is then: score + mistake filter persisted
+    SLIM; one bounded collect; one partial-aggregated gradient
+    groupBy(token); a vocab-scale outer join to fold the update in
+    (persist/release per epoch, the bpe_train bounded-iteration
+    pattern). All arithmetic is integer micros — no float
+    summation-order sensitivity — so training is a pure function of
+    the corpus (twin-tested incl. empty/whitespace-only docs; the
+    first two epochs are DuckDB-oracled relationally by q_perceptron).
     """
     from pyspark.sql.functions import broadcast
 
+    key = "_tokh" if hash_tokens else "_tok"
+    exploded = df.repartition(F.col(id_col)).select(
+        F.col(id_col),
+        F.col(label_col).cast("bigint").alias("_y"),
+        F.explode(_tokens(text_col)).alias("_tok"),
+    )
+    if hash_tokens:
+        exploded = exploded.select(
+            id_col, "_y", F.xxhash64("_tok").alias("_tokh")
+        )
     tf = (
-        df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("_tok"))
-        .groupBy(id_col, "_tok")
-        .agg(F.count("*").cast("bigint").alias("_tf"))
+        exploded.groupBy(id_col, key)
+        .agg(
+            F.count("*").cast("bigint").alias("_tf"),
+            F.max("_y").alias("_y"),
+        )
         .persist()
     )
     tf.count()
-    labels = df.select(
-        F.col(id_col), F.col(label_col).cast("bigint").alias("_y")
+    # empty/whitespace-only docs never reach the cache (explode emits no
+    # rows); measure their (+1, -1) counts once — exact driver-side
+    # bookkeeping for every epoch's mistake count and bias update.
+    tot = df.groupBy().agg(
+        F.count("*").alias("_n"),
+        F.sum(
+            F.when(F.col(label_col).cast("bigint") > 0, 1).otherwise(0)
+        ).alias("_np"),
+    ).collect()[0]
+    intf = (
+        tf.groupBy(id_col)
+        .agg(F.max("_y").alias("_y"))
+        .groupBy()
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum(F.when(F.col("_y") > 0, 1).otherwise(0)).alias("_np"),
+        )
+        .collect()[0]
+    )
+    n0_pos = int(tot["_np"]) - int(intf["_np"])
+    n0_neg = (int(tot["_n"]) - int(tot["_np"])) - (
+        int(intf["_n"]) - int(intf["_np"])
     )
     weights = None  # (token, weight_micros) DataFrame, zero-initialised
     bias = 0
@@ -748,39 +837,52 @@ def perceptron_train(
     try:
         for epoch in range(epochs):
             if weights is None:
-                scored = labels.select(
-                    id_col, "_y", F.lit(0).cast("bigint").alias("_score")
+                scored = (
+                    tf.groupBy(id_col)
+                    .agg(F.max("_y").alias("_y"))
+                    .withColumn("_score", F.lit(0).cast("bigint"))
                 )
             else:
-                s = (
-                    tf.join(broadcast(weights), on="_tok", how="left")
+                scored = (
+                    tf.join(broadcast(weights), on=key, how="left")
                     .groupBy(id_col)
                     .agg(
+                        F.max("_y").alias("_y"),
                         F.sum(
                             F.col("_tf")
                             * F.coalesce("weight_micros", F.lit(0))
                         )
                         .cast("bigint")
-                        .alias("_score")
+                        .alias("_score"),
                     )
                 )
-                scored = labels.join(s, on=id_col, how="left").fillna(
-                    {"_score": 0}
+            mistakes = (
+                scored.filter(
+                    F.col("_y") * (F.col("_score") + F.lit(bias)) <= 0
                 )
-            mistakes = scored.filter(
-                F.col("_y") * (F.col("_score") + F.lit(bias)) <= 0
-            ).select(id_col, "_y")
+                .select(id_col, "_y")
+                .persist()
+            )
             agg = mistakes.agg(
                 F.count("*").alias("_n"), F.sum("_y").alias("_sy")
             ).collect()[0]
-            n_mist = int(agg["_n"])
+            # empty docs: score==0 always, so mistake iff y*bias <= 0
+            m0_pos = n0_pos if bias <= 0 else 0
+            m0_neg = n0_neg if bias >= 0 else 0
+            n_mist = int(agg["_n"]) + m0_pos + m0_neg
             history.append({"epoch": epoch, "n_mistakes": n_mist})
             if n_mist == 0:
+                mistakes.unpersist()
                 break
-            bias += lr_micros * int(agg["_sy"] or 0)
+            bias += lr_micros * (
+                int(agg["_sy"] or 0) + m0_pos - m0_neg
+            )
             grad = (
-                tf.join(mistakes, on=id_col)
-                .groupBy("_tok")
+                tf.join(
+                    mistakes.select(id_col).hint("shuffle_hash"),
+                    on=id_col,
+                )
+                .groupBy(key)
                 .agg(
                     (F.sum(F.col("_y") * F.col("_tf")) * lr_micros)
                     .cast("bigint")
@@ -789,13 +891,13 @@ def perceptron_train(
             )
             if weights is None:
                 nxt = grad.select(
-                    F.col("_tok"), F.col("_delta").alias("weight_micros")
+                    F.col(key), F.col("_delta").alias("weight_micros")
                 )
             else:
                 nxt = (
-                    weights.join(grad, on="_tok", how="full")
+                    weights.join(grad, on=key, how="full")
                     .select(
-                        "_tok",
+                        key,
                         (
                             F.coalesce("weight_micros", F.lit(0))
                             + F.coalesce("_delta", F.lit(0))
@@ -807,17 +909,57 @@ def perceptron_train(
                 )
             nxt = nxt.persist()
             nxt.count()
+            mistakes.unpersist()
             if weights is not None:
                 weights.unpersist()
             weights = nxt
     finally:
         tf.unpersist()
     if weights is None:
-        weights = df.sparkSession.createDataFrame(
-            [], "_tok: string, weight_micros: bigint"
+        return (
+            df.sparkSession.createDataFrame(
+                [], "token: string, weight_micros: bigint"
+            ),
+            bias,
+            history,
         )
-    return (
-        weights.select(F.col("_tok").alias("token"), "weight_micros"),
-        bias,
-        history,
+    if not hash_tokens:
+        return (
+            weights.select(F.col("_tok").alias("token"), "weight_micros"),
+            bias,
+            history,
+        )
+    # resolve hash keys back to token strings: ONE source-side pass
+    # (re-tokenize -> partial groupBy(xxhash64) -> vocab-scale dim) —
+    # scales with cores, unlike a per-epoch cached-string scan. The
+    # guard is EXACT: min != max inside any hash cell means two distinct
+    # corpus tokens shared a cell, i.e. every epoch merged their
+    # weights — raise rather than return silently corrupted training.
+    vocab = (
+        df.select(F.explode(_tokens(text_col)).alias("_tok"))
+        .groupBy(F.xxhash64("_tok").alias("_tokh"))
+        .agg(F.min("_tok").alias("_lo"), F.max("_tok").alias("_hi"))
+        .persist()
     )
+    try:
+        n_bad = vocab.filter(F.col("_lo") != F.col("_hi")).count()
+        if n_bad:
+            weights.unpersist()
+            raise ValueError(
+                f"xxhash64 collision in {n_bad} token hash cells — "
+                "training merged distinct tokens; rerun with "
+                "hash_tokens=False"
+            )
+        resolved = (
+            weights.join(
+                vocab.select("_tokh", F.col("_hi").alias("token")),
+                on="_tokh",
+            )
+            .select("token", "weight_micros")
+            .persist()
+        )
+        resolved.count()
+    finally:
+        vocab.unpersist()
+    weights.unpersist()
+    return resolved, bias, history

@@ -53,11 +53,11 @@ ROWS = [
 ]
 
 
-def _train(spark, rows, epochs=3, partitions=None):
+def _train(spark, rows, epochs=3, partitions=None, hash_tokens=True):
     df = spark.createDataFrame(rows, "doc_id: bigint, text: string, label: int")
     if partitions:
         df = df.repartition(partitions)
-    w, bias, hist = perceptron_train(df, epochs=epochs)
+    w, bias, hist = perceptron_train(df, epochs=epochs, hash_tokens=hash_tokens)
     got = {r["token"]: r["weight_micros"] for r in w.collect()}
     w.unpersist()
     return got, bias, hist
@@ -95,6 +95,18 @@ def test_composes_with_classifier_score(spark):
     assert got == {d: (lab == 1) for d, _, lab in ROWS}
 
 
+def test_empty_and_whitespace_docs_twin(spark):
+    # empty/whitespace-only docs never enter the tf cache (explode emits
+    # no rows) but full-batch semantics still count them as mistakes
+    # whenever y*(0+bias) <= 0 and fold their labels into the bias —
+    # exercised here across epochs where bias moves through both signs
+    rows = ROWS + [(7, "", 1), (8, "   ", -1), (9, "", -1)]
+    for epochs in (1, 2, 3):
+        assert _train(spark, rows, epochs=epochs) == twin_train(
+            rows, epochs=epochs
+        )
+
+
 def test_randomized_twin_sweep(spark):
     import random
 
@@ -108,3 +120,13 @@ def test_randomized_twin_sweep(spark):
         assert _train(spark, rows, epochs=epochs) == twin_train(
             rows, epochs=epochs
         )
+
+
+def test_string_key_path_identical(spark):
+    # hash_tokens=False keeps the string-keyed epochs (the collision-proof
+    # escape hatch); both paths must be the same pure function of the corpus
+    rows = ROWS + [(7, "", 1), (8, "   ", -1)]
+    for epochs in (1, 3):
+        assert _train(spark, rows, epochs=epochs, hash_tokens=False) == _train(
+            spark, rows, epochs=epochs, hash_tokens=True
+        ) == twin_train(rows, epochs=epochs)
