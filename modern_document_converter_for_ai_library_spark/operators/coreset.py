@@ -78,7 +78,7 @@ def kcenter_select(
             picked.append((rnd, far[0]["_id"], int(far[0]["_d"])))
             center = far[0]["_qe"]
     finally:
-        cur.unpersist()
+        cur.unpersist(blocking=True)
     id_type = dict(corpus.dtypes)[id_col]
     return spark.createDataFrame(
         picked, f"round: bigint, _id: {id_type}, qdist: bigint"

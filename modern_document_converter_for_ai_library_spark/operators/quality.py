@@ -914,7 +914,7 @@ def perceptron_train(
                 weights.unpersist()
             weights = nxt
     finally:
-        tf.unpersist()
+        tf.unpersist(blocking=True)
     if weights is None:
         return (
             df.sparkSession.createDataFrame(
@@ -960,6 +960,6 @@ def perceptron_train(
         )
         resolved.count()
     finally:
-        vocab.unpersist()
-    weights.unpersist()
+        vocab.unpersist(blocking=True)
+    weights.unpersist(blocking=True)
     return resolved, bias, history

@@ -182,7 +182,7 @@ def unigram_train(
             }  # coverage floor: alphabet never leaves the vocab
             counts.update(kept_multi)
     finally:
-        wf.unpersist()
+        wf.unpersist(blocking=True)
     costs = _costs_from_counts(counts)
     return sorted(
         ((p, c, costs[p]) for p, c in counts.items()),
