@@ -337,6 +337,60 @@ def simhash_pairs(
     )
 
 
+def _cc(algorithm: str):
+    """Connected-components implementation by name — ``"label"`` (min-label
+    propagation, O(diameter) rounds, the default) or ``"star"``
+    (large-star/small-star, O(log n) rounds for adversarial chains). Both
+    return identical (node, canonical) labelings
+    (tests/test_cc_star.py pins equality on randomized graphs)."""
+    if algorithm == "label":
+        return connected_canonical
+    if algorithm == "star":
+        return connected_canonical_star
+    raise ValueError(f"unknown cc_algorithm {algorithm!r} (label|star)")
+
+
+def _lineage_tools(verified: DataFrame, checkpoint_dir: str | None):
+    """(ckpt, blocks, release) helpers shared by the iterative CC variants.
+
+    ``ckpt`` truncates lineage per round — RELIABLE ``checkpoint()`` into
+    ``checkpoint_dir`` when given (survives executor loss on a cluster),
+    else ``localCheckpoint`` (fine in local mode). ``blocks``/``release``
+    bound executor storage across rounds: each round's checkpoint
+    supersedes the previous one, whose blocks are freed immediately.
+    """
+
+    def _blocks(df: DataFrame):
+        # handle on the checkpointed internal RDD (the analyzed plan is a
+        # LogicalRDD immediately after checkpoint); unpersist on it frees
+        # the executor blocks. Reliable-checkpoint RDDs are not persisted
+        # in the block manager, so release degrades to a no-op there.
+        try:
+            return df._jdf.queryExecution().analyzed().rdd()
+        except Exception:
+            return None
+
+    def _release(handle) -> None:
+        if handle is not None:
+            try:
+                handle.unpersist(False)
+            except Exception:
+                pass
+
+    if checkpoint_dir is not None:
+        verified.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
+            return df.checkpoint(eager=eager)
+
+    else:
+
+        def _ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
+            return df.localCheckpoint(eager=eager)
+
+    return _ckpt, _blocks, _release
+
+
 def connected_canonical(
     verified: DataFrame,
     max_iter: int = 25,
@@ -371,33 +425,7 @@ def connected_canonical(
     max_iter snapshots.
     """
 
-    def _blocks(df: DataFrame):
-        # handle on the checkpointed internal RDD (the analyzed plan is a
-        # LogicalRDD immediately after checkpoint); unpersist on it frees
-        # the executor blocks. Reliable-checkpoint RDDs are not persisted
-        # in the block manager, so release degrades to a no-op there.
-        try:
-            return df._jdf.queryExecution().analyzed().rdd()
-        except Exception:
-            return None
-
-    def _release(handle) -> None:
-        if handle is not None:
-            try:
-                handle.unpersist(False)
-            except Exception:
-                pass
-
-    if checkpoint_dir is not None:
-        verified.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-
-        def _ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
-            return df.checkpoint(eager=eager)
-
-    else:
-
-        def _ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
-            return df.localCheckpoint(eager=eager)
+    _ckpt, _blocks, _release = _lineage_tools(verified, checkpoint_dir)
 
     edges = verified.select("a", "b")
     edges = _ckpt(
@@ -460,6 +488,103 @@ def connected_canonical(
     return labels.select("node", F.col("lbl").alias("canonical"))
 
 
+def connected_canonical_star(
+    verified: DataFrame,
+    max_iter: int = 40,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(node, canonical) via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — same contract as :func:`connected_canonical` (canonical =
+    component min), different convergence law: **O(log n) rounds regardless
+    of component diameter**, vs min-label propagation's O(diameter).
+
+    This is the adversarial-chain path the label-propagation docstring
+    promises: a 10,000-link duplicate chain (pathological but possible at
+    100 TB — think boilerplate-mutated mirror farms) converges in ~a dozen
+    rounds here where propagation would need 5,000 materializations.
+
+    Each round is two groupBy-min + join passes over the edge list only
+    (never the corpus); edges monotonically point larger→smaller node and
+    the edge count never grows beyond the bidirected input, so per-round
+    shuffle volume is bounded by the verified-pair set. Lineage is
+    truncated per round with the same reliable-vs-local checkpoint choice
+    as the propagation variant. Non-convergence raises rather than
+    returning partial labels.
+
+    large-star(u): connect every neighbor v > u to m = min(N(u) ∪ {u}).
+    small-star(u): over larger→smaller edges, connect u and all its
+    neighbors except the minimum to that minimum. Fixpoint = forest of
+    stars, every node directly attached to its component min.
+    """
+    _ckpt, _blocks, _release = _lineage_tools(verified, checkpoint_dir)
+
+    # canonical larger→smaller direction, self-pairs dropped
+    edges = _ckpt(
+        verified.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    edges_blocks = _blocks(edges)
+    converged = False
+    for _ in range(max_iter):
+        # large-star over the bidirected neighborhood
+        bid = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m_of = (
+            bid.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least("_mn", F.col("u")).alias("m"))
+        )
+        large = (
+            bid.join(m_of, on="u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star over the larger→smaller output
+        sm = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(sm, on="u")
+            .select(F.col("v").alias("n"), "m")
+            .unionByName(sm.select(F.col("u").alias("n"), "m"))
+            .filter(F.col("n") != F.col("m"))
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        new_edges = _ckpt(small)
+        new_blocks = _blocks(new_edges)
+        # fixpoint test: symmetric difference empty (both frames are
+        # checkpointed, so each except scans materialized rows only)
+        changed = (
+            new_edges.exceptAll(edges)
+            .unionByName(edges.exceptAll(new_edges))
+            .limit(1)
+            .count()
+        )
+        _release(edges_blocks)
+        edges, edges_blocks = new_edges, new_blocks
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            "connected_canonical_star did not converge within max_iter=%d "
+            "rounds (expected O(log n)); the edge set is still changing"
+            % max_iter
+        )
+    # star fixpoint: every non-root has exactly one edge to its component
+    # min; roots never appear on the larger side
+    roots = edges.select(F.col("v").alias("node")).distinct()
+    return (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("canonical"))
+        .unionByName(roots.select("node", F.col("node").alias("canonical")))
+    )
+
+
 def near_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -470,6 +595,7 @@ def near_dedup(
     max_bucket_size: int | None = None,
     shingle_width: int = 3,
     candidate_tier: str = "bands",
+    cc_algorithm: str = "label",
 ) -> DataFrame:
     """End-to-end near-dup marking: docs keep ``canonical_doc_id`` =
     min(doc_id) of their connected component in the verified near-duplicate
@@ -541,7 +667,7 @@ def near_dedup(
             # connected_canonical checkpoints eagerly and iterates to a
             # fixpoint with driver-side counts, so by the time it returns
             # every job reading `pairs` has run and its lineage is truncated
-            labels = connected_canonical(verified).withColumnRenamed(
+            labels = _cc(cc_algorithm)(verified).withColumnRenamed(
                 "node", id_col
             )
         finally:
@@ -555,7 +681,7 @@ def near_dedup(
             sigs, id_col, n_bands=n_bands, max_bucket_size=max_bucket_size
         )
         verified = jaccard_verify(sigs, pairs, id_col, threshold_micros)
-        labels = connected_canonical(verified).withColumnRenamed("node", id_col)
+        labels = _cc(cc_algorithm)(verified).withColumnRenamed("node", id_col)
     return (
         df.join(labels, on=id_col, how="left")
         .withColumn("canonical_doc_id", F.coalesce("canonical", F.col(id_col)))
@@ -1232,6 +1358,7 @@ def near_dedup_incremental(
     id_col: str = "doc_id",
     threshold_micros: int = 500_000,
     max_bucket_size: int | None = None,
+    cc_algorithm: str = "label",
 ) -> DataFrame:
     """Near-dedup an INGEST BATCH against an existing corpus plus itself —
     the continuously-ingested-corpus pattern: base-vs-base comparisons are
@@ -1333,7 +1460,7 @@ def near_dedup_incremental(
             )
         )
         verified = jaccard_verify(sigs, pairs, id_col, threshold_micros)
-        labels = connected_canonical(verified).withColumnRenamed(
+        labels = _cc(cc_algorithm)(verified).withColumnRenamed(
             "node", id_col
         )
     finally:

@@ -2925,6 +2925,32 @@ def spark_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def spark_near_dedup_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical contract to q_near_dedup but the connected-component
+    labeling runs large-star/small-star (O(log n) rounds,
+    operators/dedup.py:connected_canonical_star) instead of min-label
+    propagation — same oracle SQL, different physical algorithm, so the
+    parity gate pins the two implementations against each other AND
+    against DuckDB's recursive closure."""
+    from .operators.dedup import near_dedup
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    out = near_dedup(
+        docs,
+        threshold_micros=500_000,
+        n_bands=1,
+        band_rows=2,
+        cc_algorithm="star",
+    )
+    return out.select(
+        "doc_id",
+        F.col("canonical_doc_id").cast("bigint").alias("canonical_doc_id"),
+        "is_near_duplicate",
+    )
+
+
 _NEAR_DEDUP_SQL = """
 WITH RECURSIVE t AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -5970,6 +5996,7 @@ SPARK_QUERIES = {
     "q_code_discovery": spark_code_discovery,
     "q_rename_pipeline": spark_rename_pipeline,
     "q_near_dedup": spark_near_dedup,
+    "q_near_dedup_star": spark_near_dedup_star,
     "q_near_dedup_wide": spark_near_dedup_wide,
     "q_near_dedup_chain": spark_near_dedup_chain,
     "q_ivf_topk": spark_ivf_topk,
@@ -6069,6 +6096,7 @@ ORACLE_SQL = {
     "q_frontmatter": _FRONTMATTER_SQL,
     "q_code_discovery": _CODE_DISCOVERY_SQL,
     "q_near_dedup": _NEAR_DEDUP_SQL,
+    "q_near_dedup_star": _NEAR_DEDUP_SQL,
     "q_near_dedup_wide": _NEAR_DEDUP_WIDE_SQL,
     "q_near_dedup_chain": _NEAR_DEDUP_CHAIN_SQL,
     "q_ivf_topk": _IVF_SQL,
