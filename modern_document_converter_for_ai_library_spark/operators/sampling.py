@@ -289,6 +289,115 @@ def epoch_budget_sample(
     )
 
 
+def exact_isqrt(x: F.Column) -> F.Column:
+    """floor(sqrt(x)) EXACT for non-negative BIGINT, cross-engine.
+
+    IEEE double sqrt is correctly rounded and the bigint→double
+    conversion error is ≤ 2048 absolute at the top of the range, so the
+    double-seeded candidate is off by at most 1 — one correction step in
+    each direction restores exactness. DuckDB oracles replicate the same
+    seed+correction, so both engines agree bit-for-bit (a bare
+    CAST(sqrt(..)) could land on either side of a perfect square).
+    """
+    s = F.floor(F.sqrt(x.cast("double"))).cast("bigint")
+    return (
+        F.when(s * s > x, s - 1)
+        .when((s + 1) * (s + 1) <= x, s + 1)
+        .otherwise(s)
+    )
+
+
+def temperature_rates(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha: str = "1/2",
+    target_total: int = 0,
+    mass_col: str | None = None,
+) -> DataFrame:
+    """Per-source acceptance rates for temperature-scaled mixture
+    sampling: share_i ∝ mass_i^alpha (the standard multilingual /
+    multi-source rebalancing move — alpha < 1 upweights rare sources,
+    alpha = 1 is proportional). Returns the bounded table
+    (source, mass, weight, rate_micros) where ``rate_micros`` is the
+    hash-threshold acceptance delivering ~share_i * target_total rows
+    from source i, capped at 1e6 (an over-asked rare source contributes
+    everything it has; no redistribution — deterministic semantics).
+
+    alpha ∈ {"1", "1/2", "1/4"}: the roots are EXACT integer roots
+    (``exact_isqrt``, applied twice for 1/4), so rates are pure integer
+    functions of the masses and reproducible on any engine. Scale shape:
+    one partial-aggregated groupBy to the bounded per-source frame; the
+    total is a 1-row aggregate cross-joined back — nothing corpus-scale
+    after the first aggregate.
+    """
+    mass = (
+        F.count("*") if mass_col is None else F.sum(mass_col)
+    ).cast("bigint")
+    masses = df.groupBy(source_col).agg(mass.alias("mass"))
+    if alpha == "1":
+        w = F.col("mass")
+    elif alpha == "1/2":
+        w = exact_isqrt(F.col("mass"))
+    elif alpha == "1/4":
+        masses = masses.select(
+            source_col, "mass", exact_isqrt(F.col("mass")).alias("_r2")
+        )
+        w = exact_isqrt(F.col("_r2"))
+    else:
+        raise ValueError(f"alpha must be one of 1, 1/2, 1/4 — got {alpha!r}")
+    weights = masses.select(source_col, "mass", w.alias("weight"))
+    total = weights.agg(F.sum("weight").cast("bigint").alias("_w_total"))
+    # attach the 1-row total: a BroadcastNestedLoopJoin over a single-row
+    # build side is the intended plan (same class as the broadcast
+    # centroid tables in similarity.py — whitelisted in the plan audit);
+    # a literal-key equi-join folds back to the same node anyway
+    return (
+        weights.crossJoin(F.broadcast(total))
+        .select(
+            source_col,
+            "mass",
+            "weight",
+            F.least(
+                F.lit(MICRO).cast("bigint"),
+                F.expr(
+                    f"(CAST({int(target_total)} AS BIGINT) * weight "
+                    f"* {MICRO}) div (_w_total * mass)"
+                ),
+            ).alias("rate_micros"),
+        )
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha: str = "1/2",
+    target_total: int = 0,
+    id_col: str = "doc_id",
+    salt: str = "",
+    mass_col: str | None = None,
+) -> DataFrame:
+    """Adds ``rate_micros`` + ``hash_micros`` + ``sampled``: accept row
+    iff h(id) < rate(source), with rates from :func:`temperature_rates`.
+    The rates frame is bounded (one row per source) and broadcast; the
+    corpus is touched by the rates aggregate and one map-side join —
+    no corpus-scale shuffle."""
+    rates = temperature_rates(df, source_col, alpha, target_total, mass_col)
+    hm = hash_micros_col(id_col, salt)
+    return (
+        df.join(
+            F.broadcast(rates.select(source_col, "rate_micros")),
+            on=source_col,
+            how="left",
+        )
+        .withColumn("hash_micros", hm)
+        .withColumn(
+            "sampled",
+            F.col("hash_micros") < F.coalesce("rate_micros", F.lit(0)),
+        )
+    )
+
+
 def group_split(
     df: DataFrame,
     splits: dict[str, int],

@@ -1024,6 +1024,55 @@ def spark_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(docs, rates)
 
 
+# ---------------------------------------------------------------------------
+# q_temperature_mix — temperature-scaled mixture sampling (operators/
+# sampling.py:temperature_sample): per-source acceptance rates with
+# share_i ∝ sqrt(mass_i) (alpha=1/2), EXACT integer square roots
+# (double-seeded + correction) so both engines agree bit-for-bit, rates
+# capped at 1e6, doc kept iff md5 micros < its source's rate.
+# ---------------------------------------------------------------------------
+
+def spark_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import temperature_sample
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source"
+    )
+    out = temperature_sample(docs, alpha="1/2", target_total=200)
+    return out.select("doc_id", "source", "rate_micros", "hash_micros", "sampled")
+
+
+_TEMPERATURE_MIX_SQL = r"""
+WITH m AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS mass FROM documents GROUP BY source
+), seed AS (
+  SELECT source, mass,
+         CAST(floor(sqrt(CAST(mass AS DOUBLE))) AS BIGINT) AS s
+  FROM m
+), w AS (
+  SELECT source, mass,
+         CASE WHEN s * s > mass THEN s - 1
+              WHEN (s + 1) * (s + 1) <= mass THEN s + 1
+              ELSE s END AS weight
+  FROM seed
+), t AS (
+  SELECT CAST(SUM(weight) AS BIGINT) AS w_total FROM w
+), r AS (
+  SELECT source,
+         LEAST(CAST(1000000 AS BIGINT),
+               (CAST(200 AS BIGINT) * weight * 1000000) // (w_total * mass))
+           AS rate_micros
+  FROM w, t
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source, r.rate_micros,
+       CAST(CAST(concat('0x', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 1000000 AS BIGINT) AS hash_micros,
+       CAST(CAST(concat('0x', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 1000000 AS BIGINT) < r.rate_micros AS sampled
+FROM documents d JOIN r USING (source)
+"""
+
+
 _SAMPLE_MIX_SQL = r"""
 WITH t AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
@@ -5956,6 +6005,7 @@ SPARK_QUERIES = {
     "q_exact_dedup": spark_exact_dedup,
     "q_passage_dedup": spark_passage_dedup,
     "q_sample_mix": spark_sample_mix,
+    "q_temperature_mix": spark_temperature_mix,
     "q_group_split": spark_group_split,
     "q_token_budget_mix": spark_token_budget_mix,
     "q_shard_assign": spark_shard_assign,
@@ -6051,6 +6101,7 @@ ORACLE_SQL = {
     "q_exact_dedup": _EXACT_DEDUP_SQL,
     "q_passage_dedup": _PASSAGE_DEDUP_SQL,
     "q_sample_mix": _SAMPLE_MIX_SQL,
+    "q_temperature_mix": _TEMPERATURE_MIX_SQL,
     "q_group_split": _GROUP_SPLIT_SQL,
     "q_token_budget_mix": _TOKEN_BUDGET_SQL,
     "q_shard_assign": _SHARD_SQL,

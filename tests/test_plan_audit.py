@@ -22,7 +22,9 @@ SF_DIR = "/root/testdata/sf0.001"
 # q_ivf_topk / q_semantic_dedup broadcast the 16-centroid table for cell
 # assignment: a BroadcastNestedLoopJoin over a tiny build side is the
 # intended plan.
-CARTESIAN_OK = {"q_ann_topk", "q_ivf_topk", "q_semantic_dedup"}
+# q_temperature_mix cross-joins the single-row weight-total aggregate onto
+# the bounded per-source frame: a 1-row build side is the intended plan.
+CARTESIAN_OK = {"q_ann_topk", "q_ivf_topk", "q_semantic_dedup", "q_temperature_mix"}
 
 # columns each query legitimately needs from the documents table; queries
 # not listed here read other tables or the full row by design
