@@ -19,6 +19,10 @@ Modes (operators/sampling.py — all deterministic pure functions of
     epochs  budget with UPSAMPLING: budgets above a source's token mass
             emit full repeat epochs + a prefix remainder; output rows are
             per emitted COPY with an `epoch` column
+    temperature  share_i ∝ mass_i^alpha rebalancing (--alpha 1|1/2|1/4,
+            --target-total docs, --mass docs|tokens): rare sources are
+            upweighted toward uniform as alpha drops; no --spec needed —
+            rates derive from the corpus itself (exact integer roots)
     shard   terminal storage layout: assign every document to a fixed-
             token-mass shard (--shard-tokens) by start offset in the
             canonical hash-priority order and write the corpus
@@ -54,8 +58,16 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True, help="the mixed corpus")
-    p.add_argument("--mode", choices=["rate", "budget", "epochs", "shard"],
+    p.add_argument("--mode",
+                   choices=["rate", "budget", "epochs", "shard",
+                            "temperature"],
                    default="budget")
+    p.add_argument("--alpha", choices=["1", "1/2", "1/4"], default="1/2",
+                   help="temperature mode: share exponent")
+    p.add_argument("--target-total", type=int, default=0,
+                   help="temperature mode: total kept mass to aim for")
+    p.add_argument("--mass", choices=["docs", "tokens"], default="docs",
+                   help="temperature mode: source mass measure")
     p.add_argument("--shard-tokens", type=int, default=0,
                    help="shard mode: target token mass per shard")
     p.add_argument("--manifest", default=None,
@@ -75,6 +87,8 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
 
     spec = parse_spec(args.spec)
+    if args.mode == "temperature" and args.target_total <= 0:
+        raise SystemExit("--mode temperature requires --target-total > 0")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -145,7 +159,34 @@ def main(argv: list[str] | None = None) -> int:
             sharded.unpersist()
             man.unpersist()
             return 0
-        if args.mode == "rate":
+        if args.mode == "temperature":
+            from modern_document_converter_for_ai_library_spark.operators.sampling import (
+                temperature_sample,
+            )
+            from modern_document_converter_for_ai_library_spark.operators.quality import (
+                _tokens,
+            )
+
+            base = docs
+            mass_col = None
+            if args.mass == "tokens":
+                base = docs.withColumn(
+                    "_n_tokens", F.size(_tokens(args.text_col))
+                )
+                mass_col = "_n_tokens"
+            marked = temperature_sample(
+                base,
+                source_col=args.key_col,
+                alpha=args.alpha,
+                target_total=args.target_total,
+                id_col=args.id_col,
+                salt=args.salt,
+                mass_col=mass_col,
+            )
+            kept = marked.filter("sampled").drop(
+                "hash_micros", "sampled", "rate_micros", "_n_tokens"
+            )
+        elif args.mode == "rate":
             marked = stratified_sample(
                 docs, spec, default_micros=args.default, **common
             )

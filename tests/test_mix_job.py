@@ -157,3 +157,40 @@ def test_mix_job_shard_reshard_idempotent(spark, corpus, tmp_path, capsys):
     # wider shards => no more shards than the narrow layout
     narrow = spark.read.parquet(first).select("shard_id").distinct().count()
     assert got.select("shard_id").distinct().count() <= narrow
+
+
+def test_mix_job_temperature(spark, tmp_path, capsys):
+    # skewed corpus: 160 docs of 'big', 40 of 'rare' — alpha=1/2 gives
+    # rare a higher acceptance rate than proportional sampling would
+    rows = [(i, "big" if i < 160 else "rare", "w " * 6) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    path = str(tmp_path / "docs_t")
+    df.write.mode("overwrite").parquet(path)
+    out = str(tmp_path / "temp_out")
+    stats = _run(capsys, [
+        "--input", path, "--output", out,
+        "--mode", "temperature", "--alpha", "1/2", "--target-total", "100",
+    ])
+    got = spark.read.parquet(out)
+    assert stats["n_rows_out"] == got.count() > 0
+    # scratch columns dropped, schema round-trips
+    assert set(got.columns) == {"doc_id", "source", "text"}
+    # rate check against the operator directly: kept set identical
+    from modern_document_converter_for_ai_library_spark.operators.sampling import (
+        temperature_sample,
+    )
+    expect = {
+        r["doc_id"]
+        for r in temperature_sample(df, alpha="1/2", target_total=100)
+        .filter("sampled").collect()
+    }
+    assert {r["doc_id"] for r in got.collect()} == expect
+    # flattening: rare's kept FRACTION exceeds big's
+    kept_by = {r["source"]: r["n"] for r in got.groupBy("source")
+               .agg(F.count("*").alias("n")).collect()}
+    assert kept_by.get("rare", 0) / 40 > kept_by.get("big", 0) / 160
+
+
+def test_mix_job_temperature_requires_target(tmp_path, capsys):
+    with pytest.raises(SystemExit):
+        main(["--input", "x", "--output", "y", "--mode", "temperature"])
