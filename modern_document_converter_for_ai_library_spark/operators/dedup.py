@@ -95,6 +95,97 @@ def minhash_signatures(
     return hashed.select(F.col(id_col), *bands, "shingle_hashes")
 
 
+def _bucket_local_pairs(
+    long: DataFrame,
+    id_col: str,
+    max_bucket_size: int | None,
+    flag_col: str | None = None,
+) -> DataFrame:
+    """The ONE bucket-local candidate-pair kernel shared by every LSH
+    band tier (``lsh_candidate_pairs``, ``minhash_wide_pairs``,
+    ``near_dedup_incremental``) — a skew-cap or orientation fix lands
+    here once instead of drifting across three inlined copies.
+
+    Input: a long ``(id, band_idx, band_value[, flag])`` frame. Steps:
+
+    1. Skew cap BEFORE collect_list: filtering on the collected list's
+       size afterwards would still materialize the degenerate bucket's
+       whole id list in one aggregation buffer (the exact OOM the cap
+       exists to prevent — a boilerplate-heavy corpus can put ~the whole
+       corpus in one band bucket). The count window shuffles on the SAME
+       key the aggregation needs, and window buffers spill; collect_list
+       buffers don't.
+    2. Per-bucket member lists, buckets with >= 2 members only.
+    3. Within-bucket n^2 combination build (bounded by the cap), a < b
+       on the VALUES so pair orientation is deterministic regardless of
+       collect_list's arrival order. With ``flag_col``, a pair is
+       emitted only when >= 1 member is flagged (the incremental tier's
+       new-vs-all restriction — flag-False x flag-False buckets emit
+       nothing).
+    4. ``distinct`` across bands.
+    """
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        wcap = Window.partitionBy("band_idx", "band_value")
+        long = (
+            long.withColumn("_n", F.count("*").over(wcap))
+            .filter(F.col("_n") <= max_bucket_size)
+            .drop("_n")
+        )
+    if flag_col is None:
+        buckets = (
+            long.groupBy("band_idx", "band_value")
+            .agg(F.collect_list(id_col).alias("_ids"))
+            .filter(F.size("_ids") >= 2)
+        )
+        combos = F.filter(
+            F.flatten(
+                F.transform(
+                    "_ids",
+                    lambda x: F.transform(
+                        "_ids",
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            ),
+            lambda s: s["a"] < s["b"],
+        )
+    else:
+        buckets = (
+            long.groupBy("band_idx", "band_value")
+            .agg(
+                F.collect_list(
+                    F.struct(
+                        F.col(id_col).alias("i"), F.col(flag_col).alias("f")
+                    )
+                ).alias("_m")
+            )
+            .filter(F.size("_m") >= 2)
+        )
+        combos = F.filter(
+            F.flatten(
+                F.transform(
+                    "_m",
+                    lambda x: F.transform(
+                        "_m",
+                        lambda y: F.struct(
+                            x["i"].alias("a"),
+                            y["i"].alias("b"),
+                            (x["f"] | y["f"]).alias("n"),
+                        ),
+                    ),
+                )
+            ),
+            lambda s: (s["a"] < s["b"]) & s["n"],
+        )
+    return (
+        buckets.select(F.explode(combos).alias("_p"))
+        .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -152,36 +243,7 @@ def lsh_candidate_pairs(
             "band_idx", "band_value"
         ),
     )
-    if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        wcap = Window.partitionBy("band_idx", "band_value")
-        long = (
-            long.withColumn("_n", F.count("*").over(wcap))
-            .filter(F.col("_n") <= max_bucket_size)
-            .drop("_n")
-        )
-    buckets = (
-        long.groupBy("band_idx", "band_value")
-        .agg(F.collect_list(id_col).alias("_ids"))
-        .filter(F.size("_ids") >= 2)
-    )
-    combos = F.filter(
-        F.flatten(
-            F.transform(
-                "_ids",
-                lambda x: F.transform(
-                    "_ids", lambda y: F.struct(x.alias("a"), y.alias("b"))
-                ),
-            )
-        ),
-        lambda s: s["a"] < s["b"],
-    )
-    return (
-        buckets.select(F.explode(combos).alias("_p"))
-        .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
-        .distinct()
-    )
+    return _bucket_local_pairs(long, id_col, max_bucket_size)
 
 
 def oversized_buckets(
@@ -628,6 +690,14 @@ def near_dedup(
         carries bands + shingle arrays together) — kept for A/B reference;
         per-1M-doc numbers in BENCH/BASELINE.md.
     """
+    if candidate_tier not in ("bands", "wide", "fused"):
+        # fail loudly: silently falling through to the fused tier would
+        # materialize per-doc shingle arrays for the WHOLE corpus — the
+        # exact corpus-scale blowup the bands tiers exist to avoid
+        raise ValueError(
+            "candidate_tier must be one of 'bands', 'wide', 'fused' — "
+            f"got {candidate_tier!r}"
+        )
     if candidate_tier in ("bands", "wide"):
         if candidate_tier == "wide":
             wide_bands = minhash_wide_bands(
@@ -716,7 +786,7 @@ def passage_dedup(
     """
     from pyspark.sql import Window
 
-    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    toks = tokens_col(text_col)
     n_chunks = F.ceil(F.size("_toks") / chunk_tokens).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
@@ -1048,7 +1118,7 @@ def decontaminate(
     """
 
     def _overlapping_grams(frame: DataFrame, keep_id: bool) -> DataFrame:
-        toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+        toks = tokens_col(text_col)
         grams = F.transform(
             F.sequence(F.lit(1), F.size("_toks") - (ngram - 1)),
             lambda i: F.md5(
@@ -1092,7 +1162,7 @@ def simhash_sketches(
     unaffordable; equality of the two is pinned by test."""
     if not 1 <= n_bits <= 128:
         raise ValueError("md5 provides at most 128 bits")
-    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    toks = tokens_col(text_col)
     ex = (
         df.select(F.col(id_col), toks.alias("_toks"))
         .filter(F.size("_toks") > 0)
@@ -1309,46 +1379,7 @@ def minhash_wide_pairs(
             "band_idx", "band_value"
         ),
     )
-    if max_bucket_size is not None:
-        # cap BEFORE collect_list: filtering on size(_ids) afterwards
-        # would still materialize the degenerate bucket's whole id list in
-        # one aggregation buffer (the exact OOM the cap exists to prevent
-        # — a boilerplate-heavy corpus can put ~the entire corpus in one
-        # band bucket). The count window shuffles on the SAME key the
-        # aggregation needs, and window buffers spill; collect_list
-        # buffers don't.
-        from pyspark.sql import Window
-
-        wcap = Window.partitionBy("band_idx", "band_value")
-        long = (
-            long.withColumn("_n", F.count("*").over(wcap))
-            .filter(F.col("_n") <= max_bucket_size)
-            .drop("_n")
-        )
-    buckets = (
-        long.groupBy("band_idx", "band_value")
-        .agg(F.collect_list(id_col).alias("_ids"))
-        .filter(F.size("_ids") >= 2)
-    )
-    # n^2 combination build inside the bucket (bounded by the cap); a<b
-    # on the VALUES so the pair orientation is deterministic regardless
-    # of collect_list's arrival order
-    combos = F.filter(
-        F.flatten(
-            F.transform(
-                "_ids",
-                lambda x: F.transform(
-                    "_ids", lambda y: F.struct(x.alias("a"), y.alias("b"))
-                ),
-            )
-        ),
-        lambda s: s["a"] < s["b"],
-    )
-    return (
-        buckets.select(F.explode(combos).alias("_p"))
-        .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
-        .distinct()
-    )
+    return _bucket_local_pairs(long, id_col, max_bucket_size)
 
 
 def near_dedup_incremental(
@@ -1399,46 +1430,9 @@ def near_dedup_incremental(
             "band_idx", "band_value"
         ),
     )
-    if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        wcap = Window.partitionBy("band_idx", "band_value")
-        long = (
-            long.withColumn("_n", F.count("*").over(wcap))
-            .filter(F.col("_n") <= max_bucket_size)
-            .drop("_n")
-        )
-    buckets = (
-        long.groupBy("band_idx", "band_value")
-        .agg(
-            F.collect_list(F.struct(F.col(id_col).alias("i"), "_is_new")).alias(
-                "_m"
-            )
-        )
-        .filter(F.size("_m") >= 2)
-    )
-    combos = F.filter(
-        F.flatten(
-            F.transform(
-                "_m",
-                lambda x: F.transform(
-                    "_m",
-                    lambda y: F.struct(
-                        x["i"].alias("a"),
-                        y["i"].alias("b"),
-                        (x["_is_new"] | y["_is_new"]).alias("n"),
-                    ),
-                ),
-            )
-        ),
-        lambda s: (s["a"] < s["b"]) & s["n"],
-    )
-    pairs = (
-        buckets.select(F.explode(combos).alias("_p"))
-        .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
-        .distinct()
-        .persist()
-    )
+    pairs = _bucket_local_pairs(
+        long, id_col, max_bucket_size, flag_col="_is_new"
+    ).persist()
     try:
         nodes = (
             pairs.select(F.col("a").alias(id_col))

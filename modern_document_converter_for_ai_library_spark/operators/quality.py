@@ -40,6 +40,21 @@ from pyspark.sql import functions as F
 
 MICRO = 1_000_000
 
+
+def micros_ratio(num, den) -> F.Column:
+    """EXACT floor((num * 1e6) / den) as BIGINT — the module contract
+    ("all ratios are integer micros") and the DuckDB oracles' ``//``.
+
+    float '/' then cast truncates a nearest-ROUNDED double, which can
+    exceed the true floor once num*1e6 leaves the 2^53-exact range (a
+    multi-GB single document) — flipping a threshold flag in one engine
+    but not the other. Route through DECIMAL(38,0): subtract the exact
+    remainder first so the final division is integer-valued, hence
+    exact at any decimal scale."""
+    n6 = num.cast("decimal(38,0)") * MICRO
+    d = den.cast("decimal(38,0)")
+    return ((n6 - n6 % d) / d).cast("bigint")
+
 # Gopher's stopword-presence list (Rae et al. 2021 A1.1: "contains at
 # least two of the following English words")
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
@@ -87,9 +102,9 @@ def gopher_signal_exprs(text_col: str, toks_col: str) -> dict:
     ).cast("bigint")
 
     nz = F.greatest(n, F.lit(1))  # guard: token-less docs fail on word count
-    mean_len = (total_len * MICRO / nz).cast("bigint")
-    sym_ratio = (n_symbols * MICRO / nz).cast("bigint")
-    alpha_ratio = (n_alpha * MICRO / nz).cast("bigint")
+    mean_len = micros_ratio(total_len, nz)
+    sym_ratio = micros_ratio(n_symbols, nz)
+    alpha_ratio = micros_ratio(n_alpha, nz)
     gpass = (
         (n >= GOPHER_MIN_WORDS)
         & (n <= GOPHER_MAX_WORDS)
@@ -159,9 +174,9 @@ def _gram_frac(
         )
     return per_doc.select(
         F.col(id_col),
-        (F.col("_hit") * MICRO / F.greatest(F.col("_total"), F.lit(1)))
-        .cast("bigint")
-        .alias("frac_micros"),
+        micros_ratio(
+            F.col("_hit"), F.greatest(F.col("_total"), F.lit(1))
+        ).alias("frac_micros"),
     )
 
 
@@ -327,7 +342,7 @@ def quality_funnel(
     n_stop = F.size(
         F.filter("_toks", lambda x: F.array_contains(stop_arr, F.lower(x)))
     ).cast("bigint")
-    ratio_micros = ((n_stop * MICRO) / n).cast("bigint")
+    ratio_micros = micros_ratio(n_stop, n)
     lang_en = F.coalesce(
         ratio_micros >= langid_min_ratio_micros, F.lit(False)
     )

@@ -276,7 +276,15 @@ def epoch_budget_sample(
         .filter(
             (
                 (F.col("epoch") < F.col("_n_full"))
-                | (F.col("cum_tokens") <= F.col("_rem"))
+                # the _rem > 0 guard mirrors budget_sample's thr > 0: a
+                # zero remainder means NO partial epoch, but a leading
+                # zero-token document (inclusive cum_tokens = 0) would
+                # otherwise pass 0 <= 0 and emit an extra copy whenever
+                # the budget is an exact multiple of the token mass
+                | (
+                    (F.col("cum_tokens") <= F.col("_rem"))
+                    & (F.col("_rem") > 0)
+                )
             )
             # budget-0 sources are fully excluded — without this, their
             # zero-token documents pass cum_tokens 0 <= rem 0 (the same
@@ -357,11 +365,18 @@ def temperature_rates(
             source_col,
             "mass",
             "weight",
+            # DECIMAL(38,0) for the cross-product: target_total * weight
+            # * 1e6 overflows BIGINT already at target 5M x mass 5M
+            # (2.5e19 > 2^63), and non-ANSI BIGINT silently wraps to a
+            # garbage rate. Decimal integer math is exact to 1e38 — far
+            # past any real (target, mass) pair — and the DuckDB oracle
+            # mirrors it with HUGEINT, so both engines stay bit-exact.
             F.least(
                 F.lit(MICRO).cast("bigint"),
                 F.expr(
-                    f"(CAST({int(target_total)} AS BIGINT) * weight "
-                    f"* {MICRO}) div (_w_total * mass)"
+                    f"CAST((CAST({int(target_total)} AS DECIMAL(38,0))"
+                    f" * weight * {MICRO}) div "
+                    f"(CAST(_w_total AS DECIMAL(38,0)) * mass) AS BIGINT)"
                 ),
             ).alias("rate_micros"),
         )

@@ -371,7 +371,11 @@ def spark_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop = F.size(
         F.filter("tokens", lambda x: F.array_contains(stop_arr, F.lower(x)))
     ).cast("bigint")
-    ratio_micros = ((n_stop * MICRO) / n).cast("bigint")
+    # exact integer micros (matches the oracle's `//` — see
+    # operators/quality.py:micros_ratio for why float '/' diverges)
+    from .operators.quality import micros_ratio
+
+    ratio_micros = micros_ratio(n_stop, n)
     lang = F.when(ratio_micros >= 80_000, F.lit("en")).otherwise(F.lit("unknown"))
     quality = (
         F.when((n >= 20) & (ratio_micros >= 80_000), F.lit("good"))
@@ -1060,7 +1064,8 @@ WITH m AS (
 ), r AS (
   SELECT source,
          LEAST(CAST(1000000 AS BIGINT),
-               (CAST(200 AS BIGINT) * weight * 1000000) // (w_total * mass))
+               CAST((CAST(200 AS HUGEINT) * weight * 1000000)
+                    // (CAST(w_total AS HUGEINT) * mass) AS BIGINT))
            AS rate_micros
   FROM w, t
 )
@@ -1218,7 +1223,7 @@ WITH t AS (
 SELECT doc_id, source, CAST(u.epoch AS BIGINT) AS epoch,
        n_tokens, hash_micros, CAST(cum_tokens AS BIGINT) AS cum_tokens
 FROM k, UNNEST(range(CAST(0 AS BIGINT), CAST(n_full + 1 AS BIGINT))) AS u(epoch)
-WHERE (u.epoch < n_full OR cum_tokens <= rem) AND budget > 0
+WHERE (u.epoch < n_full OR (cum_tokens <= rem AND rem > 0)) AND budget > 0
 """
 
 

@@ -586,3 +586,25 @@ def test_shard_assign_oversize_doc_skips_ids(spark):
 
     with _pytest.raises(ValueError):
         shard_assign(df, 0)
+
+
+def test_epoch_budget_exact_multiple_no_zero_token_extra_copy(spark):
+    # budget == exact multiple of the source's token mass: remainder is
+    # 0, so NO partial epoch may be emitted — a leading zero-token doc
+    # (inclusive cum_tokens = 0) must not pick up an extra copy via
+    # 0 <= 0 (mirrors budget_sample's thr > 0 guard)
+    from modern_document_converter_for_ai_library_spark.operators.sampling import (
+        epoch_budget_sample,
+    )
+    import collections
+
+    rows = [(1, "a", ""), (2, "a", "w w w"), (3, "a", "x x")]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    mass = 5  # 0 + 3 + 2 tokens
+    for n_epochs in (1, 2):
+        out = epoch_budget_sample(
+            df, {"a": mass * n_epochs}, default_budget=0
+        ).collect()
+        per_doc = collections.Counter(r["doc_id"] for r in out)
+        assert per_doc == {1: n_epochs, 2: n_epochs, 3: n_epochs}
+        assert {r["epoch"] for r in out} == set(range(n_epochs))

@@ -141,3 +141,29 @@ def test_mass_col_token_weighting(spark):
         ).collect()
     }
     assert got == {"a": (100, 10), "b": (25, 5)}
+
+
+def test_rates_exact_at_web_scale_masses_no_bigint_overflow(spark):
+    # target_total * weight * 1e6 at 5B-token masses is ~2.5e25 — far
+    # past 2^63, where non-ANSI BIGINT silently wraps. The DECIMAL(38,0)
+    # product must match Python's unbounded integers exactly.
+    sizes = {"web": 5_000_000_000, "code": 800_000_000, "wiki": 30_000_000}
+    df = spark.createDataFrame(
+        [(i, s, m) for i, (s, m) in enumerate(sizes.items())],
+        "doc_id: bigint, source: string, n_tokens: bigint",
+    )
+    for alpha in ("1", "1/2", "1/4"):
+        target = 2_000_000_000
+        got = {
+            r["source"]: r["rate_micros"]
+            for r in temperature_rates(
+                df, alpha=alpha, target_total=target, mass_col="n_tokens"
+            ).collect()
+        }
+        twin = _twin_rates(sizes, alpha, target)
+        assert got == twin, alpha
+        # sanity: with alpha=1 and target < total mass, no wrap-induced
+        # drop — the proportional rate is target/total for every source
+        if alpha == "1":
+            expect = target * MICRO // sum(sizes.values())
+            assert all(v == expect for v in got.values())
