@@ -762,6 +762,64 @@ def near_dedup(
     )
 
 
+def select_representatives(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    canonical_col: str = "canonical_doc_id",
+) -> DataFrame:
+    """Quality-aware representative selection over near-dedup clusters:
+    instead of keeping the min-id canonical, keep the HIGHEST-``score_col``
+    member of every duplicate cluster (ties broken by min id, so the
+    selection is deterministic and degenerates to the canonical choice on
+    uniform scores). This is the standard curation move — when a cluster
+    mixes a clean page with its boilerplate-laden mirrors, min-id keeps an
+    arbitrary one; score-argmax keeps the best.
+
+    Input: ``near_dedup(...)`` output (or anything carrying a cluster
+    label in ``canonical_col``) plus a numeric per-doc quality score.
+    Output: the input plus ``representative_doc_id`` and ``keep``
+    (``keep`` = this row IS its cluster's representative; exactly one per
+    cluster, singletons always keep).
+
+    100 TB plan shape: the argmax aggregation runs ONLY over docs in
+    multi-member clusters — found via the (small) set of canonical ids
+    that own at least one non-root member, so the corpus at large is
+    touched by two broadcastable joins (leftsemi cluster filter, left rep
+    lookup) over a 3-column slim projection, never shuffled whole. At
+    production duplicate densities clustered docs << corpus, mirroring
+    ``near_dedup``'s candidate-only shingle recompute.
+    """
+    # clusters with >1 member = canonicals that appear as someone's label
+    # with a differing id (non-roots); bounded by the verified-dup count
+    clusters = (
+        df.filter(F.col(id_col) != F.col(canonical_col))
+        .select(canonical_col)
+        .distinct()
+    )
+    slim = df.select(canonical_col, id_col, score_col)
+    clustered = slim.join(clusters, on=canonical_col, how="leftsemi")
+    # argmax score, ties -> min id: min_by over the (-score, id) struct
+    reps = clustered.groupBy(canonical_col).agg(
+        F.min_by(
+            F.col(id_col),
+            F.struct(
+                (-F.col(score_col)).alias("s"), F.col(id_col).alias("i")
+            ),
+        ).alias("_rep")
+    )
+    return (
+        df.join(reps, on=canonical_col, how="left")
+        .withColumn(
+            "representative_doc_id", F.coalesce("_rep", F.col(id_col))
+        )
+        .drop("_rep")
+        .withColumn(
+            "keep", F.col(id_col) == F.col("representative_doc_id")
+        )
+    )
+
+
 def passage_dedup(
     df: DataFrame,
     text_col: str = "text",

@@ -3047,6 +3047,63 @@ GROUP BY src
 
 
 # ---------------------------------------------------------------------------
+# q_near_dedup_best — quality-aware representative selection over the same
+# near-dup clusters: keep the highest-token-count member per cluster (ties
+# -> min id) instead of the min-id canonical
+# (operators/dedup.py:select_representatives). The oracle extends the
+# recursive-closure CTE with a per-cluster argmax via row_number.
+# ---------------------------------------------------------------------------
+
+
+def spark_near_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import near_dedup, select_representatives
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    out = near_dedup(docs, threshold_micros=500_000, n_bands=1, band_rows=2)
+    scored = out.withColumn("score", F.size(toks).cast("bigint"))
+    reps = select_representatives(scored, "score")
+    return reps.select(
+        "doc_id",
+        F.col("representative_doc_id").cast("bigint").alias(
+            "representative_doc_id"
+        ),
+        "keep",
+    )
+
+
+# shares the band/verify/closure CTE chain with _NEAR_DEDUP_SQL; the tail
+# swaps min(dst) canonicalization for the score-argmax representative
+_NEAR_DEDUP_BEST_SQL = (
+    _NEAR_DEDUP_SQL[: _NEAR_DEDUP_SQL.index("SELECT src AS doc_id")]
+    + """, lab AS (
+  SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS canon
+  FROM reach GROUP BY src
+), sc AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS score
+  FROM documents
+), ranked AS (
+  SELECT lab.doc_id, lab.canon, sc.score,
+         row_number() OVER (
+           PARTITION BY lab.canon ORDER BY sc.score DESC, lab.doc_id
+         ) AS rn
+  FROM lab JOIN sc ON sc.doc_id = lab.doc_id
+), rep AS (
+  SELECT canon, doc_id AS rep_id FROM ranked WHERE rn = 1
+)
+SELECT r.doc_id,
+       CAST(p.rep_id AS BIGINT) AS representative_doc_id,
+       r.doc_id = p.rep_id AS keep
+FROM ranked r JOIN rep p ON p.canon = r.canon
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # q_near_dedup_wide — the same end-to-end canonicalization through the
 # PRODUCTION-width candidate tier (near_dedup(candidate_tier="wide"): 128
 # perms, 16x8 bands, bucket-local pairs). The oracle re-derives the wide
@@ -6052,6 +6109,7 @@ SPARK_QUERIES = {
     "q_rename_pipeline": spark_rename_pipeline,
     "q_near_dedup": spark_near_dedup,
     "q_near_dedup_star": spark_near_dedup_star,
+    "q_near_dedup_best": spark_near_dedup_best,
     "q_near_dedup_wide": spark_near_dedup_wide,
     "q_near_dedup_chain": spark_near_dedup_chain,
     "q_ivf_topk": spark_ivf_topk,
@@ -6153,6 +6211,7 @@ ORACLE_SQL = {
     "q_code_discovery": _CODE_DISCOVERY_SQL,
     "q_near_dedup": _NEAR_DEDUP_SQL,
     "q_near_dedup_star": _NEAR_DEDUP_SQL,
+    "q_near_dedup_best": _NEAR_DEDUP_BEST_SQL,
     "q_near_dedup_wide": _NEAR_DEDUP_WIDE_SQL,
     "q_near_dedup_chain": _NEAR_DEDUP_CHAIN_SQL,
     "q_ivf_topk": _IVF_SQL,

@@ -441,3 +441,112 @@ def test_near_dedup_tiers_identical(spark):
              .select(*cols).collect()}
     assert fast == fused and len(fast) > 0
     assert any(v[1] for v in fast.values())  # corpus has planted near-dups
+
+
+# ---------------------------------------------------------------------------
+# select_representatives — quality-aware cluster representative selection
+# ---------------------------------------------------------------------------
+
+
+def _rep_frame(spark, rows):
+    from modern_document_converter_for_ai_library_spark.operators.dedup import (
+        select_representatives,
+    )
+
+    df = spark.createDataFrame(
+        rows, ["doc_id", "canonical_doc_id", "score"]
+    )
+    return {
+        r["doc_id"]: (r["representative_doc_id"], r["keep"])
+        for r in select_representatives(df, "score").collect()
+    }
+
+
+def test_select_representatives_argmax_and_singletons(spark):
+    rows = [
+        # cluster {1,2,3}: doc 2 has the best score -> everyone points at 2
+        (1, 1, 10),
+        (2, 1, 99),
+        (3, 1, 50),
+        # singleton: always keeps itself, untouched by the aggregation
+        (4, 4, 1),
+        # cluster {5,6}: tie on score -> min id 5 wins deterministically
+        (5, 5, 7),
+        (6, 5, 7),
+    ]
+    got = _rep_frame(spark, rows)
+    assert got == {
+        1: (2, False),
+        2: (2, True),
+        3: (2, False),
+        4: (4, True),
+        5: (5, True),
+        6: (5, False),
+    }
+    # exactly one keeper per cluster
+    assert sum(1 for v in got.values() if v[1]) == 3
+
+
+def test_select_representatives_uniform_scores_degenerate_to_canonical(
+    spark,
+):
+    rows = [(i, 1 if i <= 3 else i, 5) for i in range(1, 6)]
+    got = _rep_frame(spark, rows)
+    assert all(rep == (1 if d <= 3 else d) for d, (rep, _) in got.items())
+
+
+def test_select_representatives_partitioning_invariant(spark):
+    from modern_document_converter_for_ai_library_spark.operators.dedup import (
+        select_representatives,
+    )
+
+    rows = [
+        (i, i % 7, (i * 37) % 11 - 5)  # negative scores exercised too
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "canonical_doc_id", "score"])
+    outs = []
+    for parts in (1, 13):
+        outs.append(
+            {
+                r["doc_id"]: (r["representative_doc_id"], r["keep"])
+                for r in select_representatives(
+                    df.repartition(parts), "score"
+                ).collect()
+            }
+        )
+    assert outs[0] == outs[1]
+    # python twin: argmax score, ties -> min id, per cluster
+    import collections
+
+    by_c = collections.defaultdict(list)
+    for d, c, s in rows:
+        by_c[c].append((d, s))
+    for c, members in by_c.items():
+        want = min(members, key=lambda t: (-t[1], t[0]))[0]
+        for d, _ in members:
+            assert outs[0][d] == (want, d == want), (c, d)
+
+
+def test_select_representatives_composes_with_near_dedup(spark, docs):
+    from modern_document_converter_for_ai_library_spark.operators.dedup import (
+        select_representatives,
+    )
+
+    out = near_dedup(docs, threshold_micros=500_000)
+    # score by token count: doc 3 (BASE + suffix) outscores docs 1/2 in
+    # the {1,2,3} cluster, so the representative moves off the min id
+    scored = out.withColumn(
+        "score",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast(
+            "bigint"
+        ),
+    )
+    got = {
+        r["doc_id"]: (r["representative_doc_id"], r["keep"])
+        for r in select_representatives(scored, "score").collect()
+    }
+    assert got[1] == (3, False)
+    assert got[2] == (3, False)
+    assert got[3] == (3, True)
+    assert got[4] == (4, True) and got[5] == (5, True)
