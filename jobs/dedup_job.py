@@ -23,6 +23,11 @@ Outputs:
                input doc; semantic: (doc_id, cell, kept) — SemDeDup picks a
                per-cell representative rather than a canonical id
 
+With --keep-best-col SCORE (near tier), the survivor of each duplicate
+cluster is its highest-SCORE member (ties -> min id) instead of the min-id
+canonical (operators/dedup.py:select_representatives); the dupmap then also
+carries representative_doc_id.
+
 Input/output targets accept Iceberg identifiers or parquet paths
 (sources/catalog.py). The job prints one JSON line with corpus/survivor
 counts and the duplicate rate.
@@ -62,10 +67,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-cell-size", type=int, default=100_000,
                    help="semantic tier: cell skew cap (oversized cells "
                         "kept wholesale, auditable)")
+    p.add_argument("--keep-best-col", default=None,
+                   help="near tier: numeric per-doc score column on the "
+                        "input; keep the HIGHEST-scoring member of each "
+                        "duplicate cluster (ties -> min id) instead of the "
+                        "min-id canonical "
+                        "(operators/dedup.py:select_representatives)")
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
+    if args.keep_best_col and args.tier != "near":
+        p.error("--keep-best-col requires --tier near")
 
     from pyspark.sql import functions as F
 
@@ -131,9 +144,20 @@ def main(argv: list[str] | None = None) -> int:
                 max_bucket_size=args.max_bucket_size,
             )
             dup_col = "is_near_duplicate"
+            if args.keep_best_col:
+                from modern_document_converter_for_ai_library_spark.operators.dedup import (
+                    select_representatives,
+                )
+
+                # re-derive the drop flag from the score-argmax keeper so
+                # the survivor filter below stays uniform across tiers
+                marked = select_representatives(
+                    marked, args.keep_best_col, id_col=args.id_col
+                ).withColumn(dup_col, ~F.col("keep"))
         marked = marked.persist()
         survivors = marked.filter(~F.col(dup_col)).drop(
-            "canonical_doc_id", "cell", dup_col
+            "canonical_doc_id", "representative_doc_id", "keep", "cell",
+            dup_col,
         )
         write_documents(survivors, args.output, mode="overwrite")
         if args.dupmap:
@@ -142,9 +166,10 @@ def main(argv: list[str] | None = None) -> int:
                     args.id_col, "cell", (~F.col(dup_col)).alias("kept")
                 )
             else:
-                dupmap = marked.select(
-                    args.id_col, "canonical_doc_id", F.col(dup_col)
-                )
+                cols = [args.id_col, "canonical_doc_id"]
+                if args.keep_best_col:
+                    cols.append("representative_doc_id")
+                dupmap = marked.select(*cols, F.col(dup_col))
             write_documents(dupmap, args.dupmap, mode="overwrite")
         n_total = marked.count()
         n_survivors = survivors.count()
@@ -154,6 +179,8 @@ def main(argv: list[str] | None = None) -> int:
             "n_survivors": n_survivors,
             "duplicate_rate": round(1 - n_survivors / max(n_total, 1), 6),
         }
+        if args.keep_best_col:
+            stats["keep"] = f"best:{args.keep_best_col}"
         if args.tier == "semantic":
             # surface the two silent-no-op modes: cells over the skew cap
             # are kept wholesale (sweep skipped), and documents without an

@@ -203,3 +203,60 @@ def test_dedup_job_semantic_oversized_cells_audited(spark, tmp_path, capsys):
     assert report["oversized_cells"] >= 1
     assert report["docs_in_oversized_cells"] == 8
     assert report["n_survivors"] == 8  # kept wholesale — and now visibly so
+
+
+def test_dedup_job_keep_best_col(spark, tmp_path, capsys):
+    sys.path.insert(0, "/root/repo")
+    import jobs.dedup_job as job
+
+    # docs 1/2/3 are one near-dup cluster; doc 3 carries the best score,
+    # so with --keep-best-col it must be the survivor instead of min-id 1
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the harbor", 10),
+        (2, "the quick brown fox jumps over the lazy dog near the harbor", 20),
+        (3, "the quick brown fox jumps over the lazy dog near the harbors", 30),
+        (4, "completely different content about gardening and fresh bread", 1),
+    ]
+    inp = str(tmp_path / "in_best")
+    outp = str(tmp_path / "out_best")
+    dmap = str(tmp_path / "dupmap_best")
+    spark.createDataFrame(rows, ["doc_id", "text", "score"]).write.parquet(inp)
+    rc = job.main(
+        [
+            "--input", inp, "--output", outp, "--dupmap", dmap,
+            "--tier", "near", "--threshold", "0.7",
+            "--keep-best-col", "score",
+        ]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["n_survivors"] == 2 and report["keep"] == "best:score"
+
+    surv = duckdb.sql(
+        f"SELECT doc_id FROM read_parquet('{outp}/*.parquet') ORDER BY 1"
+    ).fetchall()
+    assert [r[0] for r in surv] == [3, 4]
+    dm = {
+        r[0]: (r[1], r[2], r[3])
+        for r in duckdb.sql(
+            "SELECT doc_id, canonical_doc_id, representative_doc_id, "
+            f"is_near_duplicate FROM read_parquet('{dmap}/*.parquet')"
+        ).fetchall()
+    }
+    # canonical stays min-id 1; the representative moves to 3
+    assert dm[1] == (1, 3, True)
+    assert dm[2] == (1, 3, True)
+    assert dm[3] == (1, 3, False)
+    assert dm[4] == (4, 4, False)
+
+
+def test_dedup_job_keep_best_requires_near(spark, tmp_path):
+    sys.path.insert(0, "/root/repo")
+    import jobs.dedup_job as job
+    import pytest
+
+    with pytest.raises(SystemExit):
+        job.main(
+            ["--input", "x", "--output", "y", "--tier", "exact",
+             "--keep-best-col", "score"]
+        )
