@@ -149,6 +149,12 @@ def main(argv: list[str] | None = None) -> int:
                     select_representatives,
                 )
 
+                # the selection's extra input consumers are column-pruned
+                # re-scans over the checkpoint-truncated near_dedup output
+                # — measured within run noise of the plain job at 500k
+                # docs (scripts/rep_select_probe.py), so no extra persist
+                # here; the shared post-selection persist below covers the
+                # job's multiple output actions.
                 # re-derive the drop flag from the score-argmax keeper so
                 # the survivor filter below stays uniform across tiers
                 marked = select_representatives(

@@ -767,6 +767,7 @@ def select_representatives(
     score_col: str,
     id_col: str = "doc_id",
     canonical_col: str = "canonical_doc_id",
+    cache_scope: "CacheScope | None" = None,
 ) -> DataFrame:
     """Quality-aware representative selection over near-dedup clusters:
     instead of keeping the min-id canonical, keep the HIGHEST-``score_col``
@@ -789,15 +790,29 @@ def select_representatives(
     lookup) over a 3-column slim projection, never shuffled whole. At
     production duplicate densities clustered docs << corpus, mirroring
     ``near_dedup``'s candidate-only shingle recompute.
+
+    The input is consumed three times (cluster-id set, argmax scan,
+    final width-preserving join). Measured A/B at 500k docs over a
+    parquet corpus (scripts/rep_select_probe.py, BENCH/BASELINE.md):
+    the three-consumer plan lands WITHIN RUN NOISE of the plain
+    near_dedup job — the extra consumers are column-pruned scans over a
+    checkpoint-truncated lineage — while force-persisting the slim
+    projection measured ~+25% (cache write cost) and would charge
+    corpus-scale executor storage at 10^12 rows. So nothing is persisted
+    by default; pass ``cache_scope`` (plans/caching.py) to persist the
+    slim projection when the input lineage is expensive and NOT already
+    materialized (e.g. piped from an un-checkpointed upstream).
     """
+    slim = df.select(canonical_col, id_col, score_col)
+    if cache_scope is not None:
+        slim = scoped_persist(slim, cache_scope)
     # clusters with >1 member = canonicals that appear as someone's label
     # with a differing id (non-roots); bounded by the verified-dup count
     clusters = (
-        df.filter(F.col(id_col) != F.col(canonical_col))
+        slim.filter(F.col(id_col) != F.col(canonical_col))
         .select(canonical_col)
         .distinct()
     )
-    slim = df.select(canonical_col, id_col, score_col)
     clustered = slim.join(clusters, on=canonical_col, how="leftsemi")
     # argmax score, ties -> min id: min_by over the (-score, id) struct
     reps = clustered.groupBy(canonical_col).agg(
