@@ -6048,6 +6048,152 @@ LIMIT 50
 """
 
 
+# ---------------------------------------------------------------------------
+# Link-graph family (operators/graph.py): exact-integer PageRank, degree /
+# reciprocity stats, and anchor-text rollup. The synthetic corpus has no
+# hyperlinks, so the contract queries derive a deterministic pseudo-link
+# graph from doc_id arithmetic — the same documented stand-in pattern as the
+# synthetic host column in q_salted_host_agg: 3 modular out-links per doc
+# plus a hub edge (every 10th doc links to node 0) so the in-degree skew
+# path is exercised. Both engines state the identical derivation.
+# ---------------------------------------------------------------------------
+
+_LINK_EDGE_PARAMS = ((17, 3), (29, 11), (43, 7))
+
+_LINK_EDGES_CTES = """
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+e0 AS (
+  SELECT CAST(doc_id AS BIGINT) AS src,
+         (CAST(doc_id AS BIGINT) * 17 + 3) % (SELECT n FROM n) AS dst
+  FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT),
+         (CAST(doc_id AS BIGINT) * 29 + 11) % (SELECT n FROM n)
+  FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT),
+         (CAST(doc_id AS BIGINT) * 43 + 7) % (SELECT n FROM n)
+  FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), CAST(0 AS BIGINT)
+  FROM documents WHERE doc_id % 10 = 0
+),
+edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst)
+"""
+
+
+def _link_graph(spark: SparkSession, sf_dir: str):
+    """(nodes, edges) for the contract link graph. The corpus count is one
+    bounded driver scalar (mirrors the oracle's scalar subquery)."""
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("bigint").alias("doc_id"))
+    n = docs.count()
+    parts = [
+        docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * mult + off) % n).cast("bigint").alias("dst"),
+        )
+        for mult, off in _LINK_EDGE_PARAMS
+    ]
+    hub = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("src"), F.lit(0).cast("bigint").alias("dst")
+    )
+    edges = parts[0].union(parts[1]).union(parts[2]).union(hub)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    return nodes, edges.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def spark_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import pagerank
+
+    nodes, edges = _link_graph(spark, sf_dir)
+    return pagerank(nodes, edges, n_iter=3, damping_micros=850_000)
+
+
+_PAGERANK_SQL = f"""
+WITH {_LINK_EDGES_CTES},
+nodes AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+ed AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+c1 AS (SELECT ed.dst, CAST(SUM(r0.r // ed.outdeg) AS BIGINT) AS c
+       FROM ed JOIN r0 ON ed.src = r0.node GROUP BY ed.dst),
+r1 AS (SELECT n.node,
+              CAST(150000 + (850000 * COALESCE(c1.c, 0)) // 1000000 AS BIGINT) AS r
+       FROM nodes n LEFT JOIN c1 ON n.node = c1.dst),
+c2 AS (SELECT ed.dst, CAST(SUM(r1.r // ed.outdeg) AS BIGINT) AS c
+       FROM ed JOIN r1 ON ed.src = r1.node GROUP BY ed.dst),
+r2 AS (SELECT n.node,
+              CAST(150000 + (850000 * COALESCE(c2.c, 0)) // 1000000 AS BIGINT) AS r
+       FROM nodes n LEFT JOIN c2 ON n.node = c2.dst),
+c3 AS (SELECT ed.dst, CAST(SUM(r2.r // ed.outdeg) AS BIGINT) AS c
+       FROM ed JOIN r2 ON ed.src = r2.node GROUP BY ed.dst),
+r3 AS (SELECT n.node,
+              CAST(150000 + (850000 * COALESCE(c3.c, 0)) // 1000000 AS BIGINT) AS r
+       FROM nodes n LEFT JOIN c3 ON n.node = c3.dst)
+SELECT node, r AS rank_micros FROM r3
+"""
+
+
+def spark_link_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import degree_stats
+
+    _nodes, edges = _link_graph(spark, sf_dir)
+    return degree_stats(edges)
+
+
+_LINK_DEGREES_SQL = f"""
+WITH {_LINK_EDGES_CTES},
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS c FROM edges GROUP BY src),
+ind AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS c FROM edges GROUP BY dst),
+rc AS (SELECT e.src, CAST(COUNT(*) AS BIGINT) AS c FROM edges e
+       WHERE EXISTS (SELECT 1 FROM edges r
+                     WHERE r.src = e.dst AND r.dst = e.src)
+       GROUP BY e.src)
+SELECT n.node,
+       COALESCE(od.c, 0) AS outdeg,
+       COALESCE(ind.c, 0) AS indeg,
+       COALESCE(rc.c, 0) AS n_reciprocal
+FROM nodes n
+LEFT JOIN od ON n.node = od.src
+LEFT JOIN ind ON n.node = ind.dst
+LEFT JOIN rc ON n.node = rc.src
+"""
+
+
+def spark_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import anchor_rollup
+
+    _nodes, edges = _link_graph(spark, sf_dir)
+    anchors = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("src"),
+        F.substring_index("text", " ", 1).alias("anchor"),
+    )
+    return anchor_rollup(edges.join(anchors, "src"))
+
+
+_ANCHOR_TEXT_SQL = f"""
+WITH {_LINK_EDGES_CTES},
+anch AS (SELECT CAST(doc_id AS BIGINT) AS src,
+                split_part(text, ' ', 1) AS anchor
+         FROM documents),
+ea AS (SELECT e.src, e.dst, a.anchor FROM edges e JOIN anch a USING (src)),
+pa AS (SELECT dst, anchor, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM ea GROUP BY dst, anchor),
+tot AS (SELECT dst, CAST(SUM(cnt) AS BIGINT) AS n_inlinks,
+               CAST(COUNT(*) AS BIGINT) AS n_anchors
+        FROM pa GROUP BY dst),
+top AS (SELECT dst, anchor, cnt,
+               row_number() OVER (PARTITION BY dst
+                                  ORDER BY cnt DESC, anchor DESC) AS rn
+        FROM pa)
+SELECT t.dst, t.n_inlinks, t.n_anchors,
+       p.anchor AS top_anchor, p.cnt AS top_anchor_count
+FROM tot t JOIN top p ON t.dst = p.dst AND p.rn = 1
+"""
+
+
 SPARK_QUERIES = {
     "q_classify_scores": spark_classify_scores,
     "q_normalize_chain": spark_normalize_chain,
@@ -6143,6 +6289,9 @@ SPARK_QUERIES = {
     "q_unigram_seed": spark_unigram_seed,
     "q_kcenter": spark_kcenter,
     "q_perceptron": spark_perceptron,
+    "q_pagerank": spark_pagerank,
+    "q_link_degrees": spark_link_degrees,
+    "q_anchor_text": spark_anchor_text,
 }
 
 ORACLE_SQL = {
@@ -6245,4 +6394,7 @@ ORACLE_SQL = {
     "q_unigram_seed": _UNIGRAM_SEED_SQL,
     "q_kcenter": _KCENTER_SQL,
     "q_perceptron": _PERCEPTRON_SQL,
+    "q_pagerank": _PAGERANK_SQL,
+    "q_link_degrees": _LINK_DEGREES_SQL,
+    "q_anchor_text": _ANCHOR_TEXT_SQL,
 }

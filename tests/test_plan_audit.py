@@ -46,6 +46,9 @@ _DOCS_NEEDED = {
     "q_line_dedup": {"doc_id", "text"},
     "q_blocklist": {"doc_id", "text"},
     "q_unigram_seed": {"text"},
+    "q_pagerank": {"doc_id"},
+    "q_link_degrees": {"doc_id"},
+    "q_anchor_text": {"doc_id", "text"},
     # q_perceptron / q_kcenter return bounded driver-side tables (the
     # training/selection plans run inside the builder), so no scan is
     # visible in the returned frame; the generic audits still apply.
