@@ -52,12 +52,34 @@ def _arrow_schema():
 def _write_chunk(args: tuple) -> int:
     """One worker: generate [start, end) with a chunk-derived rng and write
     one parquet part. Deterministic: rng = RandomState(seed + chunk_idx)."""
-    path, seed, chunk_idx, start, end, job = args
+    path, seed, chunk_idx, start, end, job, n_docs = args
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     rng = np.random.RandomState(seed + chunk_idx)
+    if job == "pagerank":
+        # link-graph corpus: per node, 3 modular out-links (the contract
+        # derivation) + 5 random links with a power-law target bias
+        # (dst ~ n * u^3 concentrates in-degree on low ids; node 0 is the
+        # hot key) — the skewed in-degree shape pagerank's associative
+        # contribution sum must absorb map-side. Per-node dedup via set;
+        # self-loops dropped.
+        srcs, dsts = [], []
+        for i in range(start, end):
+            targets = {(i * 17 + 3) % n_docs, (i * 29 + 11) % n_docs,
+                       (i * 43 + 7) % n_docs}
+            u = rng.rand(5)
+            targets.update((n_docs * u * u * u).astype("int64").tolist())
+            targets.discard(i)
+            srcs.extend([i] * len(targets))
+            dsts.extend(sorted(targets))
+        table = pa.Table.from_pydict(
+            {"src": srcs, "dst": dsts},
+            schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+        )
+        pq.write_table(table, os.path.join(path, f"part-{chunk_idx:04d}.parquet"))
+        return end - start
     if job == "warc":
         # one .warc.gz shard per chunk, per-member gzip (the Common Crawl
         # layout sources/warc.py is built for): each record is a response
@@ -166,7 +188,7 @@ def generate_corpus(path: str, n_docs: int, seed: int = 42, job: str = "convert"
     os.makedirs(path, exist_ok=True)
     n_chunks = 512 if job == "warc" else 128
     bounds = [
-        (path, seed, c, c * n_docs // n_chunks, (c + 1) * n_docs // n_chunks, job)
+        (path, seed, c, c * n_docs // n_chunks, (c + 1) * n_docs // n_chunks, job, n_docs)
         for c in range(n_chunks)
     ]
     workers = min(16, os.cpu_count() or 4)
@@ -278,6 +300,17 @@ def run_job(d, balance=None):
         w, _b, _h = perceptron_train(labeled, epochs=2)
         w.unpersist()
         return d.sparkSession.range(1)
+    if "{job}" == "pagerank":
+        # iterative-operator probe: 3 fixed PageRank rounds over the
+        # power-law edge corpus (d IS the edge table). Per round: one
+        # shuffle of the slim rank table on src against the persisted
+        # degree-annotated edges + one associative contribution sum on
+        # dst — the hot node-0 key partial-aggregates map-side. The
+        # reported rows/sec is EDGES/sec (n = edge count).
+        from pyspark.sql import functions as F
+        from modern_document_converter_for_ai_library_spark.operators.graph import pagerank
+        nodes = d.select(F.col("src").alias("node")).distinct()
+        return pagerank(nodes, d, n_iter=3)
     if "{job}" == "lm":
         # shuffle-operator probe 3: the CCNet-shape LM quality stage —
         # two partial-aggregated groupBys (per-doc gram counts, then the
@@ -369,7 +402,7 @@ def main() -> None:
     ap.add_argument("--md", default=None, help="write/refresh this markdown report")
     ap.add_argument(
         "--job",
-        choices=["convert", "html", "warc", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr", "substr_sparse", "substr_bloom", "substr_sparse_bloom", "perceptron"],
+        choices=["convert", "html", "warc", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr", "substr_sparse", "substr_bloom", "substr_sparse_bloom", "perceptron", "pagerank"],
         default="convert",
         help="which end-to-end kernel job to measure (html = "
         "strip_boilerplate_html over the synthetic web-page corpus; warc = "
