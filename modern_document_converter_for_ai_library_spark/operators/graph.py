@@ -113,16 +113,19 @@ def pagerank(
     ranked. ``edges``: (src, dst), assumed deduplicated and self-loop
     free (callers: ``.distinct()`` + ``src <> dst``).
 
-    Returns (node, rank_micros). The degree-annotated edge table is
-    persisted (registered with ``cache_scope`` when given, GC-managed
-    otherwise) because every iteration re-joins it; a recompute is
-    deterministic — modular integer arithmetic, no sampling — so an
-    eviction costs time, never correctness.
+    Returns (node, rank_micros). The degree-annotated edge table AND the
+    node universe are persisted (registered with ``cache_scope`` when
+    given, GC-managed otherwise): every iteration re-joins both, and when
+    ``nodes`` is itself derived (a distinct over edge endpoints) the
+    n_iter+1 references would otherwise recompute that shuffle each time.
+    A recompute on eviction is deterministic — integer
+    arithmetic, no sampling — so it costs time, never correctness.
     """
     if not 0 <= damping_micros <= MICRO:
         raise ValueError("damping_micros must be within [0, 1e6]")
     base = MICRO - damping_micros
     ed = scoped_persist(edges.join(out_degrees(edges), "src"), cache_scope)
+    nodes = scoped_persist(nodes, cache_scope)
     ranks = nodes.select("node", F.lit(MICRO).cast("bigint").alias("rank_micros"))
     for _ in range(n_iter):
         contrib = (

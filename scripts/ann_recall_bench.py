@@ -102,6 +102,45 @@ def main() -> None:
             )
         assigned.unpersist()
 
+    from modern_document_converter_for_ai_library_spark.operators.pq import (
+        pq_build,
+        pq_search,
+        pq_search_rerank,
+    )
+
+    for m, n_codes in ((8, 16), (16, 64)):
+        t0 = time.perf_counter()
+        encoded, codebook = pq_build(
+            emb, m=m, n_codes=n_codes, lloyd_iterations=2
+        )
+        encoded = encoded.persist()
+        encoded.count()
+        build_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        got = pq_search(encoded, codebook, qs, k=10, m=m).collect()
+        sec = time.perf_counter() - t0
+        record(
+            "pq_adc",
+            {"m": m, "n_codes": n_codes},
+            {(r["query_id"], r["vec_id"]) for r in got},
+            sec,
+            build_sec,
+        )
+        for shortlist in (50, 100):
+            t0 = time.perf_counter()
+            got = pq_search_rerank(
+                encoded, codebook, emb, qs, k=10, shortlist=shortlist, m=m
+            ).collect()
+            sec = time.perf_counter() - t0
+            record(
+                "pq_rerank",
+                {"m": m, "n_codes": n_codes, "shortlist": shortlist},
+                {(r["query_id"], r["vec_id"]) for r in got},
+                sec,
+                build_sec,
+            )
+        encoded.unpersist()
+
     for n_planes in (4, 8):
         for multi_probe in (0, 1):
             t0 = time.perf_counter()
