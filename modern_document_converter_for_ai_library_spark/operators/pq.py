@@ -267,3 +267,93 @@ def pq_search_rerank(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "dist", F.col("rank").cast("bigint").alias("rank"))
     )
+
+
+def ivf_pq_search(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    encoded: DataFrame,
+    codebook: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    shortlist: int = 100,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the standard trillion-scale ANN layout (FAISS IVFPQ shape).
+
+    Three pruning tiers compose: the IVF coarse quantizer restricts
+    candidates to the query's ``n_probe`` nearest cells (~n_probe/K of
+    the corpus), PQ codes rank those candidates by ADC (m lookups + adds
+    each, 16 B/vector payload), and only the ``shortlist`` best join
+    back to full vectors for the exact rescore. ``assigned``/
+    ``centroids`` come from similarity.ivf_build; ``encoded``/
+    ``codebook`` from pq_build over the SAME corpus. Every stage is an
+    equi-join against a broadcast table (probes, distance table) or a
+    partial aggregation — no corpus-scale shuffle beyond the candidate
+    restriction itself.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import _qe_sqdist
+
+    subdim = dim // m
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _quantize(F.col(vec_col)).alias("_qq")
+    )
+    # tier 1: n_probe nearest coarse cells per query
+    qcent = centroids.select("cell", _quantize(F.col("cvec")).alias("_cqe"))
+    qc = q.crossJoin(F.broadcast(qcent)).select(
+        "query_id", "_qq", "cell", _qe_sqdist("_qq", "_cqe").alias("cdist")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("cdist"), F.asc("cell"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "cell")
+    )
+    cand = assigned.select(id_col, "cell").join(
+        F.broadcast(probes), "cell"
+    ).select("query_id", id_col)
+    # tier 2: ADC over the candidates only
+    qsub = _sub_explode(q, "query_id", "_qq", m, subdim)
+    dtable = qsub.join(F.broadcast(codebook), "sub").select(
+        "query_id", "sub", "code",
+        _sv_sqdist(F.col("sv"), F.col("cvec")).alias("d"),
+    )
+    long = encoded.select(
+        F.col(id_col), F.posexplode("codes").alias("sub", "code")
+    )
+    adc = (
+        cand.join(long, id_col)
+        .join(F.broadcast(dtable), ["query_id", "sub", "code"])
+        .groupBy("query_id", id_col)
+        .agg(F.sum("d").cast("bigint").alias("adist"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc(id_col))
+    short = (
+        adc.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= shortlist)
+        .select("query_id", id_col)
+    )
+    # tier 3: exact rescore of the shortlist
+    qcorpus = corpus.select(
+        F.col(id_col), _quantize(F.col(vec_col)).alias("_qe")
+    )
+    rescored = (
+        short.join(qcorpus, id_col)
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id", id_col, _sv_sqdist("_qe", "_qq").alias("dist")
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc(id_col))
+    return (
+        rescored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "dist", F.col("rank").cast("bigint").alias("rank"))
+    )

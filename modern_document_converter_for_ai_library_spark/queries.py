@@ -3455,76 +3455,100 @@ def spark_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_sql() -> str:
+def _pq_codes_ctes() -> tuple[str, str, str]:
+    """Shared CTE fragment for the PQ codebook/encoding unroll, reading
+    from an existing ``v(vec_id, qe)`` CTE. All names are p-prefixed so
+    the fragment composes with the IVF cell prefix (q_ivfpq_topk).
+    Returns (fragment, final-codebook CTE name, code-assignment CTE
+    name) — the assignment CTE ``paf`` is (vec_id, sub, code)."""
     subdim = 64 // _PQ_M
     sqd = (
         "list_sum(list_transform(range(1, {n}), "
         "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
     ).format(n=subdim + 1, a="{a}", b="{b}")
-    sub_dist = sqd.format(a="sv.sv", b="c.cvec")
+    sub_dist = sqd.format(a="psv.sv", b="c.cvec")
     rounds = []
-    prev = "c1"
+    prev = "pc1"
     for r in range(1, _PQ_LLOYD + 1):
-        nxt = f"c{r + 1}"
+        nxt = f"pc{r + 1}"
         rounds.append(
-            """s{r} AS (
-  SELECT sv.vec_id, sv.sub, sv.sv, c.code, {dist} AS cdist
-  FROM sv JOIN {prev} c USING (sub)
-), a{r} AS (
+            """ps{r} AS (
+  SELECT psv.vec_id, psv.sub, psv.sv, c.code, {dist} AS cdist
+  FROM psv JOIN {prev} c USING (sub)
+), pa{r} AS (
   SELECT vec_id, sub, sv, code FROM (
     SELECT vec_id, sub, sv, code,
            row_number() OVER (PARTITION BY vec_id, sub
                               ORDER BY cdist ASC, code ASC) AS rn
-    FROM s{r}
+    FROM ps{r}
   ) WHERE rn = 1
-), u{r} AS (
-  SELECT sub, code, i AS pos, sv[i] AS val FROM a{r}, range(1, {sd1}) t(i)
-), m{r} AS (
+), pu{r} AS (
+  SELECT sub, code, i AS pos, sv[i] AS val FROM pa{r}, range(1, {sd1}) t(i)
+), pm{r} AS (
   SELECT sub, code, pos,
          CAST(FLOOR(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS cv
-  FROM u{r} GROUP BY sub, code, pos
+  FROM pu{r} GROUP BY sub, code, pos
 ), {nxt}p AS (
-  SELECT sub, code, list(cv ORDER BY pos) AS cvec FROM m{r} GROUP BY sub, code
+  SELECT sub, code, list(cv ORDER BY pos) AS cvec FROM pm{r} GROUP BY sub, code
 ), {nxt} AS (
   SELECT {prev}.sub, {prev}.code, COALESCE({nxt}p.cvec, {prev}.cvec) AS cvec
   FROM {prev} LEFT JOIN {nxt}p USING (sub, code)
 )""".format(r=r, prev=prev, nxt=nxt, dist=sub_dist, sd1=subdim + 1)
         )
         prev = nxt
+    frag = """psv AS (
+  SELECT vec_id, CAST(s AS INT) AS sub,
+         list_transform(range(1, {sd1}), i -> qe[s * {sd} + i]) AS sv
+  FROM v, range(0, {m}) t(s)
+), pseeds AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS code
+  FROM (SELECT vec_id FROM v ORDER BY vec_id LIMIT {k})
+), pc1 AS (
+  SELECT psv.sub, pseeds.code, psv.sv AS cvec
+  FROM pseeds JOIN psv USING (vec_id)
+), {rounds}, psfin AS (
+  SELECT psv.vec_id, psv.sub, psv.sv, c.code, {d_fin} AS cdist
+  FROM psv JOIN {fin} c USING (sub)
+), paf AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY cdist ASC, code ASC) AS rn
+    FROM psfin
+  ) WHERE rn = 1
+)""".format(
+        m=_PQ_M,
+        k=_PQ_CODES,
+        sd=subdim,
+        sd1=subdim + 1,
+        rounds=", ".join(rounds),
+        fin=prev,
+        d_fin=sub_dist,
+    )
+    return frag, prev, "paf"
+
+
+def _pq_sql() -> str:
+    subdim = 64 // _PQ_M
+    sqd = (
+        "list_sum(list_transform(range(1, {n}), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    ).format(n=subdim + 1, a="{a}", b="{b}")
+    codes, fin, paf = _pq_codes_ctes()
     return """
 WITH v AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qe
   FROM embeddings
-), sv AS (
-  SELECT vec_id, CAST(s AS INT) AS sub,
-         list_transform(range(1, {sd1}), i -> qe[s * {sd} + i]) AS sv
-  FROM v, range(0, {m}) t(s)
-), seeds AS (
-  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS code
-  FROM (SELECT vec_id FROM v ORDER BY vec_id LIMIT {k})
-), c1 AS (
-  SELECT sv.sub, seeds.code, sv.sv AS cvec
-  FROM seeds JOIN sv USING (vec_id)
-), {rounds}, sfin AS (
-  SELECT sv.vec_id, sv.sub, sv.sv, c.code, {d_fin} AS cdist
-  FROM sv JOIN {fin} c USING (sub)
-), af AS (
-  SELECT vec_id, sub, code FROM (
-    SELECT vec_id, sub, code,
-           row_number() OVER (PARTITION BY vec_id, sub
-                              ORDER BY cdist ASC, code ASC) AS rn
-    FROM sfin
-  ) WHERE rn = 1
-), qq AS (
-  SELECT sub, sv FROM sv WHERE vec_id = (SELECT min(vec_id) FROM v)
+), {codes}, qq AS (
+  SELECT sub, sv FROM psv WHERE vec_id = (SELECT min(vec_id) FROM v)
 ), dt AS (
   SELECT c.sub, c.code, {d_qc} AS d
   FROM {fin} c JOIN qq q USING (sub)
 ), sc AS (
-  SELECT af.vec_id, CAST(sum(dt.d) AS BIGINT) AS adist
-  FROM af JOIN dt USING (sub, code)
-  GROUP BY af.vec_id
+  SELECT {paf}.vec_id, CAST(sum(dt.d) AS BIGINT) AS adist
+  FROM {paf} JOIN dt USING (sub, code)
+  GROUP BY {paf}.vec_id
 ), short AS (
   SELECT vec_id FROM (
     SELECT vec_id,
@@ -3546,19 +3570,126 @@ FROM resc
 ORDER BY dist ASC, vec_id ASC
 LIMIT 10
 """.format(
-        m=_PQ_M,
-        k=_PQ_CODES,
-        sd=subdim,
-        sd1=subdim + 1,
-        rounds=", ".join(rounds),
-        fin=prev,
+        codes=codes,
+        fin=fin,
+        paf=paf,
         shortlist=_PQ_SHORTLIST,
-        d_fin=sub_dist,
         d_qc=sqd.format(a="q.sv", b="c.cvec"),
     )
 
 
 _PQ_SQL = _pq_sql()
+
+
+# ---------------------------------------------------------------------------
+# q_ivfpq_topk — the composed trillion-scale ANN layout (FAISS IVFPQ
+# shape): the IVF coarse quantizer restricts candidates to the query's 8
+# nearest cells (~n_probe/K of the corpus), PQ codes rank those candidates
+# by ADC (m lookups + adds each), and only the 50-candidate shortlist is
+# exactly rescored (operators/pq.py:ivf_pq_search over
+# similarity.ivf_build + pq.pq_build artifacts). The oracle composes the
+# two proven unrolls — the IVF cell prefix (v, c*, af) and the p-prefixed
+# PQ codebook fragment — plus probes/ADC/shortlist/rescore CTEs. Recall is
+# ceilinged by the IVF probe tier (cells the probe misses are gone for
+# good); the PQ tier inside probed cells is near-lossless with the
+# rescore, so composed recall ~= the IVF curve at the same n_probe
+# (BENCH/BASELINE.md table).
+# ---------------------------------------------------------------------------
+
+_IVFPQ_PROBE = 8
+_IVFPQ_SHORTLIST = 50
+
+
+def spark_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pq import ivf_pq_search, pq_build
+    from .operators.similarity import ivf_build
+
+    emb = _embeddings(spark, sf_dir)
+    assigned, centroids = ivf_build(
+        emb,
+        n_centroids=_IVF_K,
+        lloyd_iterations=_IVF_LLOYD,
+        lloyd_sample_mod=_IVF_SAMPLE_MOD,
+    )
+    encoded, codebook = pq_build(
+        emb, m=_PQ_M, n_codes=_PQ_CODES, lloyd_iterations=_PQ_LLOYD
+    )
+    q = emb.orderBy("vec_id").limit(1)
+    out = ivf_pq_search(
+        assigned, centroids, encoded, codebook, emb, q,
+        k=10, n_probe=_IVFPQ_PROBE, shortlist=_IVFPQ_SHORTLIST, m=_PQ_M,
+    )
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        "dist",
+        "rank",
+    )
+
+
+def _ivfpq_sql() -> str:
+    subdim = 64 // _PQ_M
+    sqd64 = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+    sqd_sub = (
+        "list_sum(list_transform(range(1, {n}), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    ).format(n=subdim + 1, a="{a}", b="{b}")
+    ivf_prefix, ivf_fin = _ivf_cells_prefix()
+    pq_codes, pq_fin, paf = _pq_codes_ctes()
+    return """
+WITH {ivf_prefix}, {pq_codes}, fq AS (
+  SELECT qe AS qv FROM v ORDER BY vec_id LIMIT 1
+), probes AS (
+  SELECT cell FROM (
+    SELECT c.cell,
+           row_number() OVER (ORDER BY {pdist} ASC, c.cell ASC) AS rn
+    FROM {ivf_fin} c, fq
+  ) WHERE rn <= {probe}
+), cand AS (
+  SELECT af.vec_id FROM af JOIN probes USING (cell)
+), qs AS (
+  SELECT psv.sub, psv.sv FROM psv WHERE vec_id = (SELECT min(vec_id) FROM v)
+), dt AS (
+  SELECT c.sub, c.code, {d_qc} AS d
+  FROM {pq_fin} c JOIN qs q USING (sub)
+), adc AS (
+  SELECT {paf}.vec_id, CAST(sum(dt.d) AS BIGINT) AS adist
+  FROM {paf} JOIN cand USING (vec_id) JOIN dt USING (sub, code)
+  GROUP BY {paf}.vec_id
+), short AS (
+  SELECT vec_id FROM (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY adist ASC, vec_id ASC) AS rn
+    FROM adc
+  ) WHERE rn <= {shortlist}
+), resc AS (
+  SELECT v.vec_id, CAST({d_full} AS BIGINT) AS dist
+  FROM short JOIN v USING (vec_id), fq
+)
+SELECT CAST((SELECT min(vec_id) FROM v) AS BIGINT) AS query_id,
+       CAST(vec_id AS BIGINT) AS vec_id, dist,
+       CAST(row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS BIGINT) AS rank
+FROM resc
+ORDER BY dist ASC, vec_id ASC
+LIMIT 10
+""".format(
+        ivf_prefix=ivf_prefix,
+        pq_codes=pq_codes,
+        ivf_fin=ivf_fin,
+        pq_fin=pq_fin,
+        paf=paf,
+        probe=_IVFPQ_PROBE,
+        shortlist=_IVFPQ_SHORTLIST,
+        pdist=sqd64.format(a="fq.qv", b="c.cvec"),
+        d_qc=sqd_sub.format(a="q.sv", b="c.cvec"),
+        d_full=sqd64.format(a="v.qe", b="fq.qv"),
+    )
+
+
+_IVFPQ_SQL = _ivfpq_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -6344,6 +6475,59 @@ FROM tot t JOIN top p ON t.dst = p.dst AND p.rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# q_snapshot_diff — cross-snapshot CDC (operators/diff.py): classify every
+# doc id across two corpus snapshots as added/removed/changed/unchanged via
+# one full-outer join of slim (id, length-prefixed md5 content hash)
+# projections. The two snapshots are derived deterministically from the
+# documents table (old drops doc_id%97==3 and carries a ' v1' text suffix
+# for doc_id%89==7; new drops doc_id%101==5), so added/removed/changed rows
+# all exist and both engines state the identical derivation.
+# ---------------------------------------------------------------------------
+
+def spark_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.diff import snapshot_diff
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text", "lang"
+    )
+    old = docs.filter(F.col("doc_id") % 97 != 3).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 89 == 7, F.concat("text", F.lit(" v1"))
+        ).otherwise(F.col("text")),
+    )
+    new = docs.filter(F.col("doc_id") % 101 != 5)
+    return snapshot_diff(old, new, compare_cols=["text", "lang"])
+
+
+_SNAPSHOT_DIFF_SQL = """
+WITH o AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         md5(concat_ws('|',
+             CAST(len(t) AS VARCHAR) || ':' || t,
+             CAST(len(lang) AS VARCHAR) || ':' || lang)) AS old_hash
+  FROM (SELECT doc_id,
+               CASE WHEN doc_id % 89 = 7 THEN text || ' v1' ELSE text END AS t,
+               lang
+        FROM documents WHERE doc_id % 97 <> 3)
+), n AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         md5(concat_ws('|',
+             CAST(len(text) AS VARCHAR) || ':' || text,
+             CAST(len(lang) AS VARCHAR) || ':' || lang)) AS new_hash
+  FROM documents WHERE doc_id % 101 <> 5
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.old_hash IS NULL THEN 'added'
+            WHEN n.new_hash IS NULL THEN 'removed'
+            WHEN o.old_hash <> n.new_hash THEN 'changed'
+            ELSE 'unchanged' END AS change_type,
+       o.old_hash, n.new_hash
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+"""
+
+
 SPARK_QUERIES = {
     "q_classify_scores": spark_classify_scores,
     "q_normalize_chain": spark_normalize_chain,
@@ -6440,6 +6624,8 @@ SPARK_QUERIES = {
     "q_kcenter": spark_kcenter,
     "q_perceptron": spark_perceptron,
     "q_pq_topk": spark_pq_topk,
+    "q_snapshot_diff": spark_snapshot_diff,
+    "q_ivfpq_topk": spark_ivfpq_topk,
     "q_pagerank": spark_pagerank,
     "q_link_degrees": spark_link_degrees,
     "q_anchor_text": spark_anchor_text,
@@ -6546,6 +6732,8 @@ ORACLE_SQL = {
     "q_kcenter": _KCENTER_SQL,
     "q_perceptron": _PERCEPTRON_SQL,
     "q_pq_topk": _PQ_SQL,
+    "q_snapshot_diff": _SNAPSHOT_DIFF_SQL,
+    "q_ivfpq_topk": _IVFPQ_SQL,
     "q_pagerank": _PAGERANK_SQL,
     "q_link_degrees": _LINK_DEGREES_SQL,
     "q_anchor_text": _ANCHOR_TEXT_SQL,

@@ -141,6 +141,38 @@ def main() -> None:
             )
         encoded.unpersist()
 
+    from modern_document_converter_for_ai_library_spark.operators.pq import (
+        ivf_pq_search,
+    )
+
+    t0 = time.perf_counter()
+    assigned, cents = ivf_build(
+        emb, n_centroids=16, lloyd_iterations=2, lloyd_sample_mod=5
+    )
+    assigned = assigned.persist()
+    assigned.count()
+    encoded, codebook = pq_build(emb, m=16, n_codes=64, lloyd_iterations=2)
+    encoded = encoded.persist()
+    encoded.count()
+    build_sec = time.perf_counter() - t0
+    for n_probe in (4, 8):
+        t0 = time.perf_counter()
+        got = ivf_pq_search(
+            assigned, cents, encoded, codebook, emb, qs,
+            k=10, n_probe=n_probe, shortlist=50, m=16,
+        ).collect()
+        sec = time.perf_counter() - t0
+        record(
+            "ivfpq",
+            {"n_centroids": 16, "n_probe": n_probe, "m": 16,
+             "n_codes": 64, "shortlist": 50},
+            {(r["query_id"], r["vec_id"]) for r in got},
+            sec,
+            build_sec,
+        )
+    assigned.unpersist()
+    encoded.unpersist()
+
     for n_planes in (4, 8):
         for multi_probe in (0, 1):
             t0 = time.perf_counter()

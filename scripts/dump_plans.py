@@ -49,6 +49,9 @@ SHOWCASE = [
     ("q_bpe_pair_counts", "BPE training round: corpus-scale word-frequency groupBy, then pair explode over the BOUNDED vocab only"),
     ("q_bloom_dedup", "Bloom membership: bounded bit_or build, single-row broadcast hash join, codegen forall verdict — zero data-side shuffle"),
     ("q_near_dedup_best", "cluster representative selection: score-argmax aggregation over multi-member clusters only, corpus touched by two AQE-broadcastable slim joins"),
+    ("q_pagerank", "fixed-iteration exact-integer PageRank: per round one slim rank shuffle on src against the persisted degree-annotated edges + one associative contribution sum on dst (in-degree skew partial-aggregates map-side)"),
+    ("q_anchor_text", "anchor rollup: two-phase (dst, anchor) count then sort-free max-struct argmax — no windows, hot targets absorb map-side"),
+    ("q_pq_topk", "product quantization serving: broadcast m x n_codes codebook + distance table, codes-explode ADC sum, exact rescore touches full vectors only for the C-candidate shortlist"),
 ]
 
 

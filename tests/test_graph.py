@@ -87,9 +87,25 @@ def test_pagerank_deterministic_across_materializations(spark):
     assert first == second
 
 
-def test_pagerank_cache_scope_releases(spark):
-    from tests.test_cache_hygiene import _cached_rdd_ids, _settled_ids
+def _cached_rdd_ids(spark):
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
 
+
+def _settled_ids(spark, before, want_leaked, timeout=20.0):
+    """Poll until async unpersists settle (same rationale as
+    test_cache_hygiene.py — kept inline because cross-test-module imports
+    break under pytest's default import mode without a tests package)."""
+    import time
+
+    deadline = time.monotonic() + timeout
+    leaked = _cached_rdd_ids(spark) - before
+    while len(leaked) != want_leaked and time.monotonic() < deadline:
+        time.sleep(0.2)
+        leaked = _cached_rdd_ids(spark) - before
+    return leaked
+
+
+def test_pagerank_cache_scope_releases(spark):
     before = _cached_rdd_ids(spark)
     nodes, edges = _graph(spark, [(0, 1), (1, 0), (1, 2)])
     with CacheScope() as scope:

@@ -24,7 +24,15 @@ SF_DIR = "/root/testdata/sf0.001"
 # intended plan.
 # q_temperature_mix cross-joins the single-row weight-total aggregate onto
 # the bounded per-source frame: a 1-row build side is the intended plan.
-CARTESIAN_OK = {"q_ann_topk", "q_ivf_topk", "q_semantic_dedup", "q_temperature_mix"}
+CARTESIAN_OK = {
+    "q_ann_topk",
+    "q_ivf_topk",
+    "q_semantic_dedup",
+    "q_temperature_mix",
+    # the IVF coarse-probe tier broadcasts the 16-centroid table against
+    # the 1-row query — the intended tiny-build-side plan
+    "q_ivfpq_topk",
+}
 
 # columns each query legitimately needs from the documents table; queries
 # not listed here read other tables or the full row by design
@@ -60,6 +68,7 @@ _WINDOW_OK = {
     # row_number: a bounded-input window, not a corpus-wide reducer.
     "q_ivf_topk",
     "q_semantic_dedup",
+    "q_ivfpq_topk",
 }
 
 

@@ -133,3 +133,49 @@ def test_pq_recall_vs_brute_force_on_testdata(spark):
         rer_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
     rhits = sum(len(rer_sets[q] & exact_sets[q]) for q in exact_sets)
     assert rhits / total >= 0.9, f"rerank recall@10 collapsed: {rhits}/{total}"
+
+
+def test_ivfpq_matches_ivf_recall_ceiling(spark):
+    """IVF-PQ composition: candidates restricted to probed cells, ADC
+    ranking inside them, exact rescore. With n_probe = K (probe ALL
+    cells) and a shortlist covering the corpus, the result must equal
+    exact brute-force top-10 — the composition loses nothing beyond its
+    two pruning tiers."""
+    from pyspark.sql import Window
+
+    from modern_document_converter_for_ai_library_spark.operators.pq import (
+        ivf_pq_search,
+    )
+    from modern_document_converter_for_ai_library_spark.operators.similarity import (
+        _qe_sqdist,
+        _quantize,
+        ivf_build,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter("vec_id >= 200 and vec_id < 204")
+    assigned, cents = ivf_build(emb, n_centroids=4, lloyd_iterations=1)
+    encoded, codebook = pq_build(emb, m=16, n_codes=64, lloyd_iterations=2)
+    got = ivf_pq_search(
+        assigned, cents, encoded, codebook, emb, queries,
+        k=10, n_probe=4, shortlist=10_000, m=16,
+    )
+    got_rows = sorted(
+        (r["query_id"], r["rank"], r["vec_id"]) for r in got.collect()
+    )
+
+    qc = emb.select("vec_id", _quantize(F.col("embedding")).alias("_qe"))
+    qq = queries.select(
+        F.col("vec_id").alias("query_id"),
+        _quantize(F.col("embedding")).alias("_qq"),
+    )
+    sc = qc.crossJoin(F.broadcast(qq)).select(
+        "query_id", "vec_id", _qe_sqdist("_qe", "_qq").alias("d")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("vec_id"))
+    exact = sc.withColumn("rn", F.row_number().over(w)).filter("rn <= 10")
+    exact_rows = sorted(
+        (r["query_id"], r["rn"], r["vec_id"]) for r in exact.collect()
+    )
+    assert got_rows == exact_rows
