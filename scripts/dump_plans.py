@@ -52,6 +52,8 @@ SHOWCASE = [
     ("q_pagerank", "fixed-iteration exact-integer PageRank: per round one slim rank shuffle on src against the persisted degree-annotated edges + one associative contribution sum on dst (in-degree skew partial-aggregates map-side)"),
     ("q_anchor_text", "anchor rollup: two-phase (dst, anchor) count then sort-free max-struct argmax — no windows, hot targets absorb map-side"),
     ("q_pq_topk", "product quantization serving: broadcast m x n_codes codebook + distance table, codes-explode ADC sum, exact rescore touches full vectors only for the C-candidate shortlist"),
+    ("q_ivfpq_topk", "composed IVF-PQ: coarse cells bound candidates (broadcast probe join), PQ codes bound bytes per candidate, exact rescore bounds error"),
+    ("q_snapshot_diff", "cross-snapshot CDC: map-side codegen hashes, ONE full-outer equi-join of two slim (id, hash) projections"),
 ]
 
 

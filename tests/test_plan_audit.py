@@ -57,6 +57,7 @@ _DOCS_NEEDED = {
     "q_pagerank": {"doc_id"},
     "q_link_degrees": {"doc_id"},
     "q_anchor_text": {"doc_id", "text"},
+    "q_snapshot_diff": {"doc_id", "text", "lang"},
     # q_perceptron / q_kcenter return bounded driver-side tables (the
     # training/selection plans run inside the builder), so no scan is
     # visible in the returned frame; the generic audits still apply.
