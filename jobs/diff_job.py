@@ -52,7 +52,11 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="mdcal-diff", master=args.master)
     old = read_documents(spark, args.old)
     new = read_documents(spark, args.new)
-    cols = args.compare_cols.split(",") if args.compare_cols else None
+    cols = None
+    if args.compare_cols:
+        cols = [c.strip() for c in args.compare_cols.split(",") if c.strip()]
+        if not cols:
+            p.error("--compare-cols given but names no columns")
     diff = snapshot_diff(
         old, new, id_col=args.id_col, compare_cols=cols,
         keep_unchanged=not args.delta_only,

@@ -165,9 +165,14 @@ def anchor_rollup(edges_with_anchor: DataFrame) -> DataFrame:
     pattern (same as IVF's min_by assignment). No windows: a hot target
     (every page links to the home page) partial-aggregates map-side in
     both phases.
+
+    Edges with a NULL anchor are dropped up front (real link data has
+    missing anchor text routinely; a NULL group would inflate n_anchors
+    and could win top_anchor, a useless weak label).
     """
     per_anchor = (
-        edges_with_anchor.groupBy("dst", "anchor")
+        edges_with_anchor.filter(F.col("anchor").isNotNull())
+        .groupBy("dst", "anchor")
         .agg(F.count("*").cast("bigint").alias("cnt"))
     )
     return (

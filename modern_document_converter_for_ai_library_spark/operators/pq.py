@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import QSCALE, _quantize
+from .similarity import _quantize
 
 
 def _sub_explode(df: DataFrame, id_col: str, qcol: str, m: int, subdim: int):
@@ -152,16 +152,16 @@ def pq_build(
             T.StructField("cvec", T.ArrayType(T.LongType()), False),
         ]
     )
-    codebook = spark.createDataFrame(
-        sorted(
-            (s, rank + 1, list(row["_qe"][s * subdim : (s + 1) * subdim]))
-            for rank, row in enumerate(
-                sorted(seeds, key=lambda r: r[id_col])
-            )
-            for s in range(m)
-        ),
-        cb_schema,
+    # the codebook lives as a driver-side row list across rounds (it is
+    # created FROM local rows, so collecting it back would just add a
+    # Spark job per round); each round materializes it as a broadcastable
+    # DataFrame for the assignment join only
+    cb_rows = sorted(
+        (s, rank + 1, list(row["_qe"][s * subdim : (s + 1) * subdim]))
+        for rank, row in enumerate(sorted(seeds, key=lambda r: r[id_col]))
+        for s in range(m)
     )
+    codebook = spark.createDataFrame(cb_rows, cb_schema)
 
     lloyd_subv = subv
     if sample_mod:
@@ -179,15 +179,17 @@ def pq_build(
             means.setdefault((r["sub"], r["code"]), {})[r["pos"]] = (
                 r["s"] // r["c"]
             )
-        new_rows = []
-        for r in codebook.collect():
-            key = (r["sub"], r["code"])
-            if key in means:
-                vec = [means[key][p] for p in range(subdim)]
-            else:
-                vec = list(r["cvec"])  # empty code keeps its centroid
-            new_rows.append((r["sub"], r["code"], vec))
-        codebook = spark.createDataFrame(sorted(new_rows), cb_schema)
+        cb_rows = sorted(
+            (
+                sub,
+                code,
+                [means[(sub, code)][p] for p in range(subdim)]
+                if (sub, code) in means
+                else list(cvec),  # empty code keeps its centroid
+            )
+            for sub, code, cvec in cb_rows
+        )
+        codebook = spark.createDataFrame(cb_rows, cb_schema)
 
     final = _assign_codes(subv, codebook, id_col, subdim)
     encoded = final.groupBy(id_col).agg(

@@ -6505,8 +6505,8 @@ _SNAPSHOT_DIFF_SQL = """
 WITH o AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
          md5(concat_ws('|',
-             CAST(len(t) AS VARCHAR) || ':' || t,
-             CAST(len(lang) AS VARCHAR) || ':' || lang)) AS old_hash
+             COALESCE(CAST(len(t) AS VARCHAR) || ':' || t, chr(0)),
+             COALESCE(CAST(len(lang) AS VARCHAR) || ':' || lang, chr(0)))) AS old_hash
   FROM (SELECT doc_id,
                CASE WHEN doc_id % 89 = 7 THEN text || ' v1' ELSE text END AS t,
                lang
@@ -6514,8 +6514,8 @@ WITH o AS (
 ), n AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
          md5(concat_ws('|',
-             CAST(len(text) AS VARCHAR) || ':' || text,
-             CAST(len(lang) AS VARCHAR) || ':' || lang)) AS new_hash
+             COALESCE(CAST(len(text) AS VARCHAR) || ':' || text, chr(0)),
+             COALESCE(CAST(len(lang) AS VARCHAR) || ':' || lang, chr(0)))) AS new_hash
   FROM documents WHERE doc_id % 101 <> 5
 )
 SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,

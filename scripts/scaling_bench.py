@@ -309,6 +309,11 @@ def run_job(d, balance=None):
         # reported rows/sec is EDGES/sec (n = edge count).
         from pyspark.sql import functions as F
         from modern_document_converter_for_ai_library_spark.operators.graph import pagerank
+        # pagerank persists the degree-annotated edges + node universe
+        # (GC-managed here); release the PREVIOUS rep's caches so reps
+        # don't accumulate corpus-scale executor storage (same hygiene
+        # as the perceptron probe's explicit unpersist)
+        d.sparkSession.catalog.clearCache()
         nodes = d.select(F.col("src").alias("node")).distinct()
         return pagerank(nodes, d, n_iter=3)
     if "{job}" == "lm":

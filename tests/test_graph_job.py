@@ -75,3 +75,16 @@ def test_graph_job_requires_an_output(spark, tmp_path):
 
     with pytest.raises(SystemExit):
         job.main(["--edges", str(tmp_path / "nope")])
+
+
+def test_graph_job_rejects_string_node_ids(spark, tmp_path):
+    import pytest
+
+    import jobs.graph_job as job
+
+    edges = str(tmp_path / "stredges")
+    spark.createDataFrame(
+        [("https://a", "https://b")], "src: string, dst: string"
+    ).write.parquet(edges)
+    with pytest.raises(SystemExit):
+        job.main(["--edges", edges, "--ranks", str(tmp_path / "r")])
