@@ -58,6 +58,22 @@ def _write_chunk(args: tuple) -> int:
     import pyarrow.parquet as pq
 
     rng = np.random.RandomState(seed + chunk_idx)
+    if job == "pq":
+        # embedding corpus for the PQ codebook-train + encode probe:
+        # 64-dim uniform vectors, deterministic per chunk
+        n = end - start
+        vecs = rng.rand(n, 64)
+        table = pa.Table.from_pydict(
+            {
+                "vec_id": list(range(start, end)),
+                "embedding": [row.tolist() for row in vecs],
+            },
+            schema=pa.schema(
+                [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float64()))]
+            ),
+        )
+        pq.write_table(table, os.path.join(path, f"part-{chunk_idx:04d}.parquet"))
+        return n
     if job == "pagerank":
         # link-graph corpus: per node, 3 modular out-links (the contract
         # derivation) + 5 random links with a power-law target bias
@@ -300,6 +316,18 @@ def run_job(d, balance=None):
         w, _b, _h = perceptron_train(labeled, epochs=2)
         w.unpersist()
         return d.sparkSession.range(1)
+    if "{job}" == "pq":
+        # PQ codebook train + full-corpus encode (d IS the embedding
+        # table): one Lloyd round = quantize + subvector explode (m rows
+        # per vector) + the unrolled-distance assignment join against the
+        # broadcast m x n_codes codebook + bounded stats collect; the
+        # final encode groupBy materializes the codes. Reported rows/sec
+        # is VECTORS/sec. Caches from the previous rep are released first
+        # (pq_build persists the exploded subvectors GC-managed here).
+        from modern_document_converter_for_ai_library_spark.operators.pq import pq_build
+        d.sparkSession.catalog.clearCache()
+        encoded, _cb = pq_build(d, m=16, n_codes=64, lloyd_iterations=1)
+        return encoded
     if "{job}" == "pagerank":
         # iterative-operator probe: 3 fixed PageRank rounds over the
         # power-law edge corpus (d IS the edge table). Per round: one
@@ -407,7 +435,7 @@ def main() -> None:
     ap.add_argument("--md", default=None, help="write/refresh this markdown report")
     ap.add_argument(
         "--job",
-        choices=["convert", "html", "warc", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr", "substr_sparse", "substr_bloom", "substr_sparse_bloom", "perceptron", "pagerank"],
+        choices=["convert", "html", "warc", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr", "substr_sparse", "substr_bloom", "substr_sparse_bloom", "perceptron", "pagerank", "pq"],
         default="convert",
         help="which end-to-end kernel job to measure (html = "
         "strip_boilerplate_html over the synthetic web-page corpus; warc = "
