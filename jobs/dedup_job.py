@@ -9,13 +9,25 @@ Usage (cluster):
         --dupmap lake.db.duplicate_map --tier near --threshold 0.8
 
 Tiers:
-    exact     md5 content grouping (one shuffle)
-    near      MinHash -> banded LSH -> exact-Jaccard verify -> connected
-              components (operators/dedup.py:near_dedup)
-    semantic  SemDeDup (operators/semdedup.py): k-means cells + per-cell
-              cosine sweep over an embedding column; --threshold is the
-              cosine cutoff; embeddings come from --embeddings (a table
-              sharing --id-col) or from --vec-col on the input itself
+    exact        md5 content grouping (one shuffle)
+    near         MinHash -> banded LSH -> exact-Jaccard verify -> connected
+                 components (operators/dedup.py:near_dedup)
+    semantic     SemDeDup (operators/semdedup.py): k-means cells + per-cell
+                 cosine sweep over an embedding column; --threshold is the
+                 cosine cutoff; embeddings come from --embeddings (a table
+                 sharing --id-col) or from --vec-col on the input itself
+    incremental  dedup an INGEST BATCH (--input) against an existing
+                 corpus (--base) plus itself without ever generating
+                 base-vs-base pairs (operators/dedup.py:
+                 near_dedup_incremental). With --band-index TARGET the
+                 job reads the corpus' stored LSH index (slim
+                 (id, band_0..band_15) rows, operators/dedup.py:
+                 band_index) instead of re-shingling the base text, and
+                 APPENDS the batch survivors' rows to it afterwards — the
+                 continuous-ingest cycle: each run consumes index_t and
+                 leaves index_{t+1}. A missing index target bootstraps
+                 from --base (first ingest); any other read error
+                 propagates.
 
 Outputs:
     --output   the SURVIVORS (canonical docs only) — the deduplicated corpus
@@ -45,8 +57,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True, help="deduplicated survivors")
     p.add_argument("--dupmap", default=None, help="doc->canonical map table")
-    p.add_argument("--tier", choices=["exact", "near", "semantic"],
+    p.add_argument("--tier",
+                   choices=["exact", "near", "semantic", "incremental"],
                    default="near")
+    p.add_argument("--base", default=None,
+                   help="incremental tier: the existing (already-deduped) "
+                        "corpus the batch dedups against")
+    p.add_argument("--band-index", default=None,
+                   help="incremental tier: stored LSH band-index target "
+                        "(read if present, bootstrapped from --base if "
+                        "missing; batch survivors' rows appended after)")
     p.add_argument("--threshold", type=float, default=0.8,
                    help="near: Jaccard threshold; semantic: cosine cutoff")
     p.add_argument("--n-bands", type=int, default=2)
@@ -79,6 +99,10 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
     if args.keep_best_col and args.tier != "near":
         p.error("--keep-best-col requires --tier near")
+    if args.tier == "incremental" and not args.base:
+        p.error("--tier incremental requires --base")
+    if args.band_index and args.tier != "incremental":
+        p.error("--band-index requires --tier incremental")
 
     from pyspark.sql import functions as F
 
@@ -133,6 +157,42 @@ def main(argv: list[str] | None = None) -> int:
                 how="left",
             ).fillna({"is_semantic_duplicate": False})
             dup_col = "is_semantic_duplicate"
+        elif args.tier == "incremental":
+            from pyspark.errors import AnalysisException
+
+            from modern_document_converter_for_ai_library_spark.operators.dedup import (
+                band_index,
+                near_dedup_incremental,
+            )
+
+            base = read_documents(spark, args.base)
+            base_bands = None
+            index_bootstrapped = False
+            if args.band_index:
+                try:
+                    base_bands = read_documents(spark, args.band_index)
+                except AnalysisException as e:
+                    # Only a genuinely-missing target bootstraps from the
+                    # base text; misconfiguration/transient errors propagate
+                    # (the resume_pending pattern, ADVICE r2).
+                    msg = str(e)
+                    if not (
+                        "PATH_NOT_FOUND" in msg
+                        or "TABLE_OR_VIEW_NOT_FOUND" in msg
+                        or "Path does not exist" in msg
+                    ):
+                        raise
+                    index_bootstrapped = True
+            marked = near_dedup_incremental(
+                docs,
+                base,
+                text_col=args.text_col,
+                id_col=args.id_col,
+                threshold_micros=int(args.threshold * 1_000_000),
+                max_bucket_size=args.max_bucket_size,
+                base_bands=base_bands,
+            )
+            dup_col = "is_near_duplicate"
         else:
             marked = near_dedup(
                 docs,
@@ -166,6 +226,30 @@ def main(argv: list[str] | None = None) -> int:
             dup_col,
         )
         write_documents(survivors, args.output, mode="overwrite")
+        if args.tier == "incremental" and args.band_index:
+            from modern_document_converter_for_ai_library_spark.operators.dedup import (
+                band_index as _band_index,
+            )
+
+            new_rows = _band_index(
+                survivors.select(args.id_col, args.text_col),
+                text_col=args.text_col,
+                id_col=args.id_col,
+            )
+            if index_bootstrapped:
+                # first ingest: the full index = base rows + batch survivors
+                full = _band_index(
+                    base.select(args.id_col, args.text_col),
+                    text_col=args.text_col,
+                    id_col=args.id_col,
+                ).unionByName(new_rows)
+                write_documents(full, args.band_index, mode="overwrite")
+            else:
+                # per-doc rows compose, so maintenance is a pure append of
+                # the batch survivors' rows (index(base ∪ batch) ==
+                # index(base) ∪ index(batch)). Appends are NOT idempotent
+                # on re-run — gate re-runs with the manifest protocol.
+                write_documents(new_rows, args.band_index, mode="append")
         if args.dupmap:
             if args.tier == "semantic":
                 dupmap = marked.select(
@@ -187,6 +271,10 @@ def main(argv: list[str] | None = None) -> int:
         }
         if args.keep_best_col:
             stats["keep"] = f"best:{args.keep_best_col}"
+        if args.tier == "incremental" and args.band_index:
+            stats["band_index"] = (
+                "bootstrapped" if index_bootstrapped else "appended"
+            )
         if args.tier == "semantic":
             # surface the two silent-no-op modes: cells over the skew cap
             # are kept wholesale (sweep skipped), and documents without an

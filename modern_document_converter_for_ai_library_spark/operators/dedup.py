@@ -1455,6 +1455,29 @@ def minhash_wide_pairs(
     return _bucket_local_pairs(long, id_col, max_bucket_size)
 
 
+def band_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The at-rest LSH index of an ingested corpus: one slim
+    ``(id, band_0..band_15)`` row per doc (production-width
+    ``minhash_wide_bands``), meant to be WRITTEN at ingest time and read
+    back by every later ``near_dedup_incremental`` batch instead of
+    re-shingling the base corpus' text. Per-doc rows, so the index of a
+    growing corpus is maintained by appending each batch's rows — no
+    rebuild, no read-modify-write (law pinned by test):
+
+        index(base ∪ batch) == index(base) ∪ index(batch)
+
+    At 10^12 docs the index is ~16 digests/doc regardless of document
+    size — the difference between an ingest batch costing O(batch +
+    touched-base-text) and re-hashing 100 TB of corpus text per batch.
+    ``jobs/dedup_job.py --band-index`` wires the read/append cycle.
+    """
+    return minhash_wide_bands(df, text_col, id_col)
+
+
 def near_dedup_incremental(
     new_df: DataFrame,
     base_df: DataFrame,
@@ -1463,6 +1486,7 @@ def near_dedup_incremental(
     threshold_micros: int = 500_000,
     max_bucket_size: int | None = None,
     cc_algorithm: str = "label",
+    base_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dedup an INGEST BATCH against an existing corpus plus itself —
     the continuously-ingested-corpus pattern: base-vs-base comparisons are
@@ -1473,9 +1497,12 @@ def near_dedup_incremental(
     pairs with >= 1 new doc: the within-bucket combination filter simply
     requires a new member, so a bucket holding only base docs emits
     nothing. In production the base band table is computed ONCE at ingest
-    time and stored (it is a slim (id, 16 digests) table); here it is
-    derived from ``base_df`` for self-containment — the plan under the
-    bands is identical either way.
+    time and stored (``band_index`` — a slim (id, 16 digests) table) and
+    passed as ``base_bands``: the base corpus' TEXT is then touched only
+    for candidate docs (the verify join is leftsemi on the candidate node
+    set), never re-shingled. Without ``base_bands`` the index is derived
+    from ``base_df`` for self-containment — the plan under the bands is
+    identical either way (pinned by test).
 
     Verified pairs (exact shingle Jaccard, candidates only) feed the same
     connected-component canonicalization as ``near_dedup``: a new doc
@@ -1488,14 +1515,29 @@ def near_dedup_incremental(
     near-dups, the new docs' assignments equal running full ``near_dedup``
     (wide tier) over base ∪ new.
     """
+    n_bands_expected = 16
     nb = minhash_wide_bands(new_df, text_col, id_col).withColumn(
         "_is_new", F.lit(True)
     )
-    bb = minhash_wide_bands(base_df, text_col, id_col).withColumn(
-        "_is_new", F.lit(False)
-    )
-    n_bands = 16
-    band_cols = [f"band_{k}" for k in range(n_bands)]
+    if base_bands is not None:
+        missing = {
+            c
+            for c in [id_col] + [f"band_{k}" for k in range(n_bands_expected)]
+            if c not in base_bands.columns
+        }
+        if missing:
+            raise ValueError(
+                f"base_bands is missing columns {sorted(missing)}; "
+                "expected the band_index() layout"
+            )
+        bb = base_bands.select(
+            F.col(id_col), *[f"band_{k}" for k in range(n_bands_expected)]
+        ).withColumn("_is_new", F.lit(False))
+    else:
+        bb = minhash_wide_bands(base_df, text_col, id_col).withColumn(
+            "_is_new", F.lit(False)
+        )
+    band_cols = [f"band_{k}" for k in range(n_bands_expected)]
     long = nb.unionByName(bb).select(
         F.col(id_col),
         "_is_new",

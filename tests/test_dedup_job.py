@@ -260,3 +260,110 @@ def test_dedup_job_keep_best_requires_near(spark, tmp_path):
             ["--input", "x", "--output", "y", "--tier", "exact",
              "--keep-best-col", "score"]
         )
+
+
+def test_dedup_job_incremental_band_index_cycle(spark, tmp_path, capsys):
+    """Two ingest batches through the stored band-index cycle: run 1
+    bootstraps the index from --base, run 2 reads it back (never
+    re-shingling the base) and appends its survivors' rows. A batch-2 doc
+    near-duplicating a BATCH-1 SURVIVOR proves the appended rows are live."""
+    sys.path.insert(0, "/root/repo")
+    import jobs.dedup_job as job
+
+    mk = lambda seed, n=40: " ".join(f"{seed}tok{i}" for i in range(n))
+    basep = str(tmp_path / "base")
+    idxp = str(tmp_path / "bandindex")
+    spark.createDataFrame(
+        [(10, mk("a")), (20, mk("b")), (30, mk("c"))], ["doc_id", "text"]
+    ).write.parquet(basep)
+
+    # --- batch 1: 101 near-dups base 10; 104 is novel (index missing ->
+    # bootstrap) ---
+    in1 = str(tmp_path / "batch1")
+    out1 = str(tmp_path / "out1")
+    dm1 = str(tmp_path / "dm1")
+    spark.createDataFrame(
+        [(101, mk("a", 38) + " edited tail"), (104, mk("z"))],
+        ["doc_id", "text"],
+    ).write.parquet(in1)
+    rc = job.main(
+        ["--input", in1, "--output", out1, "--dupmap", dm1,
+         "--tier", "incremental", "--base", basep, "--band-index", idxp]
+    )
+    assert rc == 0
+    rep1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep1["band_index"] == "bootstrapped"
+    assert rep1["n_docs"] == 2 and rep1["n_survivors"] == 1
+    surv1 = duckdb.sql(
+        f"SELECT doc_id FROM read_parquet('{out1}/*.parquet') ORDER BY 1"
+    ).fetchall()
+    assert [r[0] for r in surv1] == [104]
+    dm = {
+        r[0]: (r[1], r[2])
+        for r in duckdb.sql(
+            f"SELECT doc_id, canonical_doc_id, is_near_duplicate "
+            f"FROM read_parquet('{dm1}/*.parquet')"
+        ).fetchall()
+    }
+    assert dm[101] == (10, True) and dm[104] == (104, False)
+    # bootstrapped index covers base + batch-1 survivors
+    idx_ids = {
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{idxp}/*.parquet')"
+        ).fetchall()
+    }
+    assert idx_ids == {10, 20, 30, 104}
+
+    # --- batch 2 against base ∪ batch-1 survivors: 201 near-dups the
+    # batch-1 SURVIVOR 104; 205 is novel ---
+    base2 = str(tmp_path / "base2")
+    spark.read.parquet(basep).unionByName(
+        spark.read.parquet(out1).select("doc_id", "text")
+    ).write.parquet(base2)
+    in2 = str(tmp_path / "batch2")
+    out2 = str(tmp_path / "out2")
+    dm2 = str(tmp_path / "dm2")
+    spark.createDataFrame(
+        [(201, mk("z", 38) + " other ending"), (205, mk("q"))],
+        ["doc_id", "text"],
+    ).write.parquet(in2)
+    rc = job.main(
+        ["--input", in2, "--output", out2, "--dupmap", dm2,
+         "--tier", "incremental", "--base", base2, "--band-index", idxp]
+    )
+    assert rc == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["band_index"] == "appended"
+    assert rep2["n_survivors"] == 1
+    surv2 = duckdb.sql(
+        f"SELECT doc_id FROM read_parquet('{out2}/*.parquet') ORDER BY 1"
+    ).fetchall()
+    assert [r[0] for r in surv2] == [205]
+    dm = {
+        r[0]: (r[1], r[2])
+        for r in duckdb.sql(
+            f"SELECT doc_id, canonical_doc_id, is_near_duplicate "
+            f"FROM read_parquet('{dm2}/*.parquet')"
+        ).fetchall()
+    }
+    assert dm[201] == (104, True) and dm[205] == (205, False)
+    idx_ids = {
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{idxp}/*.parquet')"
+        ).fetchall()
+    }
+    assert idx_ids == {10, 20, 30, 104, 205}
+
+
+def test_dedup_job_incremental_requires_base(spark):
+    sys.path.insert(0, "/root/repo")
+    import jobs.dedup_job as job
+    import pytest
+
+    with pytest.raises(SystemExit):
+        job.main(["--input", "x", "--output", "y", "--tier", "incremental"])
+    with pytest.raises(SystemExit):
+        job.main(["--input", "x", "--output", "y", "--tier", "near",
+                  "--band-index", "z"])

@@ -171,3 +171,55 @@ def test_near_dedup_incremental_matches_full_recompute(spark):
         if r["doc_id"] > 100
     }
     assert inc == full
+
+
+def test_near_dedup_incremental_stored_index_identical(spark, tmp_path):
+    """The stored-index path (base_bands from a parquet round-trip of
+    band_index) produces EXACTLY the self-contained path's output, and the
+    index composes by union: index(base ∪ batch) == index(base) ∪
+    index(batch) row-for-row."""
+    from modern_document_converter_for_ai_library_spark.operators.dedup import (
+        band_index,
+        near_dedup_incremental,
+    )
+
+    mk = lambda seed, n=40: " ".join(f"{seed}tok{i}" for i in range(n))
+    base = spark.createDataFrame(
+        [(10, mk("a")), (20, mk("b")), (30, mk("c")), (40, mk("d"))],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(101, mk("a", 38) + " edited tail"), (102, mk("x")),
+         (103, mk("x", 38) + " other ending"), (104, mk("z"))],
+        ["doc_id", "text"],
+    )
+    idxp = str(tmp_path / "idx")
+    band_index(base).write.parquet(idxp)
+    stored = spark.read.parquet(idxp)
+
+    key = lambda df: sorted(
+        (r["doc_id"], r["canonical_doc_id"], r["is_near_duplicate"])
+        for r in df.collect()
+    )
+    assert key(
+        near_dedup_incremental(new, base, base_bands=stored)
+    ) == key(near_dedup_incremental(new, base))
+
+    # union law: per-doc rows compose, so maintenance is a pure append
+    rows = lambda df: sorted(tuple(r) for r in df.collect())
+    assert rows(band_index(base.unionByName(new))) == rows(
+        band_index(base).unionByName(band_index(new))
+    )
+
+
+def test_near_dedup_incremental_rejects_malformed_index(spark):
+    from modern_document_converter_for_ai_library_spark.operators.dedup import (
+        near_dedup_incremental,
+    )
+    import pytest
+
+    base = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    new = spark.createDataFrame([(2, "f g h i j")], ["doc_id", "text"])
+    bad = spark.createDataFrame([(1, "x")], ["doc_id", "band_0"])
+    with pytest.raises(ValueError, match="band_index"):
+        near_dedup_incremental(new, base, base_bands=bad)
