@@ -6528,7 +6528,48 @@ FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q_corpus_audit — one-pass corpus health audit (operators/audit.py): all
+# the standard health metrics per source in ONE aggregate over ONE scan.
+# At 100 TB the metric count is free; the scan count is the bill.
+
+
+def spark_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.audit import corpus_audit
+
+    return corpus_audit(_docs(spark, sf_dir), group_col="source")
+
+
+_CORPUS_AUDIT_SQL = """
+WITH pre AS (
+  SELECT source,
+         (text IS NULL OR trim(text) = '') AS is_empty,
+         CAST(coalesce(length(text), 0) AS BIGINT) AS chars,
+         CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+              ELSE len(list_filter(string_split(text, ' '), x -> x <> ''))
+              END AS BIGINT) AS toks,
+         md5(coalesce(text, '')) AS h
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN is_empty THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+       CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_texts,
+       CAST(((count(*) - count(DISTINCT h)) * 1000000) // count(*) AS BIGINT)
+         AS dup_rate_micros,
+       CAST(sum(chars) AS BIGINT) AS total_chars,
+       CAST(min(chars) AS BIGINT) AS min_chars,
+       CAST(max(chars) AS BIGINT) AS max_chars,
+       CAST((sum(chars) * 1000000) // count(*) AS BIGINT) AS mean_chars_micros,
+       CAST(sum(toks) AS BIGINT) AS total_tokens,
+       CAST((sum(toks) * 1000000) // count(*) AS BIGINT) AS mean_tokens_micros
+FROM pre
+GROUP BY source
+"""
+
+
 SPARK_QUERIES = {
+    "q_corpus_audit": spark_corpus_audit,
     "q_classify_scores": spark_classify_scores,
     "q_normalize_chain": spark_normalize_chain,
     "q_token_stats": spark_token_stats,
@@ -6632,6 +6673,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q_corpus_audit": _CORPUS_AUDIT_SQL,
     "q_classify_scores": _CLASSIFY_SQL,
     "q_normalize_chain": _NORMALIZE_SQL,
     "q_token_stats": _TOKEN_STATS_SQL,
