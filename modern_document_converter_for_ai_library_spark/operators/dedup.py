@@ -1487,6 +1487,7 @@ def near_dedup_incremental(
     max_bucket_size: int | None = None,
     cc_algorithm: str = "label",
     base_bands: DataFrame | None = None,
+    prune: str = "broadcast",
 ) -> DataFrame:
     """Near-dedup an INGEST BATCH against an existing corpus plus itself —
     the continuously-ingested-corpus pattern: base-vs-base comparisons are
@@ -1538,13 +1539,54 @@ def near_dedup_incremental(
             "_is_new", F.lit(False)
         )
     band_cols = [f"band_{k}" for k in range(n_bands_expected)]
-    long = nb.unionByName(bb).select(
-        F.col(id_col),
-        "_is_new",
-        F.posexplode(F.array(*[F.col(c) for c in band_cols])).alias(
-            "band_idx", "band_value"
-        ),
-    )
+
+    def _long(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            "_is_new",
+            F.posexplode(F.array(*[F.col(c) for c in band_cols])).alias(
+                "band_idx", "band_value"
+            ),
+        )
+
+    # Candidate generation is O(batch + touched-base), not O(corpus): only
+    # base rows in buckets the BATCH touches can ever reach a qualifying
+    # pair (a bucket with no new member emits nothing), so the base side
+    # is pruned by a leftsemi on the batch's distinct band keys BEFORE the
+    # bucket aggregation. The semi-join keeps WHOLE buckets, so the skew
+    # cap still sees true bucket sizes. ``prune`` picks the join strategy:
+    #
+    #   "broadcast"  (default) the batch's ~16 x batch band keys ship to
+    #                every scan task and the base index is scanned but
+    #                NEVER shuffled — the right plan while the key set
+    #                fits a broadcast (~<= 10^6-doc batches). At 10^12-row
+    #                corpora this is the whole game: zero corpus exchange.
+    #   "shuffle"    both sides hash-partition on the band key; the base
+    #                index shuffles ONCE and the bucket aggregation reuses
+    #                that exchange — never worse than the unpruned plan,
+    #                for batches too large to broadcast.
+    #   "none"       no pruning (the pre-index plan); kept for A/Bs.
+    #
+    # (The 10^12-row endgame for huge batches is a band-prefix-partitioned
+    # index table whose touched buckets prune FILES at scan time —
+    # catalog-level partition pruning, same algebra, no broadcast.)
+    # The batch banding subtree is persisted — it feeds both the key set
+    # and the union (batch-scale rows); it is released with ``pairs``
+    # below, AFTER the CC labels are materialized (releasing before the
+    # first action would silently recompute the batch banding — the
+    # assign_codes recompute hazard class, VERDICT r2).
+    if prune not in ("broadcast", "shuffle", "none"):
+        raise ValueError(f"unknown prune strategy: {prune!r}")
+    nb_long = _long(nb).persist()
+    bb_long = _long(bb)
+    if prune != "none":
+        touched = nb_long.select("band_idx", "band_value").distinct()
+        if prune == "broadcast":
+            touched = F.broadcast(touched)
+        bb_long = bb_long.join(
+            touched, ["band_idx", "band_value"], "leftsemi"
+        )
+    long = nb_long.unionByName(bb_long)
     pairs = _bucket_local_pairs(
         long, id_col, max_bucket_size, flag_col="_is_new"
     ).persist()
@@ -1574,6 +1616,7 @@ def near_dedup_incremental(
         )
     finally:
         pairs.unpersist()
+        nb_long.unpersist()
     return (
         new_df.join(labels, on=id_col, how="left")
         .withColumn(

@@ -54,6 +54,7 @@ SHOWCASE = [
     ("q_pq_topk", "product quantization serving: broadcast m x n_codes codebook + distance table, codes-explode ADC sum, exact rescore touches full vectors only for the C-candidate shortlist"),
     ("q_ivfpq_topk", "composed IVF-PQ: coarse cells bound candidates (broadcast probe join), PQ codes bound bytes per candidate, exact rescore bounds error"),
     ("q_snapshot_diff", "cross-snapshot CDC: map-side codegen hashes, ONE full-outer equi-join of two slim (id, hash) projections"),
+    ("q_corpus_audit", "one-pass corpus audit: every health metric in ONE aggregate over ONE pruned scan — zero joins, zero Python, count-distinct folded into the same scan"),
 ]
 
 

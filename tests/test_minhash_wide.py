@@ -223,3 +223,31 @@ def test_near_dedup_incremental_rejects_malformed_index(spark):
     bad = spark.createDataFrame([(1, "x")], ["doc_id", "band_0"])
     with pytest.raises(ValueError, match="band_index"):
         near_dedup_incremental(new, base, base_bands=bad)
+
+
+def test_near_dedup_incremental_prune_strategies_identical(spark):
+    """broadcast / shuffle / none pruning are pure plan choices — outputs
+    are identical (and an unknown strategy is rejected)."""
+    from modern_document_converter_for_ai_library_spark.operators.dedup import (
+        near_dedup_incremental,
+    )
+    import pytest
+
+    mk = lambda seed, n=40: " ".join(f"{seed}tok{i}" for i in range(n))
+    base = spark.createDataFrame(
+        [(10, mk("a")), (20, mk("b")), (30, mk("c"))], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(101, mk("a", 38) + " edited tail"), (102, mk("x")),
+         (103, mk("x", 38) + " other ending")],
+        ["doc_id", "text"],
+    )
+    key = lambda p: sorted(
+        (r["doc_id"], r["canonical_doc_id"], r["is_near_duplicate"])
+        for r in near_dedup_incremental(new, base, prune=p).collect()
+    )
+    got = key("broadcast")
+    assert got == key("shuffle") == key("none")
+    assert got[0] == (101, 10, True)
+    with pytest.raises(ValueError, match="prune"):
+        near_dedup_incremental(new, base, prune="bogus")
