@@ -175,12 +175,11 @@ def main(argv: list[str] | None = None) -> int:
                     # Only a genuinely-missing target bootstraps from the
                     # base text; misconfiguration/transient errors propagate
                     # (the resume_pending pattern, ADVICE r2).
-                    msg = str(e)
-                    if not (
-                        "PATH_NOT_FOUND" in msg
-                        or "TABLE_OR_VIEW_NOT_FOUND" in msg
-                        or "Path does not exist" in msg
-                    ):
+                    from modern_document_converter_for_ai_library_spark.sources.catalog import (
+                        is_missing_target_error,
+                    )
+
+                    if not is_missing_target_error(e):
                         raise
                     index_bootstrapped = True
             marked = near_dedup_incremental(

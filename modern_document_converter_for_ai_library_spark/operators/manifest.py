@@ -66,7 +66,7 @@ def resume_pending(input_df: DataFrame, output_path: str) -> DataFrame:
     """
     from pyspark.errors import AnalysisException
 
-    from ..sources.catalog import read_documents
+    from ..sources.catalog import is_missing_target_error, read_documents
 
     spark = input_df.sparkSession
     try:
@@ -76,12 +76,7 @@ def resume_pending(input_df: DataFrame, output_path: str) -> DataFrame:
         # Catalog misconfiguration (RuntimeError from the adapter) and
         # transient read failures must propagate — swallowing them would
         # reprocess and APPEND duplicate rows (ADVICE r2).
-        msg = str(e)
-        if (
-            "PATH_NOT_FOUND" in msg
-            or "TABLE_OR_VIEW_NOT_FOUND" in msg
-            or "Path does not exist" in msg
-        ):
+        if is_missing_target_error(e):
             return input_df  # no output yet -> everything pending
         raise
     return input_df.join(done, on=["doc_id", "input_hash"], how="left_anti")

@@ -83,6 +83,22 @@ def write_documents(
     w.parquet(target)
 
 
+def is_missing_target_error(e: Exception) -> bool:
+    """True iff ``e`` means the read TARGET does not exist (yet) — the only
+    error class bootstrap/resume paths may treat as "no output yet".
+    Catalog misconfiguration and transient read failures must propagate:
+    swallowing them silently reprocesses and appends duplicates (the
+    resume_pending discipline, ADVICE r2)."""
+    msg = str(e)
+    return (
+        "PATH_NOT_FOUND" in msg
+        or "TABLE_OR_VIEW_NOT_FOUND" in msg
+        or "Path does not exist" in msg
+        or "UNABLE_TO_INFER_SCHEMA" in msg  # empty dir target
+        or "Unable to infer schema" in msg
+    )
+
+
 def read_documents(spark: SparkSession, target: str) -> DataFrame:
     """Read a span-shaped table from an Iceberg identifier or parquet path."""
     if is_table_identifier(target):

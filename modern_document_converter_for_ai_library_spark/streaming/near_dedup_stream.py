@@ -19,6 +19,16 @@ Idempotency: both the flagged output and the base delta are written to
 (foreachBatch is at-least-once) rewrites its own partition instead of
 appending duplicates — the same per-partition idempotency contract as
 the convert manifest sink.
+
+With ``band_index_path`` the stream also maintains the stored LSH band
+index (operators/dedup.py:band_index): each micro-batch READS the index
+instead of re-shingling the whole accumulated base (at micro-batch
+cadence the re-shingling cost is paid per trigger — the index turns it
+into a slim scan), and writes its kept docs' band rows to its own
+``batch_id=N`` subdirectory (same overwrite idempotency). A missing
+index with a NONEMPTY base (the flag was enabled on an existing stream)
+bootstraps the full base's rows into that batch's delta — a partial
+index would silently miss base candidates.
 """
 
 from __future__ import annotations
@@ -57,26 +67,47 @@ def near_dedup_stream(
     available_now: bool = True,
     threshold_micros: int = 500_000,
     max_files_per_trigger: int | None = None,
+    band_index_path: str | None = None,
 ) -> StreamingQuery:
-    from ..operators.dedup import near_dedup_incremental
+    from pyspark.errors import AnalysisException
+
+    from ..operators.dedup import band_index, near_dedup_incremental
+    from ..sources.catalog import is_missing_target_error
 
     reader = spark.readStream.schema(DOCS_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(input_path)
 
+    def _read_or_none(sess: SparkSession, path: str) -> DataFrame | None:
+        try:
+            return sess.read.parquet(path)
+        except AnalysisException as e:
+            # only a missing/empty target means "nothing yet"; transient
+            # read failures propagate (catalog.is_missing_target_error)
+            if is_missing_target_error(e):
+                return None
+            raise
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         batch = _flat_text(batch_df)
-        try:
-            base = sess.read.parquet(base_path).select("doc_id", "text")
-        except Exception:
+        base = _read_or_none(sess, base_path)
+        if base is None:
             base = sess.createDataFrame([], "doc_id string, text string")
-        base = base.withColumn(
+        base = base.select("doc_id", "text").withColumn(
             "doc_id", F.col("doc_id").cast(batch.schema["doc_id"].dataType)
         )
+        stored = None
+        if band_index_path:
+            stored = _read_or_none(sess, band_index_path)
+            if stored is not None:
+                stored = stored.withColumn(
+                    "doc_id",
+                    F.col("doc_id").cast(batch.schema["doc_id"].dataType),
+                )
         flagged = near_dedup_incremental(
-            batch, base, threshold_micros=threshold_micros
+            batch, base, threshold_micros=threshold_micros, base_bands=stored
         )
         flagged.write.mode("overwrite").parquet(
             os.path.join(output_path, f"batch_id={batch_id}")
@@ -87,6 +118,16 @@ def near_dedup_stream(
         kept.write.mode("overwrite").parquet(
             os.path.join(base_path, f"batch_id={batch_id}")
         )
+        if band_index_path:
+            delta = band_index(kept)
+            if stored is None:
+                # enabling the index on an existing stream: bootstrap the
+                # whole base into this batch's delta (a PARTIAL index
+                # would silently miss base candidates forever after)
+                delta = band_index(base).unionByName(delta)
+            delta.write.mode("overwrite").parquet(
+                os.path.join(band_index_path, f"batch_id={batch_id}")
+            )
 
     writer = (
         stream.writeStream.foreachBatch(_process)

@@ -92,3 +92,104 @@ def test_near_dedup_stream_cross_batch(spark):
     finally:
         for p in (src, out, ckpt, base):
             shutil.rmtree(p, ignore_errors=True)
+
+
+def test_near_dedup_stream_band_index_maintained(spark):
+    """With band_index_path the stream reads the stored index per
+    micro-batch and appends its kept docs' band rows; cross-batch
+    detection works THROUGH the index, and the index tracks exactly the
+    kept corpus. Phase 3 deletes nothing and replays fine because each
+    batch owns its own subdirectory."""
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="ndstream2_src_")
+    out = tempfile.mkdtemp(prefix="ndstream2_out_")
+    ckpt = tempfile.mkdtemp(prefix="ndstream2_ckpt_")
+    base = tempfile.mkdtemp(prefix="ndstream2_base_")
+    idx = tempfile.mkdtemp(prefix="ndstream2_idx_")
+    shutil.rmtree(base)
+    shutil.rmtree(idx)
+    try:
+        _write_batch(
+            spark, src, "b1",
+            [
+                _doc("a", BASE_TEXT),
+                _doc("a2", BASE_TEXT + " with a tiny suffix appended"),
+                _doc("c", "completely different content about gardening and bread recipes today"),
+            ],
+        )
+        q = near_dedup_stream(spark, src, out, ckpt, base, band_index_path=idx)
+        q.awaitTermination(180)
+        kept1 = {r["doc_id"] for r in spark.read.parquet(base).collect()}
+        assert kept1 == {"a", "c"}
+        idx1 = {r["doc_id"] for r in spark.read.parquet(idx).collect()}
+        assert idx1 == kept1  # index tracks exactly the kept corpus
+
+        # phase 2: a3 must match base doc a THROUGH the stored index
+        _write_batch(
+            spark, src, "b2",
+            [
+                _doc("a3", BASE_TEXT + " and one more little twist"),
+                _doc("d", "sailing ships and harbor towns feature in this other text"),
+            ],
+        )
+        q = near_dedup_stream(spark, src, out, ckpt, base, band_index_path=idx)
+        q.awaitTermination(180)
+        got = {
+            r["doc_id"]: (r["canonical_doc_id"], r["is_near_duplicate"])
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got["a3"] == ("a", True)
+        assert got["d"] == ("d", False)
+        idx2 = {r["doc_id"] for r in spark.read.parquet(idx).collect()}
+        assert idx2 == {"a", "c", "d"}
+        # index rows are the real band layout (+ the batch_id partition
+        # column the per-batch subdirectory layout surfaces on read)
+        cols = spark.read.parquet(idx).columns
+        assert set(cols) == {"doc_id", "batch_id"} | {
+            f"band_{k}" for k in range(16)
+        }
+    finally:
+        for p in (src, out, ckpt, base, idx):
+            shutil.rmtree(p, ignore_errors=True)
+
+
+def test_near_dedup_stream_index_enabled_midlife_bootstraps(spark):
+    """Enabling band_index_path on an EXISTING stream bootstraps the whole
+    base into the first indexed batch's delta — no silent partial index."""
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="ndstream3_src_")
+    out = tempfile.mkdtemp(prefix="ndstream3_out_")
+    ckpt = tempfile.mkdtemp(prefix="ndstream3_ckpt_")
+    base = tempfile.mkdtemp(prefix="ndstream3_base_")
+    idx = tempfile.mkdtemp(prefix="ndstream3_idx_")
+    shutil.rmtree(base)
+    shutil.rmtree(idx)
+    try:
+        # phase 1 WITHOUT the index
+        _write_batch(
+            spark, src, "b1",
+            [_doc("a", BASE_TEXT),
+             _doc("c", "completely different content about gardening and bread recipes today")],
+        )
+        q = near_dedup_stream(spark, src, out, ckpt, base)
+        q.awaitTermination(180)
+        # phase 2 WITH the index: a4 must still match base doc a, and the
+        # index delta must contain the bootstrapped base rows
+        _write_batch(
+            spark, src, "b2",
+            [_doc("a4", BASE_TEXT + " trailing change here")],
+        )
+        q = near_dedup_stream(spark, src, out, ckpt, base, band_index_path=idx)
+        q.awaitTermination(180)
+        got = {
+            r["doc_id"]: (r["canonical_doc_id"], r["is_near_duplicate"])
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got["a4"] == ("a", True)
+        idx_ids = {r["doc_id"] for r in spark.read.parquet(idx).collect()}
+        assert idx_ids == {"a", "c"}  # bootstrapped base; a4 was dropped
+    finally:
+        for p in (src, out, ckpt, base, idx):
+            shutil.rmtree(p, ignore_errors=True)
