@@ -71,3 +71,30 @@ def test_audit_partitioning_invariance(spark):
     a = sorted(tuple(r) for r in corpus_audit(df.repartition(1), group_col="source").collect())
     b = sorted(tuple(r) for r in corpus_audit(df.repartition(13), group_col="source").collect())
     assert a == b
+
+
+def test_audit_job_end_to_end(spark, tmp_path, capsys):
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import jobs.audit_job as job
+
+    inp = str(tmp_path / "in")
+    outp = str(tmp_path / "out")
+    spark.createDataFrame(ROWS, ["doc_id", "text", "source"]).write.parquet(inp)
+    rc = job.main(["--input", inp, "--group-col", "source", "--output", outp])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    glob = [l for l in lines if l["scope"] == "global"][0]
+    expect = _twin(ROWS)
+    assert {k: glob[k] for k in expect} == expect
+    per = {l["source"]: l for l in lines if l["scope"] == "source"}
+    assert set(per) == {"s1", "s2"}
+    import duckdb
+    n = duckdb.sql(f"SELECT count(*) FROM read_parquet('{outp}/*.parquet')").fetchone()[0]
+    assert n == 2
+
+    import pytest
+    with pytest.raises(SystemExit):
+        job.main(["--input", inp, "--output", outp])  # --output needs --group-col
