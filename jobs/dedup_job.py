@@ -67,6 +67,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="incremental tier: stored LSH band-index target "
                         "(read if present, bootstrapped from --base if "
                         "missing; batch survivors' rows appended after)")
+    p.add_argument("--prune", choices=["broadcast", "shuffle", "none"],
+                   default="broadcast",
+                   help="incremental tier: base-side touched-bucket prune "
+                        "strategy — broadcast while 16 x batch band keys "
+                        "fit a broadcast (~<= 1M-doc batches), shuffle for "
+                        "larger batches (identical output, unpruned-plan "
+                        "cost)")
     p.add_argument("--threshold", type=float, default=0.8,
                    help="near: Jaccard threshold; semantic: cosine cutoff")
     p.add_argument("--n-bands", type=int, default=2)
@@ -190,6 +197,7 @@ def main(argv: list[str] | None = None) -> int:
                 threshold_micros=int(args.threshold * 1_000_000),
                 max_bucket_size=args.max_bucket_size,
                 base_bands=base_bands,
+                prune=args.prune,
             )
             dup_col = "is_near_duplicate"
         else:

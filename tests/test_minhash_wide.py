@@ -251,3 +251,57 @@ def test_near_dedup_incremental_prune_strategies_identical(spark):
     assert got[0] == (101, 10, True)
     with pytest.raises(ValueError, match="prune"):
         near_dedup_incremental(new, base, prune="bogus")
+
+
+def test_near_dedup_incremental_randomized_equality(spark):
+    """Randomized sweep of the incremental == full-recompute equality
+    (base internally unique, as the contract requires): deterministic
+    md5-derived corpora over several seeds, stored-index path, all docs'
+    assignments must match near_dedup(wide) over base ∪ batch restricted
+    to batch ids."""
+    import hashlib
+
+    from modern_document_converter_for_ai_library_spark.operators.dedup import (
+        band_index,
+        near_dedup,
+        near_dedup_incremental,
+    )
+
+    def mk_text(seed: str, edit: str | None = None, n: int = 30):
+        toks = [
+            "w%d" % (int(hashlib.md5(f"{seed}|{t}".encode()).hexdigest()[:8], 16) % 5000)
+            for t in range(n)
+        ]
+        if edit is not None:
+            toks[-3:] = [edit + str(i) for i in range(3)]
+        return " ".join(toks)
+
+    for trial in range(3):
+        base_rows = [(i, mk_text(f"b{trial}-{i}")) for i in range(20)]
+        batch_rows = []
+        for j in range(12):
+            bid = 100 + j
+            if j % 3 == 0:  # near-dup of a base doc
+                batch_rows.append((bid, mk_text(f"b{trial}-{j % 20}", edit="x")))
+            elif j % 3 == 1:  # batch-internal near-dup pair partner
+                batch_rows.append((bid, mk_text(f"n{trial}-{j // 3}", edit="y")))
+                batch_rows.append((bid + 50, mk_text(f"n{trial}-{j // 3}", edit="z")))
+            else:  # unique
+                batch_rows.append((bid, mk_text(f"u{trial}-{j}")))
+        base = spark.createDataFrame(base_rows, ["doc_id", "text"])
+        batch = spark.createDataFrame(batch_rows, ["doc_id", "text"])
+        inc = {
+            r["doc_id"]: (r["canonical_doc_id"], r["is_near_duplicate"])
+            for r in near_dedup_incremental(
+                batch, base, base_bands=band_index(base)
+            ).collect()
+        }
+        batch_ids = {r[0] for r in batch_rows}
+        full = {
+            r["doc_id"]: (r["canonical_doc_id"], r["is_near_duplicate"])
+            for r in near_dedup(
+                base.unionByName(batch), candidate_tier="wide"
+            ).collect()
+            if r["doc_id"] in batch_ids
+        }
+        assert inc == full, f"trial {trial} diverged"
