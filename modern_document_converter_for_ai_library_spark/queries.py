@@ -6568,7 +6568,48 @@ GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# q_tfidf_vectors — hashed TF-IDF document vectors (operators/vectorize.py):
+# the model-free text->vector bridge into the ANN/clustering stack. TF is
+# computed inside the row (map-only), DF is one bounded dim-row reduce, IDF
+# re-enters as a driver-computed literal array — the corpus never shuffles.
+
+
+def spark_tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.vectorize import tfidf_vectors
+
+    return tfidf_vectors(_docs(spark, sf_dir), dim=64)
+
+
+_TFIDF_VECTORS_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tokens
+  FROM documents
+), tfs AS (
+  SELECT doc_id,
+         list_transform(range(0, 64),
+           i -> CAST(len(list_filter(tokens,
+                t -> ('0x'||substring(md5(t),1,8))::BIGINT % 64 = i)) AS BIGINT)) AS tf
+  FROM t
+), buckets AS (
+  SELECT unnest(range(0, 64)) AS bucket
+), dfreq AS (
+  SELECT b.bucket,
+         (SELECT count(*) FROM tfs WHERE tf[CAST(b.bucket AS INT) + 1] > 0) AS dfc
+  FROM buckets b
+), n AS (SELECT count(*) AS nd FROM tfs),
+idf AS (
+  SELECT list(1024 * CAST(floor(log2(greatest((nd + 1) // (dfc + 1), 1))) AS BIGINT) ORDER BY bucket) AS w
+  FROM dfreq, n
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       list_transform(range(1, 65), k -> tf[k] * w[k]) AS vec
+FROM tfs, idf
+"""
+
+
 SPARK_QUERIES = {
+    "q_tfidf_vectors": spark_tfidf_vectors,
     "q_corpus_audit": spark_corpus_audit,
     "q_classify_scores": spark_classify_scores,
     "q_normalize_chain": spark_normalize_chain,
@@ -6673,6 +6714,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q_tfidf_vectors": _TFIDF_VECTORS_SQL,
     "q_corpus_audit": _CORPUS_AUDIT_SQL,
     "q_classify_scores": _CLASSIFY_SQL,
     "q_normalize_chain": _NORMALIZE_SQL,
