@@ -21,6 +21,12 @@ prefix (path targets join with '/', Iceberg identifiers with '_'):
     centroids  (cell, cvec)              coarse quantizer (K rows)
     encoded    (vec_id, codes)           PQ codes (m bytes/vector payload)
     codebook   (sub, code, cvec)         PQ codebooks (m x n_codes rows)
+    meta       (m, n_codes, dim, n_centroids)  build-time knobs, 1 row
+
+``query`` reads the geometry knobs (m, dim) FROM the meta table — never
+from its own CLI — so a query can never silently run with a subspace
+layout that differs from the build (mismatched m would shred the ADC
+joins into garbage distances that still look like results).
 
 ``query`` runs operators/pq.py:ivf_pq_search — coarse cells bound the
 candidate set, PQ codes bound the bytes per candidate, the exact rescore
@@ -116,7 +122,17 @@ def main(argv: list[str] | None = None) -> int:
                                 mode="overwrite")
                 write_documents(codebook, _sub(args.index, "codebook"),
                                 mode="overwrite")
-            n = corpus.count()
+                meta = spark.createDataFrame(
+                    [(args.pq_m, args.pq_codes, args.dim,
+                      args.n_centroids)],
+                    "m int, n_codes int, dim int, n_centroids int",
+                )
+                write_documents(meta, _sub(args.index, "meta"),
+                                mode="overwrite")
+            # count the slim assigned table (1 row/vector), not the full
+            # corpus — the caches are released and a corpus.count() here
+            # would re-scan the entire embeddings table for a stats line
+            n = read_documents(spark, _sub(args.index, "assigned")).count()
             print(json.dumps({
                 "mode": "build", "n_vectors": n,
                 "n_centroids": args.n_centroids,
@@ -127,6 +143,14 @@ def main(argv: list[str] | None = None) -> int:
             from modern_document_converter_for_ai_library_spark.operators.pq import ivf_pq_search
 
             queries = read_documents(spark, args.queries)
+            try:
+                meta = read_documents(spark, _sub(args.index, "meta")).collect()[0]
+            except Exception as e:
+                raise SystemExit(
+                    f"cannot read the index meta table under {args.index!r} "
+                    f"({e}); rebuild the index with --mode build"
+                )
+            m, dim = int(meta["m"]), int(meta["dim"])
             out = ivf_pq_search(
                 read_documents(spark, _sub(args.index, "assigned")),
                 read_documents(spark, _sub(args.index, "centroids")),
@@ -137,8 +161,8 @@ def main(argv: list[str] | None = None) -> int:
                 k=args.k,
                 n_probe=args.n_probe,
                 shortlist=args.shortlist,
-                m=args.pq_m,
-                dim=args.dim,
+                m=m,
+                dim=dim,
                 id_col=args.id_col,
                 vec_col=args.vec_col,
             )
@@ -148,7 +172,7 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({
                 "mode": "query", "n_queries": n_q, "n_results": n_res,
                 "k": args.k, "n_probe": args.n_probe,
-                "shortlist": args.shortlist,
+                "shortlist": args.shortlist, "m": m, "dim": dim,
             }))
         return 0
     finally:

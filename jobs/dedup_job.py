@@ -189,6 +189,16 @@ def main(argv: list[str] | None = None) -> int:
                     if not is_missing_target_error(e):
                         raise
                     index_bootstrapped = True
+                    # bootstrap: band the base ONCE, persisted — the same
+                    # frame serves the dedup pass (base_bands) and the
+                    # index write below, instead of running the
+                    # 128-permutation minhash over the whole base twice
+                    # on exactly the run where base is the entire corpus
+                    base_bands = band_index(
+                        base.select(args.id_col, args.text_col),
+                        text_col=args.text_col,
+                        id_col=args.id_col,
+                    ).persist()
             marked = near_dedup_incremental(
                 docs,
                 base,
@@ -234,23 +244,21 @@ def main(argv: list[str] | None = None) -> int:
         )
         write_documents(survivors, args.output, mode="overwrite")
         if args.tier == "incremental" and args.band_index:
-            from modern_document_converter_for_ai_library_spark.operators.dedup import (
-                band_index as _band_index,
-            )
-
-            new_rows = _band_index(
+            # band_index was imported by the tier branch above (the
+            # validation at parse time guarantees tier == incremental here)
+            new_rows = band_index(
                 survivors.select(args.id_col, args.text_col),
                 text_col=args.text_col,
                 id_col=args.id_col,
             )
             if index_bootstrapped:
-                # first ingest: the full index = base rows + batch survivors
-                full = _band_index(
-                    base.select(args.id_col, args.text_col),
-                    text_col=args.text_col,
-                    id_col=args.id_col,
-                ).unionByName(new_rows)
-                write_documents(full, args.band_index, mode="overwrite")
+                # first ingest: the full index = the base bands computed
+                # (and persisted) above + the batch survivors' rows
+                write_documents(
+                    base_bands.unionByName(new_rows),
+                    args.band_index, mode="overwrite",
+                )
+                base_bands.unpersist()
             else:
                 # per-doc rows compose, so maintenance is a pure append of
                 # the batch survivors' rows (index(base ∪ batch) ==

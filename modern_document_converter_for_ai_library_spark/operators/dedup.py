@@ -1478,6 +1478,77 @@ def band_index(
     return minhash_wide_bands(df, text_col, id_col)
 
 
+def incremental_candidate_pairs(
+    nb: DataFrame,
+    bb: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+    prune: str = "broadcast",
+    n_bands: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """Batch-vs-corpus candidate pairs from two wide band frames (each
+    ``(id, band_0..band_{n_bands-1}, _is_new)``; ``nb`` flagged True,
+    ``bb`` False). Returns ``(pairs, nb_long)`` — the single candidate
+    kernel shared by ``near_dedup_incremental`` and the ingest A/B
+    (scripts/incr_dedup_ab.py), so the benchmark can never drift from
+    the operator it measures. ``nb_long`` (the persisted batch banding
+    subtree — it feeds both the prune key set and the union) is returned
+    for the CALLER to release only after the pairs' consumers have
+    materialized (releasing before the first action would silently
+    recompute the batch banding — the assign_codes recompute hazard
+    class, VERDICT r2).
+
+    Candidate generation is O(batch + touched-base), not O(corpus): only
+    base rows in buckets the BATCH touches can ever reach a qualifying
+    pair (a bucket with no new member emits nothing), so the base side
+    is pruned by a leftsemi on the batch's distinct band keys BEFORE the
+    bucket aggregation. The semi-join keeps WHOLE buckets, so the skew
+    cap still sees true bucket sizes. ``prune`` picks the join strategy:
+
+    - ``"broadcast"`` (default): the batch's ~n_bands x batch band keys
+      ship to every scan task and the base index is scanned but NEVER
+      shuffled — the right plan while the key set fits a broadcast
+      (~<= 10^6-doc batches). At 10^12-row corpora this is the whole
+      game: zero corpus exchange.
+    - ``"shuffle"``: both sides hash-partition on the band key; the base
+      index shuffles ONCE and the bucket aggregation reuses that
+      exchange — never worse than the unpruned plan, for batches too
+      large to broadcast.
+    - ``"none"``: no pruning (the pre-index plan); kept for A/Bs.
+
+    (The 10^12-row endgame for huge batches is a band-prefix-partitioned
+    index table whose touched buckets prune FILES at scan time —
+    catalog-level partition pruning, same algebra, no broadcast.)
+    """
+    if prune not in ("broadcast", "shuffle", "none"):
+        raise ValueError(f"unknown prune strategy: {prune!r}")
+    band_cols = [f"band_{k}" for k in range(n_bands)]
+
+    def _long(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            "_is_new",
+            F.posexplode(F.array(*[F.col(c) for c in band_cols])).alias(
+                "band_idx", "band_value"
+            ),
+        )
+
+    nb_long = _long(nb).persist()
+    bb_long = _long(bb)
+    if prune != "none":
+        touched = nb_long.select("band_idx", "band_value").distinct()
+        if prune == "broadcast":
+            touched = F.broadcast(touched)
+        bb_long = bb_long.join(
+            touched, ["band_idx", "band_value"], "leftsemi"
+        )
+    pairs = _bucket_local_pairs(
+        nb_long.unionByName(bb_long), id_col, max_bucket_size,
+        flag_col="_is_new",
+    )
+    return pairs, nb_long
+
+
 def near_dedup_incremental(
     new_df: DataFrame,
     base_df: DataFrame,
@@ -1538,58 +1609,10 @@ def near_dedup_incremental(
         bb = minhash_wide_bands(base_df, text_col, id_col).withColumn(
             "_is_new", F.lit(False)
         )
-    band_cols = [f"band_{k}" for k in range(n_bands_expected)]
-
-    def _long(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(id_col),
-            "_is_new",
-            F.posexplode(F.array(*[F.col(c) for c in band_cols])).alias(
-                "band_idx", "band_value"
-            ),
-        )
-
-    # Candidate generation is O(batch + touched-base), not O(corpus): only
-    # base rows in buckets the BATCH touches can ever reach a qualifying
-    # pair (a bucket with no new member emits nothing), so the base side
-    # is pruned by a leftsemi on the batch's distinct band keys BEFORE the
-    # bucket aggregation. The semi-join keeps WHOLE buckets, so the skew
-    # cap still sees true bucket sizes. ``prune`` picks the join strategy:
-    #
-    #   "broadcast"  (default) the batch's ~16 x batch band keys ship to
-    #                every scan task and the base index is scanned but
-    #                NEVER shuffled — the right plan while the key set
-    #                fits a broadcast (~<= 10^6-doc batches). At 10^12-row
-    #                corpora this is the whole game: zero corpus exchange.
-    #   "shuffle"    both sides hash-partition on the band key; the base
-    #                index shuffles ONCE and the bucket aggregation reuses
-    #                that exchange — never worse than the unpruned plan,
-    #                for batches too large to broadcast.
-    #   "none"       no pruning (the pre-index plan); kept for A/Bs.
-    #
-    # (The 10^12-row endgame for huge batches is a band-prefix-partitioned
-    # index table whose touched buckets prune FILES at scan time —
-    # catalog-level partition pruning, same algebra, no broadcast.)
-    # The batch banding subtree is persisted — it feeds both the key set
-    # and the union (batch-scale rows); it is released with ``pairs``
-    # below, AFTER the CC labels are materialized (releasing before the
-    # first action would silently recompute the batch banding — the
-    # assign_codes recompute hazard class, VERDICT r2).
-    if prune not in ("broadcast", "shuffle", "none"):
-        raise ValueError(f"unknown prune strategy: {prune!r}")
-    nb_long = _long(nb).persist()
-    bb_long = _long(bb)
-    if prune != "none":
-        touched = nb_long.select("band_idx", "band_value").distinct()
-        if prune == "broadcast":
-            touched = F.broadcast(touched)
-        bb_long = bb_long.join(
-            touched, ["band_idx", "band_value"], "leftsemi"
-        )
-    long = nb_long.unionByName(bb_long)
-    pairs = _bucket_local_pairs(
-        long, id_col, max_bucket_size, flag_col="_is_new"
-    ).persist()
+    pairs, nb_long = incremental_candidate_pairs(
+        nb, bb, id_col=id_col, max_bucket_size=max_bucket_size, prune=prune
+    )
+    pairs = pairs.persist()
     try:
         nodes = (
             pairs.select(F.col("a").alias(id_col))

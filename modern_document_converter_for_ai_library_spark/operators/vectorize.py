@@ -59,8 +59,17 @@ def doc_tf(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(id, tf array<bigint> of length dim): per-doc hashed term
-    frequencies, computed entirely inside the row (map-only)."""
-    tokens = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    frequencies, computed entirely inside the row (map-only). Null text
+    coalesces to '' -> a ZERO vector, not an all-NULL one: split(NULL)
+    is NULL and every per-bucket size would be NULL, and NULL distances
+    rank FIRST under the ANN windows' ascending order — a null-text doc
+    would become everyone's nearest neighbor (corpus_audit models
+    null-text docs as a first-class corpus state, so the input is
+    realistic)."""
+    tokens = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda x: x != "",
+    )
     buckets = F.transform(tokens, lambda t: _bucket(t, dim))
     tf = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),

@@ -6583,7 +6583,8 @@ def spark_tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TFIDF_VECTORS_SQL = """
 WITH t AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tokens
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS tokens
   FROM documents
 ), tfs AS (
   SELECT doc_id,

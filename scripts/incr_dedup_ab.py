@@ -87,8 +87,8 @@ def run_cand_stage(args, arm: str, base, batch, spark, n_batch: int) -> dict:
     from pyspark.sql import functions as F
 
     from modern_document_converter_for_ai_library_spark.operators.dedup import (
-        _bucket_local_pairs,
         band_index,
+        incremental_candidate_pairs,
         minhash_wide_bands,
         minhash_wide_pairs,
     )
@@ -106,28 +106,16 @@ def run_cand_stage(args, arm: str, base, batch, spark, n_batch: int) -> dict:
         band_index(base).write.parquet(idx_path)
         index_sec = time.perf_counter() - t0
         stored = spark.read.parquet(idx_path)
-        band_cols = [f"band_{k}" for k in range(16)]
 
-        def long_of(df):
-            return df.select(
-                F.col("doc_id"),
-                "_is_new",
-                F.posexplode(F.array(*[F.col(c) for c in band_cols])).alias(
-                    "band_idx", "band_value"
-                ),
-            )
-
+        # the ACTUAL operator kernel (shared with near_dedup_incremental),
+        # so this arm cannot drift from what the operator runs
         t0 = time.perf_counter()
-        nb_long = long_of(
-            minhash_wide_bands(batch).withColumn("_is_new", F.lit(True))
-        ).persist()
-        touched = nb_long.select("band_idx", "band_value").distinct()
-        bb_long = long_of(stored.withColumn("_is_new", F.lit(False))).join(
-            F.broadcast(touched), ["band_idx", "band_value"], "leftsemi"
+        nb = minhash_wide_bands(batch).withColumn("_is_new", F.lit(True))
+        bb = stored.withColumn("_is_new", F.lit(False))
+        pairs, nb_long = incremental_candidate_pairs(
+            nb, bb, max_bucket_size=64, prune="broadcast"
         )
-        n_cand = _bucket_local_pairs(
-            nb_long.unionByName(bb_long), "doc_id", 64, flag_col="_is_new"
-        ).count()
+        n_cand = pairs.count()
         wall = time.perf_counter() - t0
         nb_long.unpersist()
         out = {
@@ -244,6 +232,10 @@ def main() -> None:
                  "--stage", args.stage],
                 capture_output=True, text=True, timeout=3600,
             )
+            if out.returncode != 0:
+                raise RuntimeError(
+                    f"{arm} rep failed (rc={out.returncode}):\n{out.stderr[-4000:]}"
+                )
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
             r = json.loads(line)
             cur = best.get(arm)

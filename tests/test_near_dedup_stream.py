@@ -193,3 +193,58 @@ def test_near_dedup_stream_index_enabled_midlife_bootstraps(spark):
     finally:
         for p in (src, out, ckpt, base, idx):
             shutil.rmtree(p, ignore_errors=True)
+
+
+def test_bootstrap_replay_is_idempotent(spark, tmp_path):
+    """The review scenario: enable the index mid-life, then REPLAY the
+    bootstrapping batch (foreachBatch is at-least-once — the stream can
+    crash after the index write but before the checkpoint commit). The
+    replay must regenerate the SAME bootstrap delta, not overwrite it
+    with the batch's kept rows alone (which would permanently drop every
+    base doc's band rows from the index)."""
+    from modern_document_converter_for_ai_library_spark.sources.synth import DOCS_SCHEMA
+    from modern_document_converter_for_ai_library_spark.streaming.near_dedup_stream import (
+        process_near_dedup_batch,
+    )
+
+    out = str(tmp_path / "out")
+    base = str(tmp_path / "base")
+    idx = str(tmp_path / "idx")
+    # pre-existing base from earlier (un-indexed) batches 0 and 1
+    for bid, (did, text) in enumerate(
+        [("a", BASE_TEXT),
+         ("c", "completely different content about gardening and bread recipes today")]
+    ):
+        spark.createDataFrame([_doc(did, text)], schema=DOCS_SCHEMA).select(
+            "doc_id",
+            F.array_join(
+                F.transform(F.col("spans"), lambda s: s["text"]), " "
+            ).alias("text"),
+        ).write.parquet(f"{base}/batch_id={bid}")
+
+    batch = spark.createDataFrame(
+        [_doc("a4", BASE_TEXT + " trailing change here"),
+         _doc("n1", "novel text about mountain weather patterns and snow")],
+        schema=DOCS_SCHEMA,
+    )
+
+    def idx_state():
+        df = spark.read.parquet(idx)
+        return sorted(
+            (r["doc_id"],) + tuple(r[f"band_{k}"] for k in range(16))
+            for r in df.collect()
+        )
+
+    process_near_dedup_batch(batch, 2, out, base, band_index_path=idx)
+    first = idx_state()
+    assert {r[0] for r in first} == {"a", "c", "n1"}  # bootstrap + kept
+
+    # replay batch 2 over its own crashed writes: state must be identical
+    process_near_dedup_batch(batch, 2, out, base, band_index_path=idx)
+    assert idx_state() == first
+    # and the flagged output is identical too
+    got = {
+        r["doc_id"]: (r["canonical_doc_id"], r["is_near_duplicate"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got["a4"] == ("a", True) and got["n1"] == ("n1", False)

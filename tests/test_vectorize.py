@@ -25,7 +25,7 @@ def _py_tfidf(rows, dim: int = DIM):
     tfs = {}
     for doc_id, text in rows:
         tf = [0] * dim
-        for tok in [t for t in text.split(" ") if t != ""]:
+        for tok in [t for t in (text or "").split(" ") if t != ""]:
             tf[_py_bucket(tok, dim)] += 1
         tfs[doc_id] = tf
     n = len(rows)
@@ -43,6 +43,7 @@ ROWS = [
     (3, "unrelated words entirely here"),
     (4, ""),
     (5, "apple  banana"),  # double space -> empty token dropped
+    (6, None),  # null text -> ZERO vector, never NULLs (ANN nulls-first)
 ]
 
 
@@ -50,6 +51,7 @@ def test_matches_python_twin(spark):
     df = spark.createDataFrame(ROWS, ["doc_id", "text"])
     got = {r["doc_id"]: list(r["vec"]) for r in tfidf_vectors(df, dim=DIM).collect()}
     assert got == _py_tfidf(ROWS)
+    assert got[6] == [0] * DIM  # zero vector, no NULL elements
 
 
 def test_idf_downweights_ubiquitous_tokens(spark):
