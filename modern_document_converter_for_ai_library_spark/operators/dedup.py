@@ -1478,13 +1478,104 @@ def band_index(
     return minhash_wide_bands(df, text_col, id_col)
 
 
+def band_index_long(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 2,
+) -> DataFrame:
+    """The LONG band-index layout: one ``(id, band_idx, band_value,
+    band_prefix)`` row per (doc, band), meant to be written PARTITIONED by
+    ``(band_idx, band_prefix)`` — the 10^12-row endgame for ingest batches
+    too large to broadcast their band keys. A batch touches a bounded set
+    of (band_idx, prefix) partitions (≤ n_bands x 16^prefix_len cells
+    regardless of batch size), so ``read_band_index_pruned`` turns the
+    batch's key set into partition-column predicates and the corpus-scale
+    index prunes FILES at scan time — no broadcast, no index shuffle,
+    no full scan. Maintenance stays a pure append of survivor rows (the
+    same union law as the wide ``band_index``).
+
+        band_index_long(base).write.partitionBy("band_idx", "band_prefix")
+            .parquet(path)   # or write_documents(..., partition_by=[...])
+    """
+    wide = minhash_wide_bands(df, text_col, id_col)
+    long = wide.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[F.col(f"band_{k}") for k in range(16)])
+        ).alias("band_idx", "band_value"),
+    )
+    return long.withColumn(
+        "band_prefix", F.substring("band_value", 1, prefix_len)
+    )
+
+
+def read_band_index_pruned(
+    target_df: DataFrame,
+    batch_bands: DataFrame,
+    id_col: str = "doc_id",
+    prefix_len: int = 2,
+    n_bands: int = 16,
+) -> DataFrame:
+    """Partition-pruned read of a ``band_index_long`` table: the batch's
+    touched ``(band_idx, band_prefix)`` set (a bounded driver collect —
+    ≤ n_bands x 16^prefix_len cells no matter how large the batch is)
+    becomes literal predicates on the PARTITION columns, so Catalyst
+    prunes untouched files from the scan. Returns the pruned long frame
+    ``(id, band_idx, band_value)`` ready for
+    ``incremental_candidate_pairs(..., bb_long=...)``.
+
+    Guards the silent-mismatch mode: a reader whose ``prefix_len``
+    differs from the writer's would generate predicates that match no
+    partition and return zero candidates — the prefix width of the
+    stored table is checked against ``prefix_len`` and a mismatch
+    raises."""
+    from functools import reduce
+
+    head = target_df.select("band_prefix").head(1)
+    if head and len(head[0][0]) != prefix_len:
+        raise ValueError(
+            f"stored band_prefix width {len(head[0][0])} != requested "
+            f"prefix_len {prefix_len}; re-read with the writer's width"
+        )
+    touched_rows = (
+        batch_bands.select(
+            F.posexplode(
+                F.array(*[F.col(f"band_{k}") for k in range(n_bands)])
+            ).alias("band_idx", "band_value")
+        )
+        .select(
+            "band_idx",
+            F.substring("band_value", 1, prefix_len).alias("band_prefix"),
+        )
+        .distinct()
+        .collect()
+    )
+    by_idx: dict[int, list[str]] = {}
+    for r in touched_rows:
+        by_idx.setdefault(r["band_idx"], []).append(r["band_prefix"])
+    if not by_idx:
+        return target_df.filter(F.lit(False)).select(
+            id_col, "band_idx", "band_value"
+        )
+    pred = reduce(
+        lambda a, b: a | b,
+        [
+            (F.col("band_idx") == i) & F.col("band_prefix").isin(ps)
+            for i, ps in by_idx.items()
+        ],
+    )
+    return target_df.filter(pred).select(id_col, "band_idx", "band_value")
+
+
 def incremental_candidate_pairs(
     nb: DataFrame,
-    bb: DataFrame,
+    bb: DataFrame | None,
     id_col: str = "doc_id",
     max_bucket_size: int | None = None,
     prune: str = "broadcast",
     n_bands: int = 16,
+    bb_long: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Batch-vs-corpus candidate pairs from two wide band frames (each
     ``(id, band_0..band_{n_bands-1}, _is_new)``; ``nb`` flagged True,
@@ -1516,9 +1607,12 @@ def incremental_candidate_pairs(
       large to broadcast.
     - ``"none"``: no pruning (the pre-index plan); kept for A/Bs.
 
-    (The 10^12-row endgame for huge batches is a band-prefix-partitioned
-    index table whose touched buckets prune FILES at scan time —
-    catalog-level partition pruning, same algebra, no broadcast.)
+    (The 10^12-row endgame for huge batches is the band-prefix-partitioned
+    LONG index — ``band_index_long`` + ``read_band_index_pruned`` — whose
+    touched partitions prune FILES at scan time: pass the pruned frame as
+    ``bb_long`` (``bb`` then unused, may be None); the broadcast semi-join
+    is still applied on top to shrink touched-partition rows to touched
+    BUCKETS before the aggregation.)
     """
     if prune not in ("broadcast", "shuffle", "none"):
         raise ValueError(f"unknown prune strategy: {prune!r}")
@@ -1534,7 +1628,13 @@ def incremental_candidate_pairs(
         )
 
     nb_long = _long(nb).persist()
-    bb_long = _long(bb)
+    if bb_long is not None:
+        bb_long = bb_long.select(
+            F.col(id_col), F.lit(False).alias("_is_new"),
+            "band_idx", "band_value",
+        )
+    else:
+        bb_long = _long(bb)
     if prune != "none":
         touched = nb_long.select("band_idx", "band_value").distinct()
         if prune == "broadcast":
@@ -1559,6 +1659,7 @@ def near_dedup_incremental(
     cc_algorithm: str = "label",
     base_bands: DataFrame | None = None,
     prune: str = "broadcast",
+    base_bands_long: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dedup an INGEST BATCH against an existing corpus plus itself —
     the continuously-ingested-corpus pattern: base-vs-base comparisons are
@@ -1574,7 +1675,12 @@ def near_dedup_incremental(
     for candidate docs (the verify join is leftsemi on the candidate node
     set), never re-shingled. Without ``base_bands`` the index is derived
     from ``base_df`` for self-containment — the plan under the bands is
-    identical either way (pinned by test).
+    identical either way (pinned by test). For batches too large to
+    broadcast their band keys, pass ``base_bands_long`` instead: the
+    partition-PRUNED frame from ``read_band_index_pruned`` over a
+    ``band_index_long`` table, where the touched-bucket restriction
+    already happened at file-scan level (outputs pinned identical to the
+    wide path by test).
 
     Verified pairs (exact shingle Jaccard, candidates only) feed the same
     connected-component canonicalization as ``near_dedup``: a new doc
@@ -1588,10 +1694,22 @@ def near_dedup_incremental(
     (wide tier) over base ∪ new.
     """
     n_bands_expected = 16
+    if base_bands is not None and base_bands_long is not None:
+        raise ValueError("pass base_bands OR base_bands_long, not both")
     nb = minhash_wide_bands(new_df, text_col, id_col).withColumn(
         "_is_new", F.lit(True)
     )
-    if base_bands is not None:
+    bb = None
+    if base_bands_long is not None:
+        missing = {id_col, "band_idx", "band_value"} - set(
+            base_bands_long.columns
+        )
+        if missing:
+            raise ValueError(
+                f"base_bands_long is missing columns {sorted(missing)}; "
+                "expected the read_band_index_pruned() layout"
+            )
+    elif base_bands is not None:
         missing = {
             c
             for c in [id_col] + [f"band_{k}" for k in range(n_bands_expected)]
@@ -1610,7 +1728,8 @@ def near_dedup_incremental(
             "_is_new", F.lit(False)
         )
     pairs, nb_long = incremental_candidate_pairs(
-        nb, bb, id_col=id_col, max_bucket_size=max_bucket_size, prune=prune
+        nb, bb, id_col=id_col, max_bucket_size=max_bucket_size, prune=prune,
+        bb_long=base_bands_long,
     )
     pairs = pairs.persist()
     try:

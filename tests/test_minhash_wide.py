@@ -305,3 +305,64 @@ def test_near_dedup_incremental_randomized_equality(spark):
             if r["doc_id"] in batch_ids
         }
         assert inc == full, f"trial {trial} diverged"
+
+
+def test_long_index_partition_pruned_path(spark, tmp_path):
+    """The huge-batch tier: band_index_long written partitioned by
+    (band_idx, band_prefix), read back partition-PRUNED via the batch's
+    bounded touched-cell set. Output must equal both the wide stored-index
+    path and the self-contained path, and the pruned scan must touch
+    strictly fewer files than the full index holds."""
+    from modern_document_converter_for_ai_library_spark.operators.dedup import (
+        band_index_long,
+        minhash_wide_bands,
+        near_dedup_incremental,
+        read_band_index_pruned,
+    )
+    import pytest
+
+    mk = lambda seed, n=40: " ".join(f"{seed}tok{i}" for i in range(n))
+    base = spark.createDataFrame(
+        [(i, mk(f"b{i}")) for i in range(30)], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(101, mk("b3", 38) + " edited tail"), (102, mk("x")),
+         (103, mk("x", 38) + " other ending"), (104, mk("z"))],
+        ["doc_id", "text"],
+    )
+    idxp = str(tmp_path / "longidx")
+    band_index_long(base, prefix_len=1).write.partitionBy(
+        "band_idx", "band_prefix"
+    ).parquet(idxp)
+    stored = spark.read.parquet(idxp)
+    batch_bands = minhash_wide_bands(new)
+    pruned = read_band_index_pruned(stored, batch_bands, prefix_len=1)
+
+    # file pruning is real: the EXECUTED scan reads fewer files (and the
+    # physical plan carries the partition predicates). inputFiles() would
+    # lie here — it reflects the relation before filter pushdown.
+    total_files = (
+        spark.read.parquet(idxp).select(F.input_file_name()).distinct().count()
+    )
+    pruned_files = pruned.select(F.input_file_name()).distinct().count()
+    assert 0 < pruned_files < total_files
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "band_prefix" in plan
+
+    key = lambda df: sorted(
+        (r["doc_id"], r["canonical_doc_id"], r["is_near_duplicate"])
+        for r in df.collect()
+    )
+    via_long = key(near_dedup_incremental(new, base, base_bands_long=pruned))
+    assert via_long == key(near_dedup_incremental(new, base))
+    assert via_long[0] == (101, 3, True)
+
+    # reader/writer prefix-width mismatch fails loudly, never silently
+    # returns zero candidates
+    with pytest.raises(ValueError, match="prefix"):
+        read_band_index_pruned(stored, batch_bands, prefix_len=2)
+    with pytest.raises(ValueError, match="not both"):
+        near_dedup_incremental(
+            new, base, base_bands=minhash_wide_bands(base),
+            base_bands_long=pruned,
+        )
