@@ -6609,7 +6609,135 @@ FROM tfs, idf
 """
 
 
+# ---------------------------------------------------------------------------
+# q_topic_clusters — integer-exact k-means topic clustering over the hashed
+# TF-IDF vectors (operators/topics.py): the no-encoder cluster-based
+# curation loop. Seeds = 8 lowest-id docs' vectors, 2 Lloyd rounds with
+# bigint floor-mean centroid updates; assignment is map-only (centroids
+# re-enter as literals — zero corpus shuffle). Output is the bounded
+# per-cell digest a mix policy consumes: doc count, dominant hashed term
+# bucket, centroid mass. The oracle unrolls both rounds as CTE pairs with
+# the identical integer arithmetic on the same TF-IDF CTE as
+# q_tfidf_vectors.
+# ---------------------------------------------------------------------------
+
+_TOPIC_K = 8
+_TOPIC_LLOYD = 2
+
+
+def spark_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.topics import topic_clusters, topic_summary
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    assigned, cents = topic_clusters(
+        docs, n_topics=_TOPIC_K, dim=64, lloyd_iterations=_TOPIC_LLOYD
+    )
+    return topic_summary(assigned, cents).orderBy("cell")
+
+
+def _topic_clusters_sql() -> str:
+    dist = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> (v.vec[i] - c.cvec[i]) * (v.vec[i] - c.cvec[i])))"
+    )
+    rounds = []
+    prev = "c1"
+    for r in range(1, _TOPIC_LLOYD + 1):
+        nxt = f"c{r + 1}"
+        rounds.append(
+            """s{r} AS (
+  SELECT v.doc_id, v.vec, c.cell, {dist} AS cdist
+  FROM v, {prev} c
+), a{r} AS (
+  SELECT doc_id, vec, cell FROM (
+    SELECT doc_id, vec, cell,
+           row_number() OVER (PARTITION BY doc_id ORDER BY cdist ASC, cell ASC) AS rn
+    FROM s{r}
+  ) WHERE rn = 1
+), u{r} AS (
+  SELECT cell, i AS pos, vec[i] AS val FROM a{r}, range(1, 65) r{r}(i)
+), m{r} AS (
+  SELECT cell, pos, CAST(sum(val) AS BIGINT) // count(*) AS cv
+  FROM u{r} GROUP BY cell, pos
+), {nxt}p AS (
+  SELECT cell, list(cv ORDER BY pos) AS cvec FROM m{r} GROUP BY cell
+), {nxt} AS (
+  SELECT {prev}.cell, COALESCE({nxt}p.cvec, {prev}.cvec) AS cvec
+  FROM {prev} LEFT JOIN {nxt}p USING (cell)
+)""".format(r=r, prev=prev, nxt=nxt, dist=dist)
+        )
+        prev = nxt
+    return """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS tokens
+  FROM documents
+), tfs AS (
+  SELECT doc_id,
+         list_transform(range(0, 64),
+           i -> CAST(len(list_filter(tokens,
+                t -> ('0x'||substring(md5(t),1,8))::BIGINT % 64 = i)) AS BIGINT)) AS tf
+  FROM t
+), buckets AS (
+  SELECT unnest(range(0, 64)) AS bucket
+), dfreq AS (
+  SELECT b.bucket,
+         (SELECT count(*) FROM tfs WHERE tf[CAST(b.bucket AS INT) + 1] > 0) AS dfc
+  FROM buckets b
+), n AS (SELECT count(*) AS nd FROM tfs),
+idf AS (
+  SELECT list(1024 * CAST(floor(log2(greatest((nd + 1) // (dfc + 1), 1))) AS BIGINT) ORDER BY bucket) AS w
+  FROM dfreq, n
+), v AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_transform(range(1, 65), k -> tf[k] * w[k]) AS vec
+  FROM tfs, idf
+), c1 AS (
+  SELECT CAST(row_number() OVER (ORDER BY doc_id) AS INT) AS cell, vec AS cvec
+  FROM (SELECT doc_id, vec FROM v ORDER BY doc_id LIMIT {k})
+), {rounds}, sfin AS (
+  SELECT v.doc_id, c.cell, {fdist} AS cdist
+  FROM v, {fin} c
+), af AS (
+  SELECT doc_id, cell FROM (
+    SELECT doc_id, cell,
+           row_number() OVER (PARTITION BY doc_id ORDER BY cdist ASC, cell ASC) AS rn
+    FROM sfin
+  ) WHERE rn = 1
+), cm AS (
+  SELECT cell, i - 1 AS bucket, cvec[i] AS wv FROM {fin}, range(1, 65) rf(i)
+), topb AS (
+  SELECT cell, bucket AS top_bucket FROM (
+    SELECT cell, bucket,
+           row_number() OVER (PARTITION BY cell ORDER BY wv DESC, bucket ASC) AS rn
+    FROM cm
+  ) WHERE rn = 1
+), mass AS (
+  SELECT cell, CAST(sum(wv) AS BIGINT) AS cmass FROM cm GROUP BY cell
+), cnt AS (
+  SELECT cell, count(*) AS n_docs FROM af GROUP BY cell
+)
+SELECT CAST(cnt.cell AS BIGINT) AS cell,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(top_bucket AS BIGINT) AS top_bucket,
+       CAST(cmass AS BIGINT) AS cmass
+FROM cnt JOIN topb USING (cell) JOIN mass USING (cell)
+ORDER BY cell
+""".format(
+        k=_TOPIC_K,
+        rounds=", ".join(rounds),
+        fin=prev,
+        fdist=dist,
+    )
+
+
+_TOPIC_CLUSTERS_SQL = _topic_clusters_sql()
+
+
 SPARK_QUERIES = {
+    "q_topic_clusters": spark_topic_clusters,
     "q_tfidf_vectors": spark_tfidf_vectors,
     "q_corpus_audit": spark_corpus_audit,
     "q_classify_scores": spark_classify_scores,
@@ -6716,6 +6844,7 @@ SPARK_QUERIES = {
 
 ORACLE_SQL = {
     "q_tfidf_vectors": _TFIDF_VECTORS_SQL,
+    "q_topic_clusters": _TOPIC_CLUSTERS_SQL,
     "q_corpus_audit": _CORPUS_AUDIT_SQL,
     "q_classify_scores": _CLASSIFY_SQL,
     "q_normalize_chain": _NORMALIZE_SQL,
