@@ -66,3 +66,104 @@ def chunk_documents(
             F.col("_c.chunk_text").alias("chunk_text"),
         )
     )
+
+
+def cdc_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 4,
+    divisor: int = 16,
+) -> DataFrame:
+    """Content-defined chunking (CDC) duplicate statistics — the
+    rsync/LBFS boundary trick over tokens: a chunk boundary falls AFTER
+    token i when the 60-bit md5 of the last ``window`` tokens is 0 mod
+    ``divisor`` (expected chunk length = divisor tokens). Because
+    boundaries depend only on LOCAL content, an insertion or deletion
+    re-synchronizes within one window — shifted copies share all chunks
+    outside the edit neighborhood, which fixed-offset passage/gram dedup
+    (passage_dedup, repeated_ngram_stats) structurally misses.
+
+    Output: (id, n_chunks, dup_chunks, dup_micros) for EVERY input doc —
+    ``dup_chunks`` counts this doc's chunks whose content hash occurs in
+    >= 2 (doc, chunk) instances corpus-wide; ``dup_micros`` =
+    10^6 * dup_chunks // n_chunks exact-integer (0 for token-less docs).
+
+    100 TB plan shape: one hash shuffle on the doc id feeds BOTH per-doc
+    windows (gram lag + running boundary sum reuse the same partitioning
+    — hot tasks bounded by the largest single document, the accepted
+    per-doc-window caveat suite-wide); chunk reassembly partial-
+    aggregates on (id, chunk); chunk-frequency is a partial-aggregated
+    groupBy + equi-join (NOT a count-over-window partitioned by hash,
+    which could not partial-aggregate and would melt on a degenerate
+    boilerplate chunk); the final per-doc rollup partial-aggregates
+    again. No per-row Python anywhere.
+    """
+    from pyspark.sql import Window
+
+    sep = "\x1f"
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens_col(text_col)).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    gram = F.concat_ws(
+        sep, *[F.lag("tok", window - 1 - j).over(w) for j in range(window)]
+    )
+    flagged = toks.withColumn(
+        "_flag",
+        F.when(
+            (F.col("pos") >= window - 1)
+            & (
+                F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("bigint")
+                % divisor
+                == 0
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint"),
+    )
+    cid = F.coalesce(
+        F.sum("_flag").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    ).cast("bigint")
+    chunks = (
+        flagged.withColumn("_cid", cid)
+        .groupBy(id_col, "_cid")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("chunk_hash")
+        )
+    )
+    freq = chunks.groupBy("chunk_hash").agg(F.count("*").alias("_n"))
+    per_doc = (
+        chunks.join(freq, "chunk_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("_n") >= 2, 1).otherwise(0)).alias("dup_chunks"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_chunks", F.lit(0)).cast("bigint").alias("n_chunks"),
+            F.coalesce("dup_chunks", F.lit(0)).cast("bigint").alias("dup_chunks"),
+            # exact bigint DIV — no double round-trip (suite convention)
+            F.coalesce(
+                F.expr("CAST(1000000 AS BIGINT) * dup_chunks DIV n_chunks"),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("dup_micros"),
+        )
+    )

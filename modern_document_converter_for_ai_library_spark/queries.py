@@ -6736,7 +6736,63 @@ ORDER BY cell
 _TOPIC_CLUSTERS_SQL = _topic_clusters_sql()
 
 
+# ---------------------------------------------------------------------------
+# q_cdc_chunks — content-defined chunking duplicate stats
+# (operators/chunking.py:cdc_dup_stats): rsync/LBFS rolling boundaries
+# (60-bit md5 of the last 4 tokens ≡ 0 mod 16 ends a chunk), so shifted
+# near-copies re-synchronize and share chunks where fixed-offset passage/
+# gram dedup loses alignment. The oracle replicates the window-lag gram,
+# the running boundary sum, and the string_agg chunk reassembly 1:1.
+# ---------------------------------------------------------------------------
+
+
+def spark_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.chunking import cdc_dup_stats
+
+    return cdc_dup_stats(_docs(spark, sf_dir), window=4, divisor=16)
+
+
+_CDC_CHUNKS_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), tok AS (
+  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS tok
+  FROM t
+), flg AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN pos >= 3 AND
+              ('0x' || substring(md5(
+                 lag(tok, 3) OVER w || chr(31) || lag(tok, 2) OVER w || chr(31) ||
+                 lag(tok, 1) OVER w || chr(31) || tok), 1, 15))::BIGINT % 16 = 0
+         THEN 1 ELSE 0 END AS flag
+  FROM tok
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), cids AS (
+  SELECT doc_id, pos, tok,
+         COALESCE(sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+  FROM flg
+), chunks AS (
+  SELECT doc_id, cid, md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+  FROM cids GROUP BY doc_id, cid
+), freq AS (
+  SELECT chunk_hash, count(*) AS n FROM chunks GROUP BY chunk_hash
+), per_doc AS (
+  SELECT c.doc_id, count(*) AS n_chunks,
+         sum(CASE WHEN f.n >= 2 THEN 1 ELSE 0 END) AS dup_chunks
+  FROM chunks c JOIN freq f USING (chunk_hash) GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(COALESCE(p.dup_chunks, 0) AS BIGINT) AS dup_chunks,
+       CAST(COALESCE(1000000 * p.dup_chunks // p.n_chunks, 0) AS BIGINT) AS dup_micros
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 SPARK_QUERIES = {
+    "q_cdc_chunks": spark_cdc_chunks,
     "q_topic_clusters": spark_topic_clusters,
     "q_tfidf_vectors": spark_tfidf_vectors,
     "q_corpus_audit": spark_corpus_audit,
@@ -6845,6 +6901,7 @@ SPARK_QUERIES = {
 ORACLE_SQL = {
     "q_tfidf_vectors": _TFIDF_VECTORS_SQL,
     "q_topic_clusters": _TOPIC_CLUSTERS_SQL,
+    "q_cdc_chunks": _CDC_CHUNKS_SQL,
     "q_corpus_audit": _CORPUS_AUDIT_SQL,
     "q_classify_scores": _CLASSIFY_SQL,
     "q_normalize_chain": _NORMALIZE_SQL,
