@@ -1,0 +1,112 @@
+"""Small-file compaction (operators/compaction.py + jobs/compact_job.py):
+fragmentation digest, bin-packed rewrite with content verification,
+partition-preserving mode, refusal to overwrite, and the job CLI."""
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from modern_document_converter_for_ai_library_spark.operators.compaction import (
+    compact_parquet,
+    content_checksum,
+    file_stats,
+)
+
+
+def _fragmented(spark, path, n_rows=5000, n_files=40):
+    (
+        spark.range(n_rows)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("text-"), F.col("id")).alias("text"),
+            (F.col("id") % 4).cast("string").alias("source"),
+        )
+        .repartition(n_files)
+        .write.parquet(path)
+    )
+
+
+def _data_files(path):
+    return [
+        f
+        for f in glob.glob(os.path.join(path, "**", "*"), recursive=True)
+        if os.path.isfile(f)
+        and not os.path.basename(f).startswith(("_", "."))
+    ]
+
+
+def test_file_stats_counts_fragmentation(spark, tmp_path):
+    src = str(tmp_path / "frag")
+    _fragmented(spark, src)
+    stats = file_stats(spark, src, target_bytes=1 << 20)
+    assert stats["n_files"] == len(_data_files(src)) == 40
+    assert stats["total_bytes"] > 0
+    assert stats["small_files"] == 40  # tiny files vs a 1 MB target
+    assert stats["small_fraction_millis"] == 1000
+
+
+def test_compact_preserves_content_and_reduces_files(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _fragmented(spark, src)
+    total = file_stats(spark, src)["total_bytes"]
+    target = max(1, total // 4)  # force ~4-5 output files
+    result = compact_parquet(spark, src, dst, target_bytes=target)
+    assert result["verified"] is True
+    assert result["rows"] == 5000
+    n_after = result["after"]["n_files"]
+    assert n_after < 40
+    assert n_after == result["planned_files"]
+    # content equality, independently of the operator's own check
+    assert content_checksum(spark.read.parquet(src)) == content_checksum(
+        spark.read.parquet(dst)
+    )
+
+
+def test_compact_partitioned_layout(spark, tmp_path):
+    src, dst = str(tmp_path / "psrc"), str(tmp_path / "pdst")
+    _fragmented(spark, src)
+    result = compact_parquet(
+        spark, src, dst, target_bytes=1 << 30, partition_by=["source"]
+    )
+    assert result["verified"] is True
+    # Hive layout preserved
+    parts = {os.path.basename(p) for p in glob.glob(os.path.join(dst, "source=*"))}
+    assert parts == {"source=0", "source=1", "source=2", "source=3"}
+    got = spark.read.parquet(dst)
+    assert got.count() == 5000
+    assert set(got.columns) == {"doc_id", "text", "source"}
+
+
+def test_refuses_existing_target(spark, tmp_path):
+    src = str(tmp_path / "src2")
+    _fragmented(spark, src, n_rows=100, n_files=4)
+    with pytest.raises(ValueError, match="already exists"):
+        compact_parquet(spark, src, src)
+
+
+def test_checksum_is_order_insensitive_and_duplicate_sensitive(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "t"])
+    b = spark.createDataFrame([(2, "y"), (1, "x")], ["id", "t"])
+    dup = spark.createDataFrame([(1, "x"), (1, "x")], ["id", "t"])
+    assert content_checksum(a) == content_checksum(b)
+    assert content_checksum(a) != content_checksum(dup)
+
+
+def test_compact_job_cli(spark, tmp_path, capsys):
+    from jobs.compact_job import main
+
+    src, dst = str(tmp_path / "jsrc"), str(tmp_path / "jdst")
+    _fragmented(spark, src, n_rows=1000, n_files=16)
+    assert main(["--input", src, "--audit-only"]) == 0
+    audit = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert audit["mode"] == "audit" and audit["n_files"] == 16
+
+    assert main(["--input", src, "--output", dst, "--target-mb", "1"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mode"] == "compact"
+    assert out["verified"] is True
+    assert out["after"]["n_files"] < 16
+    assert spark.read.parquet(dst).count() == 1000
