@@ -6791,7 +6791,66 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# q_fix_mojibake — UTF-8-decoded-as-cp1252 repair (functions/mojibake.py):
+# the table-driven common-case form of the ftfy fix, one literal-replace
+# chain (map-only codegen). The synthetic corpus is clean ASCII, so the
+# query plants damage deterministically: every doc gets the same
+# codec-computed mojibake suffix appended, and the repair must recover it
+# exactly — repaired_chars counts the characters the fix removed (one per
+# repaired 2-byte char, two per 3-byte char). The oracle applies the
+# IDENTICAL chain (both engines' chains are generated from the same
+# mojibake_pairs() table at import).
+# ---------------------------------------------------------------------------
+
+_MOJI_CLEAN_TAIL = " café — “naïve” … 3€"
+
+
+def spark_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.mojibake import _mojibake_of, fix_mojibake_col
+
+    suffix = _mojibake_of(_MOJI_CLEAN_TAIL)
+    corrupted = F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(suffix))
+    df = _docs(spark, sf_dir).select("doc_id", corrupted.alias("_corrupted"))
+    fixed = fix_mojibake_col(F.col("_corrupted"))
+    return df.select(
+        "doc_id",
+        F.md5(fixed).alias("fixed_md5"),
+        (F.length("_corrupted") - F.length(fixed))
+        .cast("bigint")
+        .alias("repaired_chars"),
+    )
+
+
+def _fix_mojibake_sql() -> str:
+    from .functions.mojibake import _mojibake_of, mojibake_pairs
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    suffix = esc(_mojibake_of(_MOJI_CLEAN_TAIL))
+    chain = "corrupted"
+    for moji, fixed in mojibake_pairs():
+        chain = "replace(%s, '%s', '%s')" % (chain, esc(moji), esc(fixed))
+    return """
+WITH c AS (
+  SELECT doc_id, concat(coalesce(text, ''), '{suffix}') AS corrupted
+  FROM documents
+), f AS (
+  SELECT doc_id, corrupted, {chain} AS fixed FROM c
+)
+SELECT doc_id,
+       md5(fixed) AS fixed_md5,
+       CAST(length(corrupted) - length(fixed) AS BIGINT) AS repaired_chars
+FROM f
+""".format(suffix=suffix, chain=chain)
+
+
+_FIX_MOJIBAKE_SQL = _fix_mojibake_sql()
+
+
 SPARK_QUERIES = {
+    "q_fix_mojibake": spark_fix_mojibake,
     "q_cdc_chunks": spark_cdc_chunks,
     "q_topic_clusters": spark_topic_clusters,
     "q_tfidf_vectors": spark_tfidf_vectors,
@@ -6902,6 +6961,7 @@ ORACLE_SQL = {
     "q_tfidf_vectors": _TFIDF_VECTORS_SQL,
     "q_topic_clusters": _TOPIC_CLUSTERS_SQL,
     "q_cdc_chunks": _CDC_CHUNKS_SQL,
+    "q_fix_mojibake": _FIX_MOJIBAKE_SQL,
     "q_corpus_audit": _CORPUS_AUDIT_SQL,
     "q_classify_scores": _CLASSIFY_SQL,
     "q_normalize_chain": _NORMALIZE_SQL,
