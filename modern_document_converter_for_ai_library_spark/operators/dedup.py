@@ -1849,3 +1849,59 @@ def line_dedup(
             ).alias("keep_doc"),
         )
     )
+
+
+def cross_source_dup_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Which sources duplicate into which: (source_a, source_b,
+    dup_groups, dup_pairs) over exact content-hash groups, source_a <=
+    source_b lexicographically. ``dup_groups`` counts distinct duplicated
+    texts shared by the pair; ``dup_pairs`` counts document pairs
+    (cnt_a * cnt_b across sources; cnt * (cnt-1) / 2 within one source).
+    The standard corpus-forensics question behind exact dedup — which
+    feeds re-crawl each other, whether a mirror is worth ingesting at
+    all — answered with output bounded by n_sources^2 rows.
+
+    Skew-safe by construction: the corpus collapses FIRST to one slim
+    row per (text_hash, source) via a partial-aggregated groupBy, so the
+    per-group self-join fans out at most n_sources^2 rows per duplicated
+    text no matter how many documents share it (a universal boilerplate
+    text — the classic degenerate group — contributes the same bounded
+    row count as any other). Two shuffles total (the groupBy and the
+    equi-join on the hash), both on slim rows.
+    """
+    per_src = (
+        df.select(
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_h"),
+            F.col(source_col).alias("_src"),
+        )
+        .groupBy("_h", "_src")
+        .agg(F.count("*").alias("_cnt"))
+    )
+    a = per_src.select(
+        "_h", F.col("_src").alias("source_a"), F.col("_cnt").alias("_ca")
+    )
+    b = per_src.select(
+        "_h", F.col("_src").alias("source_b"), F.col("_cnt").alias("_cb")
+    )
+    joined = a.join(b, "_h").filter(F.col("source_a") <= F.col("source_b"))
+    # exact integer halving (shiftright), no double round-trip; the
+    # product caps exactness (and, under ANSI, validity) at ~3e9 docs
+    # sharing one text — far past any real duplicate group
+    pairs = F.when(
+        F.col("source_a") == F.col("source_b"),
+        F.shiftright(F.col("_ca") * (F.col("_ca") - 1), 1),
+    ).otherwise(F.col("_ca") * F.col("_cb"))
+    return (
+        joined.withColumn("_pairs", pairs.cast("bigint"))
+        .filter(F.col("_pairs") > 0)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("bigint").alias("dup_groups"),
+            F.sum("_pairs").cast("bigint").alias("dup_pairs"),
+        )
+    )

@@ -6849,7 +6849,52 @@ FROM f
 _FIX_MOJIBAKE_SQL = _fix_mojibake_sql()
 
 
+# ---------------------------------------------------------------------------
+# q_dup_source_matrix — cross-source exact-duplicate matrix
+# (operators/dedup.py:cross_source_dup_matrix): which sources duplicate
+# into which. Skew-safe: the corpus collapses to one slim row per
+# (text-hash, source) BEFORE the per-group self-join, so a universal
+# boilerplate text fans out n_sources^2 rows, not group_size^2. Output
+# bounded by n_sources^2.
+# ---------------------------------------------------------------------------
+
+
+def spark_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import cross_source_dup_matrix
+
+    # the contract corpus has no exact full-text cross-source dups, so
+    # the query clusters on a 20-char text prefix — deterministic planted
+    # collisions (24 matrix rows at sf0.01) that exercise the grouping,
+    # pair arithmetic, and both join sides instead of gating on 0 rows
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.substring(F.coalesce("text", F.lit("")), 1, 20).alias("text"),
+        "source",
+    )
+    return cross_source_dup_matrix(docs)
+
+
+_DUP_SOURCE_MATRIX_SQL = """
+WITH per_src AS (
+  SELECT md5(substring(coalesce(text, ''), 1, 20)) AS h, source AS src, count(*) AS cnt
+  FROM documents GROUP BY 1, 2
+), j AS (
+  SELECT a.src AS source_a, b.src AS source_b,
+         CASE WHEN a.src = b.src THEN (a.cnt * (a.cnt - 1)) // 2
+              ELSE a.cnt * b.cnt END AS pairs
+  FROM per_src a JOIN per_src b USING (h)
+  WHERE a.src <= b.src
+)
+SELECT source_a, source_b,
+       CAST(count(*) AS BIGINT) AS dup_groups,
+       CAST(sum(pairs) AS BIGINT) AS dup_pairs
+FROM j WHERE pairs > 0
+GROUP BY source_a, source_b
+"""
+
+
 SPARK_QUERIES = {
+    "q_dup_source_matrix": spark_dup_source_matrix,
     "q_fix_mojibake": spark_fix_mojibake,
     "q_cdc_chunks": spark_cdc_chunks,
     "q_topic_clusters": spark_topic_clusters,
@@ -6962,6 +7007,7 @@ ORACLE_SQL = {
     "q_topic_clusters": _TOPIC_CLUSTERS_SQL,
     "q_cdc_chunks": _CDC_CHUNKS_SQL,
     "q_fix_mojibake": _FIX_MOJIBAKE_SQL,
+    "q_dup_source_matrix": _DUP_SOURCE_MATRIX_SQL,
     "q_corpus_audit": _CORPUS_AUDIT_SQL,
     "q_classify_scores": _CLASSIFY_SQL,
     "q_normalize_chain": _NORMALIZE_SQL,
