@@ -13,10 +13,22 @@ literal replacement. The table is built at import from the real codec
 round-trip — no hand-typed mojibake — and is the single source of truth
 for BOTH the Spark column chain and the DuckDB oracle chain.
 
-One pass repairs one layer of mis-decoding (double-encoded text would
-need two passes); ASCII text is untouched by construction (every
-mojibake key starts with a byte >= 0xC2's cp1252 image, which no ASCII
-text contains).
+One pass repairs ONE layer of mis-decoding (measured: doubly-damaged
+"Ã‚Â©" needs two passes, and doubly-damaged "ÃƒÂ©" is not resolvable by
+this table at all — its outer layer exposes "Ãƒ", whose repair target Ã
+is not a covered character; multi-layer damage needs the general
+byte-level re-decode this module deliberately does not attempt). ASCII
+text is untouched by construction (every mojibake key contains a byte
+>= 0x80's image, which no ASCII text contains).
+
+Known ambiguity, decided the way ftfy decides it: a mojibake key IS
+valid text — clean text that legitimately contains "Â©" (CAPITAL A
+CIRCUMFLEX + COPYRIGHT) is indistinguishable from the mis-decode of
+"©" and gets "repaired" to "©". Real-world base rates overwhelmingly
+favor the mis-decode reading (a bare Â before a symbol is almost
+always the C2 lead byte's image), so the table maps every occurrence;
+corpora where such sequences are intentional should not run this fix.
+Pinned by test (test_mojibake.py::test_ambiguous_clean_digraph_policy).
 """
 
 from __future__ import annotations

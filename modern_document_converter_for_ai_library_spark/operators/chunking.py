@@ -89,15 +89,25 @@ def cdc_dup_stats(
     >= 2 (doc, chunk) instances corpus-wide; ``dup_micros`` =
     10^6 * dup_chunks // n_chunks exact-integer (0 for token-less docs).
 
-    100 TB plan shape: one hash shuffle on the doc id feeds BOTH per-doc
-    windows (gram lag + running boundary sum reuse the same partitioning
-    — hot tasks bounded by the largest single document, the accepted
-    per-doc-window caveat suite-wide); chunk reassembly partial-
-    aggregates on (id, chunk); chunk-frequency is a partial-aggregated
-    groupBy + equi-join (NOT a count-over-window partitioned by hash,
-    which could not partial-aggregate and would melt on a degenerate
-    boilerplate chunk); the final per-doc rollup partial-aggregates
-    again. No per-row Python anywhere.
+    100 TB plan shape: one hash shuffle on the doc id feeds ALL THREE
+    per-doc windows (gram lag, running boundary sum, running
+    chunk-start max — one sort, same partitioning; hot tasks bounded by
+    the largest single document, the accepted per-doc-window caveat
+    suite-wide). The chunk identity is an O(1)-STATE fingerprint: each
+    token contributes the 40-bit md5 of (position-within-chunk, token)
+    and the chunk key is (sum, length) — order-sensitive, commutative,
+    partial-aggregating with one bigint of state. The first version
+    reassembled chunk TEXT via collect_list and md5; per-group array
+    buffers over the token-exploded corpus blew executor memory at the
+    1M-doc scaling probe (SparkOutOfMemoryError in the reassembly
+    stage) — list-valued aggregation states do not belong on a
+    token-exploded corpus. Sum bound: 2^40 per token x chunk length —
+    int64-safe to ~8M-token chunks, far past any document. Chunk-
+    frequency is a partial-aggregated groupBy + equi-join (NOT a
+    count-over-window partitioned by hash, which could not
+    partial-aggregate and would melt on a degenerate boilerplate
+    chunk); the final per-doc rollup partial-aggregates again. No
+    per-row Python anywhere.
     """
     from pyspark.sql import Window
 
@@ -123,22 +133,39 @@ def cdc_dup_stats(
         .otherwise(F.lit(0))
         .cast("bigint"),
     )
-    cid = F.coalesce(
-        F.sum("_flag").over(w.rowsBetween(Window.unboundedPreceding, -1)),
-        F.lit(0),
+    w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    cid = F.coalesce(F.sum("_flag").over(w_prev), F.lit(0)).cast("bigint")
+    # start of the current chunk = last boundary position before this
+    # row + 1 (same window spec -> same single sort)
+    start = (
+        F.coalesce(
+            F.max(F.when(F.col("_flag") == 1, F.col("pos"))).over(w_prev),
+            F.lit(-1),
+        )
+        + 1
+    )
+    tok_fp = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    sep, (F.col("pos") - start).cast("string"), F.col("tok")
+                )
+            ),
+            1,
+            10,
+        ),
+        16,
+        10,
     ).cast("bigint")
     chunks = (
         flagged.withColumn("_cid", cid)
+        .withColumn("_fp", tok_fp)
         .groupBy(id_col, "_cid")
         .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                        lambda s: s["tok"],
-                    ),
-                    " ",
-                )
+            F.concat_ws(
+                "_",
+                F.sum("_fp").cast("string"),
+                F.count("*").cast("string"),
             ).alias("chunk_hash")
         )
     )

@@ -6,28 +6,40 @@ files; every downstream scan then pays a task per file and the NameNode/
 object-store pays a listing per file. Compaction is the standard
 maintenance pass: bin-pack the table's bytes into files near a target
 size and atomically republish. Iceberg installations get this from
-`rewrite_data_files`; this operator is the dependency-free parquet-path
-form built on the same Hadoop FileSystem API Spark itself uses (works on
-local paths in tests and HDFS/S3A on a cluster — no `os.walk`).
+`rewrite_data_files` (which also pins a snapshot natively); this
+operator is the dependency-free parquet-path form.
 
 Design:
 
-- ``file_stats`` lists data files via ``FileSystem.listFiles`` (one
-  recursive remote listing, no data read) and reports the fragmentation
-  digest: file count, bytes, median size, small-file fraction.
-- ``compact_parquet`` reads the source, round-robin repartitions to
-  ``ceil(total_bytes / target_bytes)`` output slots (RoundRobin gives
-  near-uniform file sizes regardless of input skew; hash partitioning
-  would re-create skew), and writes to a NEW directory — republishing is
-  the caller's atomic rename/pointer-swap, never an in-place overwrite
-  of the directory being read. With ``partition_by`` the layout is
-  preserved: one shuffle on the partition columns + a within-partition
-  slot key so each Hive partition gets its own near-target files.
-- ``content_checksum`` is the cheap mod-2^64 row checksum (sum of the
-  60-bit md5 of each row's canonical JSON — order-insensitive,
-  duplicate-sensitive) used by the job to assert the rewrite moved
-  every row and nothing else; it reads every column by design — the
-  check is about content, not the scan plan.
+- Listing is DISTRIBUTED: ``binaryFile`` gives a slim (path, length)
+  frame without reading content, so the fragmentation digest never
+  pays a driver py4j round-trip per file (a 1M-file table would cost
+  minutes of pure driver latency under the naive
+  ``FileSystem.listFiles`` iterator — the same per-call-latency class
+  as the simhash64 expression-build finding). Spark's file index
+  already excludes ``_``/``.`` hidden files (_SUCCESS, checksums).
+- ``compact_parquet`` PINS the listing once and reads exactly that
+  file set (``spark.read.parquet(*paths)``), so the byte total, the
+  rewrite, and the verification all see the same snapshot — a
+  concurrent ingest appending mid-job can neither skew the bin count
+  nor fail verification spuriously; files landing after the listing
+  are simply not part of this compaction round. (At extreme file
+  counts the collected path list is the cost of pinning — that is the
+  scale where an Iceberg snapshot does this for free.)
+- The rewrite round-robins into ``ceil(total_bytes / target_bytes)``
+  output slots (near-uniform file sizes regardless of input skew) and
+  writes to a NEW directory — republishing is the caller's atomic
+  rename/pointer-swap, never an in-place overwrite of a directory
+  being read. With ``partition_by`` each Hive partition gets its OWN
+  slot count, ceil(partition_bytes / target) (estimated from row
+  counts x the global average row byte rate — one slim aggregate):
+  a global slot modulus would scatter every partition across every
+  writer task and emit n_partitions x n_slots small files, the exact
+  pathology compaction exists to remove.
+- ``content_checksum`` is the cheap exact row checksum (sum of 60-bit
+  row-JSON md5 in DECIMAL(38,0) — order-insensitive,
+  duplicate-sensitive, overflow-safe to ~10^19 rows) used to assert
+  the rewrite moved every row and nothing else before success.
 """
 
 from __future__ import annotations
@@ -40,29 +52,21 @@ from pyspark.sql import functions as F
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
 
 
-def _fs_and_path(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs, jpath
+def _file_listing(spark: SparkSession, path: str) -> DataFrame:
+    """(fpath, bytes) for every data file under ``path`` — executors do
+    the listing; content is never read (column-pruned binaryFile)."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select(F.col("path").alias("fpath"), F.col("length").alias("bytes"))
+    )
+    name = F.element_at(F.split("fpath", "/"), -1)
+    return df.filter(~name.startswith("_") & ~name.startswith("."))
 
 
-def file_stats(
-    spark: SparkSession, path: str, target_bytes: int = DEFAULT_TARGET_BYTES
-) -> dict:
-    """Fragmentation digest of a table directory: {n_files, total_bytes,
-    median_bytes, small_files, small_fraction_millis}. A file is "small"
-    under half the target. Listing only — no data read."""
-    fs, jpath = _fs_and_path(spark, path)
-    sizes = []
-    it = fs.listFiles(jpath, True)
-    while it.hasNext():
-        f = it.next()
-        name = f.getPath().getName()
-        if name.startswith("_") or name.startswith("."):
-            continue  # _SUCCESS, checksums, hidden markers
-        sizes.append(int(f.getLen()))
-    sizes.sort()
+def _digest(sizes: list[int], target_bytes: int) -> dict:
+    sizes = sorted(sizes)
     n = len(sizes)
     small = sum(1 for s in sizes if s < target_bytes // 2)
     return {
@@ -74,13 +78,24 @@ def file_stats(
     }
 
 
+def file_stats(
+    spark: SparkSession, path: str, target_bytes: int = DEFAULT_TARGET_BYTES
+) -> dict:
+    """Fragmentation digest of a table directory: {n_files, total_bytes,
+    median_bytes, small_files, small_fraction_millis}. A file is "small"
+    under half the target. Listing only — no data read."""
+    sizes = [
+        int(r["bytes"]) for r in _file_listing(spark, path).select("bytes").collect()
+    ]
+    return _digest(sizes, target_bytes)
+
+
 def content_checksum(df: DataFrame) -> tuple[int, int]:
     """(row_count, exact content checksum). Order-insensitive (sum) and
     duplicate-sensitive (unlike xor, where duplicate rows cancel in
     pairs). The 60-bit row hashes are summed in DECIMAL(38,0) — exact and
     overflow-safe to ~10^19 rows (a bigint sum overflows at ~10^4 rows
-    under ANSI mode; a wrapping sum would still be a valid checksum but
-    ANSI makes it an error, not a wrap)."""
+    under ANSI mode)."""
     # name-sorted columns: a partitionBy round-trip appends partition
     # columns at the END of the read schema, and the checksum must not
     # depend on column order
@@ -108,29 +123,74 @@ def compact_parquet(
     Returns the before/after digest plus the verification result. ``dst``
     must be a NEW location (republish by rename/pointer swap — in-place
     overwrite of a directory while reading it is never safe); an
-    existing ``dst`` raises.
+    existing ``dst`` raises. The source file set is pinned by one
+    listing; everything (bin count, rewrite, verify) operates on exactly
+    that snapshot.
     """
-    fs, jdst = _fs_and_path(spark, dst)
+    jvm = spark._jvm
+    jdst = jvm.org.apache.hadoop.fs.Path(dst)
+    fs = jdst.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(jdst):
         raise ValueError(
             "compaction target %r already exists — compaction republishes "
             "via a fresh directory + atomic swap, never in place" % dst
         )
-    before = file_stats(spark, src, target_bytes)
-    df = spark.read.parquet(src)
+    listing = _file_listing(spark, src).collect()
+    if not listing:
+        raise ValueError("no data files under %r" % src)
+    paths = [r["fpath"] for r in listing]
+    before = _digest([int(r["bytes"]) for r in listing], target_bytes)
+    df = spark.read.parquet(*paths)  # the pinned snapshot
     n_out = max(1, math.ceil(before["total_bytes"] / target_bytes))
     if partition_by:
-        # one shuffle on (partition cols, slot): each Hive partition gets
-        # its own near-target file set; the slot key spreads a hot
-        # partition across several writers instead of one giant file
-        slot = (
-            F.conv(F.substring(F.md5(F.to_json(F.struct(*df.columns))), 1, 8), 16, 10)
-            .cast("bigint")
-            % n_out
+        # per-partition slot counts: ceil(partition_bytes / target) with
+        # partition bytes estimated as row share x total bytes (one slim
+        # aggregate, output bounded by partition cardinality). A GLOBAL
+        # slot modulus would scatter every Hive partition over every
+        # writer task -> n_partitions x n_slots shards.
+        counts = df.groupBy(*partition_by).agg(F.count("*").alias("_rows"))
+        rows = counts.collect()
+        total_rows = sum(int(r["_rows"]) for r in rows) or 1
+        slot_rows = [
+            tuple(r[c] for c in partition_by)
+            + (
+                max(
+                    1,
+                    math.ceil(
+                        int(r["_rows"])
+                        * before["total_bytes"]
+                        / total_rows
+                        / target_bytes
+                    ),
+                ),
+            )
+            for r in rows
+        ]
+        from pyspark.sql.types import IntegerType
+
+        slots_df = spark.createDataFrame(
+            slot_rows,
+            counts.select(*partition_by).schema.add("_slots", IntegerType()),
         )
-        out = df.withColumn("_slot", slot).repartition(
-            n_out, *(partition_by + ["_slot"])
-        ).drop("_slot")
+        slot = F.pmod(
+            F.conv(
+                F.substring(F.md5(F.to_json(F.struct(*sorted(df.columns)))), 1, 8),
+                16,
+                10,
+            ).cast("bigint"),
+            # left join + coalesce: an inner join would DROP rows whose
+            # partition value is NULL (null keys never equi-match), and
+            # silent row loss is exactly what the verify pass exists to
+            # prevent
+            F.coalesce(F.col("_slots"), F.lit(1)),
+        )
+        n_part = max(1, sum(s[-1] for s in slot_rows))
+        out = (
+            df.join(F.broadcast(slots_df), partition_by, "left")
+            .withColumn("_slot", slot)
+            .repartition(n_part, *(partition_by + ["_slot"]))
+            .drop("_slot", "_slots")
+        )
         out.write.partitionBy(*partition_by).parquet(dst)
     else:
         df.repartition(n_out).write.parquet(dst)
@@ -141,6 +201,8 @@ def compact_parquet(
         "planned_files": n_out,
     }
     if verify:
+        # both checksums derive from the SAME pinned file list (df), so
+        # a concurrent append to src cannot fail verification spuriously
         n0, c0 = content_checksum(df)
         # pin the source schema on the read-back: Hive partition-value
         # type inference would otherwise re-type a string partition

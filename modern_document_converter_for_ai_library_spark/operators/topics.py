@@ -41,6 +41,11 @@ from pyspark.sql import functions as F
 from ..plans.caching import CacheScope
 from .vectorize import tfidf_vectors
 
+# component clamp: keeps every unrolled squared-distance term inside
+# int64 under ANSI mode no matter how degenerate a document is (see
+# topic_clusters docstring)
+WEIGHT_CAP = 1 << 24
+
 
 def _lit_vec(vec: list[int]):
     return F.array(*[F.lit(int(w)).cast("bigint") for w in vec])
@@ -66,8 +71,9 @@ def _sqdist_sql(vec_col: str, c: list[int]) -> str:
 def _cell_expr(vec_col: str, centroids: list[list[int]]):
     """1-based nearest-centroid cell from LITERAL centroids — squared
     Euclidean over bigint components, first-minimum tie-break (= lowest
-    cell). Magnitudes: weights < 2^25, squared diffs < 2^50, x dim(64)
-    < 2^56 — no bigint overflow. Codegen CSE dedups the two ``array(...)``
+    cell). Magnitudes under the WEIGHT_CAP clamp: components <= 2^24,
+    squared diffs < 2^48, x dim(64) < 2^54 — no bigint overflow, even
+    under ANSI mode. Codegen CSE dedups the two ``array(...)``
     references inside one projection."""
     arr = "array(%s)" % ", ".join(_sqdist_sql(vec_col, c) for c in centroids)
     return F.expr(
@@ -83,6 +89,7 @@ def topic_clusters(
     text_col: str = "text",
     id_col: str = "doc_id",
     cache_scope: CacheScope | None = None,
+    weight_cap: int = WEIGHT_CAP,
 ) -> tuple[DataFrame, list[list[int]]]:
     """Cluster documents into ``n_topics`` cells over hashed TF-IDF vectors.
 
@@ -95,6 +102,17 @@ def topic_clusters(
     its nearest centroid (map-only, literal centroids) and replaces each
     centroid with its cell's element-wise floor-mean. Empty cells keep
     their previous centroid.
+
+    Overflow discipline (enforced, not assumed): components are CLAMPED
+    to ``WEIGHT_CAP`` = 2^24 — tf is unbounded by document length, so an
+    unclamped degenerate doc (500k tokens in one bucket x idf) could push
+    a squared-distance term past int64 and raise under ANSI mode. With
+    the clamp, a term is < 2^48 and the 64-dim sum < 2^54. Clamping
+    saturates the topical signal, it does not distort ordering for the
+    normal range. Centroid sums aggregate in DECIMAL(38,0) — a bigint
+    sum of 2^24-bounded components overflows at ~2^39 rows per cell,
+    below this module's stated corpus scale (the content_checksum
+    precedent, operators/compaction.py).
     """
     # persist the slim (id, tf) frame INSIDE tfidf_vectors — every round
     # plus the final assignment re-reads it, and the single-scan form
@@ -109,6 +127,11 @@ def topic_clusters(
         cache_scope=cache_scope,
         persist_tf=True,
     )
+    cap = F.lit(int(weight_cap)).cast("bigint")
+    vecs = vecs.select(
+        F.col(id_col),
+        F.transform("vec", lambda x: F.least(x, cap)).alias("vec"),
+    )
 
     seed_rows = vecs.orderBy(id_col).limit(n_topics).collect()
     centroids = [[int(w) for w in r["vec"]] for r in seed_rows]
@@ -120,7 +143,8 @@ def topic_clusters(
     # ~6 s/round at sf0.1 vs ~1.5 s for this shape; the aggregate output
     # is K rows either way). All dim+1 buffers partial-aggregate map-side.
     aggs = [F.count("*").alias("c")] + [
-        F.sum(F.element_at("vec", i)).alias(f"s{i}") for i in range(1, dim + 1)
+        F.sum(F.element_at("vec", i).cast("decimal(38,0)")).alias(f"s{i}")
+        for i in range(1, dim + 1)
     ]
     for _ in range(lloyd_iterations):
         cell = _cell_expr("vec", centroids)

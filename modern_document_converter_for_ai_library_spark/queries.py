@@ -6692,7 +6692,7 @@ idf AS (
   FROM dfreq, n
 ), v AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
-         list_transform(range(1, 65), k -> tf[k] * w[k]) AS vec
+         list_transform(range(1, 65), k -> least(tf[k] * w[k], 16777216)) AS vec
   FROM tfs, idf
 ), c1 AS (
   SELECT CAST(row_number() OVER (ORDER BY doc_id) AS INT) AS cell, vec AS cvec
@@ -6770,11 +6770,18 @@ WITH t AS (
   WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
 ), cids AS (
   SELECT doc_id, pos, tok,
-         COALESCE(sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+         COALESCE(sum(flag) OVER wp, 0) AS cid,
+         COALESCE(max(CASE WHEN flag = 1 THEN pos END) OVER wp, -1) + 1 AS cstart
   FROM flg
+  WINDOW wp AS (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
 ), chunks AS (
-  SELECT doc_id, cid, md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+  SELECT doc_id, cid,
+         concat(
+           CAST(sum(('0x' || substring(md5(
+             CAST(pos - cstart AS VARCHAR) || chr(31) || tok), 1, 10))::BIGINT)
+             AS VARCHAR),
+           '_', CAST(count(*) AS VARCHAR)) AS chunk_hash
   FROM cids GROUP BY doc_id, cid
 ), freq AS (
   SELECT chunk_hash, count(*) AS n FROM chunks GROUP BY chunk_hash

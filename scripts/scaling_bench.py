@@ -156,7 +156,7 @@ def _write_chunk(args: tuple) -> int:
             {"doc_id": [r[0] for r in rows], "html": [r[1] for r in rows]},
             schema=pa.schema([("doc_id", pa.string()), ("html", pa.string())]),
         )
-    elif job in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr", "perceptron"):
+    elif job in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr", "perceptron", "cdc"):
         from modern_document_converter_for_ai_library_spark.sources.synth import (
             _make_html_doc,
         )
@@ -316,6 +316,16 @@ def run_job(d, balance=None):
         w, _b, _h = perceptron_train(labeled, epochs=2)
         w.unpersist()
         return d.sparkSession.range(1)
+    if "{job}" == "cdc":
+        # window-family probe: content-defined chunking dup stats — the
+        # per-doc-window plan family's first scaling probe. One doc-id
+        # shuffle feeds BOTH windows (the lag-gram boundary hash and the
+        # running boundary sum share the partitioning), then the chunk
+        # reassembly groupBy, the partial-aggregated chunk-frequency
+        # join, and the per-doc rollup. Hot tasks are bounded by the
+        # largest single document (the suite-wide per-doc-window caveat).
+        from modern_document_converter_for_ai_library_spark.operators.chunking import cdc_dup_stats
+        return cdc_dup_stats(d, text_col="html")
     if "{job}" == "pq":
         # PQ codebook train + full-corpus encode (d IS the embedding
         # table): one Lloyd round = quantize + subvector explode (m rows
@@ -415,8 +425,13 @@ spark.stop()
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
     )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(
+            "measurement subprocess produced no JSON (exit %s); stderr tail:\n%s"
+            % (out.returncode, "\n".join(out.stderr.strip().splitlines()[-15:]))
+        )
+    return json.loads(lines[-1])
 
 
 def main() -> None:
@@ -435,7 +450,7 @@ def main() -> None:
     ap.add_argument("--md", default=None, help="write/refresh this markdown report")
     ap.add_argument(
         "--job",
-        choices=["convert", "html", "warc", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr", "substr_sparse", "substr_bloom", "substr_sparse_bloom", "perceptron", "pagerank", "pq"],
+        choices=["convert", "html", "warc", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr", "substr_sparse", "substr_bloom", "substr_sparse_bloom", "perceptron", "pagerank", "pq", "cdc"],
         default="convert",
         help="which end-to-end kernel job to measure (html = "
         "strip_boilerplate_html over the synthetic web-page corpus; warc = "
@@ -459,9 +474,9 @@ def main() -> None:
         legacy = os.path.join(args.corpus, f".complete_{args.docs}")
         if os.path.exists(legacy):
             marker = legacy
-    if args.job in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr", "substr_bloom", "perceptron") and not os.path.exists(marker):
+    if args.job in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr", "substr_bloom", "perceptron", "cdc") and not os.path.exists(marker):
         # these jobs share identical corpus content — reuse any sibling
-        for sib in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr", "substr_bloom", "perceptron"):
+        for sib in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr", "substr_bloom", "perceptron", "cdc"):
             sib_marker = os.path.join(args.corpus, f".complete_{sib}_{args.docs}")
             if os.path.exists(sib_marker):
                 marker = sib_marker

@@ -24,11 +24,23 @@ def _py_chunks(text, window=WINDOW, divisor=DIVISOR):
         if i >= window - 1:
             gram = "\x1f".join(toks[i - window + 1 : i + 1])
             if _h60(gram) % divisor == 0:
-                chunks.append(" ".join(cur))
+                chunks.append(cur)
                 cur = []
     if cur:
-        chunks.append(" ".join(cur))
-    return chunks
+        chunks.append(cur)
+    # the operator's O(1)-state chunk key: (sum of 40-bit md5 of
+    # (rel-position, token), length) — order-sensitive, commutative
+    keys = []
+    for c in chunks:
+        s = sum(
+            int(
+                hashlib.md5(("%d\x1f%s" % (rel, tok)).encode()).hexdigest()[:10],
+                16,
+            )
+            for rel, tok in enumerate(c)
+        )
+        keys.append("%d_%d" % (s, len(c)))
+    return keys
 
 
 def _py_cdc(rows):

@@ -80,6 +80,38 @@ def test_compact_partitioned_layout(spark, tmp_path):
     assert set(got.columns) == {"doc_id", "text", "source"}
 
 
+def test_partitioned_hot_partition_splits(spark, tmp_path):
+    # one Hive partition carries ~8x the data of the others: its slot
+    # count must scale (multiple near-target files) while tiny partitions
+    # stay at one file — a GLOBAL slot modulus would shatter every
+    # partition into every slot
+    src, dst = str(tmp_path / "hsrc"), str(tmp_path / "hdst")
+    (
+        spark.range(9000)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("text"),
+            F.when(F.col("id") < 8000, "hot").otherwise(
+                F.concat(F.lit("cold"), (F.col("id") % 4).cast("string"))
+            ).alias("source"),
+        )
+        .repartition(30)
+        .write.parquet(src)
+    )
+    total = file_stats(spark, src)["total_bytes"]
+    result = compact_parquet(
+        spark, src, dst, target_bytes=max(1, total // 6), partition_by=["source"]
+    )
+    assert result["verified"] is True
+    by_part = {}
+    for p in glob.glob(os.path.join(dst, "source=*")):
+        by_part[os.path.basename(p)] = len(_data_files(p))
+    assert by_part["source=hot"] >= 3  # hot partition split
+    for name, n in by_part.items():
+        if name != "source=hot":
+            assert n == 1  # cold partitions NOT shattered across slots
+
+
 def test_refuses_existing_target(spark, tmp_path):
     src = str(tmp_path / "src2")
     _fragmented(spark, src, n_rows=100, n_files=4)

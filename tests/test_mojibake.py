@@ -59,6 +59,20 @@ def test_ascii_and_clean_text_untouched(spark):
     assert got[2] == rows[1][1]  # repaired chars are not re-damaged
 
 
+def test_ambiguous_clean_digraph_policy():
+    # a mojibake key is itself valid text: clean "Â©" is
+    # indistinguishable from mis-decoded "©" and the table takes the
+    # mis-decode reading (the ftfy default) — pinned so the trade-off
+    # stays a decision, not an accident
+    assert _py_fix("Â© 2020") == "© 2020"
+    # one pass peels ONE damage layer: double-mojibake © needs a second
+    # pass, and double-mojibake é is out of this table's reach entirely
+    # (its outer layer exposes "Ãƒ", whose target Ã is not covered)
+    m2 = _mojibake_of(_mojibake_of("©"))
+    assert _py_fix(m2) == "Â©"
+    assert _py_fix(_py_fix(m2)) == "©"
+
+
 def test_cp1252_undefined_bytes_fall_back_to_latin1():
     # ” is E2 80 9D; 0x9D is undefined in cp1252 and must pass through
     # as U+009D (the lenient-decoder behavior), not raise

@@ -41,8 +41,11 @@ def _py_cell(v, cents):
     return d.index(min(d)) + 1  # first minimum -> lowest cell
 
 
-def _py_topics(rows, k, dim=DIM, rounds=2):
-    vecs = _py_tfidf(rows, dim)
+def _py_topics(rows, k, dim=DIM, rounds=2, weight_cap=1 << 24):
+    vecs = {
+        d: [min(x, weight_cap) for x in v]
+        for d, v in _py_tfidf(rows, dim).items()
+    }
     ids = sorted(vecs)
     cents = [list(vecs[i]) for i in ids[: min(k, len(ids))]]
     for _ in range(rounds):
@@ -130,6 +133,24 @@ def test_more_topics_than_docs(spark):
     assigned, cents = topic_clusters(df, n_topics=5, dim=DIM)
     assert len(cents) == 2  # seeds bounded by the corpus
     assert assigned.count() == 2
+
+
+def test_weight_cap_clamps_components(spark):
+    # a tiny cap forces clamping on this corpus; the Spark result must
+    # equal the twin computed over the clamped vectors (the overflow
+    # guard changes values deterministically, not structurally)
+    df = spark.createDataFrame(ROWS, ["doc_id", "text"])
+    assigned, cents = topic_clusters(
+        df, n_topics=3, dim=DIM, lloyd_iterations=2, weight_cap=1024
+    )
+    exp_assign, exp_cents = _py_topics(ROWS, 3, weight_cap=1024)
+    got_assign = {r["doc_id"]: r["cell"] for r in assigned.collect()}
+    assert got_assign == exp_assign
+    assert cents == exp_cents
+    assert max(w for c in cents for w in c) <= 1024
+    # and the cap actually bit: the unclamped run has larger weights
+    _, cents_full = topic_clusters(df, n_topics=3, dim=DIM)
+    assert max(w for c in cents_full for w in c) > 1024
 
 
 def test_assignment_plan_is_map_only(spark):
