@@ -31,11 +31,18 @@ Design:
   writes to a NEW directory — republishing is the caller's atomic
   rename/pointer-swap, never an in-place overwrite of a directory
   being read. With ``partition_by`` each Hive partition gets its OWN
-  slot count, ceil(partition_bytes / target) (estimated from row
-  counts x the global average row byte rate — one slim aggregate):
-  a global slot modulus would scatter every partition across every
-  writer task and emit n_partitions x n_slots small files, the exact
-  pathology compaction exists to remove.
+  slot count, ceil(partition_bytes / target), with partition bytes
+  summed EXACTLY from the pinned listing (each leaf file lives in
+  exactly one partition directory — no row-count x average-width
+  estimate, which under-provisions partitions whose rows are wider
+  than average): a global slot modulus would scatter every partition
+  across every writer task and emit n_partitions x n_slots small
+  files, the exact pathology compaction exists to remove. The pinned
+  snapshot is read with ``basePath`` so Hive partition-value columns
+  SURVIVE the leaf-file read — without it Spark silently drops them
+  and a compaction of a partitioned source would republish a table
+  missing its partition columns (with a passing checksum, since both
+  sides would derive from the same column-less frame).
 - ``content_checksum`` is the cheap exact row checksum (sum of 60-bit
   row-JSON md5 in DECIMAL(38,0) — order-insensitive,
   duplicate-sensitive, overflow-safe to ~10^19 rows) used to assert
@@ -63,6 +70,35 @@ def _file_listing(spark: SparkSession, path: str) -> DataFrame:
     )
     name = F.element_at(F.split("fpath", "/"), -1)
     return df.filter(~name.startswith("_") & ~name.startswith("."))
+
+
+def _norm_uri(p: str) -> str:
+    """Scheme-stripped absolute path: 'file:/x', 'file:///x', 'hdfs://nn/x'
+    all normalize to a '/'-rooted path, so listing paths (binaryFile URIs)
+    and input_file_name() URIs compare equal regardless of scheme form."""
+    import re as _re
+
+    return _re.sub(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+", "/", p)
+
+
+def _hive_layout_matches(
+    part_bytes: dict[str, int], src: str, partition_by: list[str]
+) -> bool:
+    """True iff every leaf-file parent directory under ``src`` is exactly
+    the Hive encoding of ``partition_by`` (one ``col=value`` segment per
+    column, in order) — i.e. the source is already laid out by these
+    columns, so the pinned listing carries exact per-partition bytes."""
+    root = _norm_uri(src).rstrip("/")
+    for d in part_bytes:
+        if not d.startswith(root + "/"):
+            return False
+        segs = d[len(root) + 1 :].split("/")
+        if len(segs) != len(partition_by):
+            return False
+        for seg, col in zip(segs, partition_by):
+            if not seg.startswith(col + "="):
+                return False
+    return True
 
 
 def _digest(sizes: list[int], target_bytes: int) -> dict:
@@ -140,57 +176,112 @@ def compact_parquet(
         raise ValueError("no data files under %r" % src)
     paths = [r["fpath"] for r in listing]
     before = _digest([int(r["bytes"]) for r in listing], target_bytes)
-    df = spark.read.parquet(*paths)  # the pinned snapshot
+    # basePath keeps Hive partition-value columns in the read schema —
+    # reading leaf files without it silently DROPS them (ADVICE r3 high:
+    # a partitioned source would compact to a table missing its partition
+    # columns, with a passing checksum since both sides derive from the
+    # same column-less frame)
+    df = spark.read.option("basePath", src).parquet(*paths)  # pinned snapshot
     n_out = max(1, math.ceil(before["total_bytes"] / target_bytes))
     if partition_by:
-        # per-partition slot counts: ceil(partition_bytes / target) with
-        # partition bytes estimated as row share x total bytes (one slim
-        # aggregate, output bounded by partition cardinality). A GLOBAL
-        # slot modulus would scatter every Hive partition over every
-        # writer task -> n_partitions x n_slots shards.
-        counts = df.groupBy(*partition_by).agg(F.count("*").alias("_rows"))
-        rows = counts.collect()
-        total_rows = sum(int(r["_rows"]) for r in rows) or 1
-        slot_rows = [
-            tuple(r[c] for c in partition_by)
-            + (
-                max(
-                    1,
-                    math.ceil(
-                        int(r["_rows"])
-                        * before["total_bytes"]
-                        / total_rows
-                        / target_bytes
-                    ),
-                ),
+        missing = [c for c in partition_by if c not in df.columns]
+        if missing:
+            raise ValueError(
+                "partition_by columns %r not in source schema %r"
+                % (missing, df.columns)
             )
-            for r in rows
-        ]
-        from pyspark.sql.types import IntegerType
+        row_hash = F.conv(
+            F.substring(F.md5(F.to_json(F.struct(*sorted(df.columns)))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        part_bytes: dict[str, int] = {}
+        for r in listing:
+            d = _norm_uri(r["fpath"]).rsplit("/", 1)[0]
+            part_bytes[d] = part_bytes.get(d, 0) + int(r["bytes"])
+        if _hive_layout_matches(part_bytes, src, partition_by):
+            # Source is ALREADY laid out by exactly these columns: size
+            # each partition from the pinned listing (partition dir ->
+            # summed file bytes — exact, not a row-share estimate that
+            # under-provisions partitions with wider-than-average rows;
+            # ADVICE r3). Rows map to their partition's slot count via
+            # input_file_name() -> parent dir, broadcast-joined against
+            # the listing — no extra aggregate over the data at all.
+            # Each parent dir IS one output partition, so repartitioning
+            # by (_pdir, _slot) keeps every writer task single-partition.
+            slots_by_dir = {
+                d: max(1, math.ceil(b / target_bytes))
+                for d, b in part_bytes.items()
+            }
+            n_part = sum(slots_by_dir.values())
+            slots_df = spark.createDataFrame(
+                list(slots_by_dir.items()), "_pdir string, _slots int"
+            )
+            row_pdir = F.regexp_replace(
+                F.regexp_replace(
+                    F.input_file_name(), r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+", "/"
+                ),
+                r"/[^/]*$",
+                "",
+            )
+            out = (
+                df.withColumn("_pdir", row_pdir)
+                .join(F.broadcast(slots_df), "_pdir", "left")
+                # left join + coalesce: an inner join would DROP rows
+                # whose file fell outside the listing map, and silent
+                # row loss is exactly what the verify pass prevents
+                .withColumn(
+                    "_slot",
+                    F.pmod(row_hash, F.coalesce(F.col("_slots"), F.lit(1))),
+                )
+                .repartition(n_part, "_pdir", "_slot")
+                .drop("_pdir", "_slot", "_slots")
+            )
+        else:
+            # Flat (or differently-partitioned) source being RE-laid-out
+            # by a data column: the listing carries no per-value bytes,
+            # so estimate partition bytes as row share x global average
+            # row bytes (one slim aggregate, output bounded by partition
+            # cardinality). A GLOBAL slot modulus would scatter every
+            # Hive partition over every writer task -> n_partitions x
+            # n_slots shards.
+            counts = df.groupBy(*partition_by).agg(F.count("*").alias("_rows"))
+            rows = counts.collect()
+            total_rows = sum(int(r["_rows"]) for r in rows) or 1
+            slot_rows = [
+                tuple(r[c] for c in partition_by)
+                + (
+                    max(
+                        1,
+                        math.ceil(
+                            int(r["_rows"])
+                            * before["total_bytes"]
+                            / total_rows
+                            / target_bytes
+                        ),
+                    ),
+                )
+                for r in rows
+            ]
+            from pyspark.sql.types import IntegerType
 
-        slots_df = spark.createDataFrame(
-            slot_rows,
-            counts.select(*partition_by).schema.add("_slots", IntegerType()),
-        )
-        slot = F.pmod(
-            F.conv(
-                F.substring(F.md5(F.to_json(F.struct(*sorted(df.columns)))), 1, 8),
-                16,
-                10,
-            ).cast("bigint"),
-            # left join + coalesce: an inner join would DROP rows whose
-            # partition value is NULL (null keys never equi-match), and
-            # silent row loss is exactly what the verify pass exists to
-            # prevent
-            F.coalesce(F.col("_slots"), F.lit(1)),
-        )
-        n_part = max(1, sum(s[-1] for s in slot_rows))
-        out = (
-            df.join(F.broadcast(slots_df), partition_by, "left")
-            .withColumn("_slot", slot)
-            .repartition(n_part, *(partition_by + ["_slot"]))
-            .drop("_slot", "_slots")
-        )
+            slots_df = spark.createDataFrame(
+                slot_rows,
+                counts.select(*partition_by).schema.add("_slots", IntegerType()),
+            )
+            n_part = max(1, sum(s[-1] for s in slot_rows))
+            out = (
+                df.join(F.broadcast(slots_df), partition_by, "left")
+                # left join + coalesce: an inner join would DROP rows
+                # whose partition value is NULL (null keys never
+                # equi-match)
+                .withColumn(
+                    "_slot",
+                    F.pmod(row_hash, F.coalesce(F.col("_slots"), F.lit(1))),
+                )
+                .repartition(n_part, *(partition_by + ["_slot"]))
+                .drop("_slot", "_slots")
+            )
         out.write.partitionBy(*partition_by).parquet(dst)
     else:
         df.repartition(n_out).write.parquet(dst)
@@ -198,7 +289,11 @@ def compact_parquet(
         "before": before,
         "after": file_stats(spark, dst, target_bytes),
         "target_bytes": target_bytes,
-        "planned_files": n_out,
+        # in partition_by mode the actual plan is the sum of per-partition
+        # slots, not the global bin count (ADVICE r3: the heartbeat and
+        # the n_after == planned_files invariant must describe the real
+        # plan)
+        "planned_files": n_part if partition_by else n_out,
     }
     if verify:
         # both checksums derive from the SAME pinned file list (df), so

@@ -1873,11 +1873,19 @@ def cross_source_dup_matrix(
     text — the classic degenerate group — contributes the same bounded
     row count as any other). Two shuffles total (the groupBy and the
     equi-join on the hash), both on slim rows.
+
+    NULL sources are folded into the sentinel bucket ``(null)`` rather
+    than dropped: the hash equi-join keeps NULL ``_src`` rows, but
+    ``source_a <= source_b`` evaluates to NULL for them, so without the
+    sentinel every duplicate group touching an unattributed document —
+    and all of its cross pairs with named sources — would silently
+    vanish from the matrix (ADVICE r3). For corpus forensics the
+    unattributed bucket is a first-class answer, not noise.
     """
     per_src = (
         df.select(
             F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_h"),
-            F.col(source_col).alias("_src"),
+            F.coalesce(F.col(source_col), F.lit("(null)")).alias("_src"),
         )
         .groupBy("_h", "_src")
         .agg(F.count("*").alias("_cnt"))

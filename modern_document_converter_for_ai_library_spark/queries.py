@@ -6578,7 +6578,17 @@ GROUP BY source
 def spark_tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.vectorize import tfidf_vectors
 
-    return tfidf_vectors(_docs(spark, sf_dir), dim=64)
+    out = tfidf_vectors(_docs(spark, sf_dir), dim=64)
+    # Contract-schema rule: every SPARK_QUERIES output column is a SCALAR
+    # (the driver canonicalizes via pandas sort_values, which cannot hash
+    # list cells — the one red row of round 3). Serialize the vector with
+    # the same concat_ws convention q_caselaw_metadata uses for its
+    # panel/votes arrays; the operator itself still returns the real
+    # array<bigint> column for the ANN/clustering consumers.
+    return out.select(
+        "doc_id",
+        F.concat_ws("_", F.transform("vec", lambda x: x.cast("string"))).alias("vec"),
+    )
 
 
 _TFIDF_VECTORS_SQL = """
@@ -6604,7 +6614,8 @@ idf AS (
   FROM dfreq, n
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       list_transform(range(1, 65), k -> tf[k] * w[k]) AS vec
+       array_to_string(list_transform(range(1, 65),
+                                      k -> CAST(tf[k] * w[k] AS VARCHAR)), '_') AS vec
 FROM tfs, idf
 """
 
@@ -6883,7 +6894,8 @@ def spark_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DUP_SOURCE_MATRIX_SQL = """
 WITH per_src AS (
-  SELECT md5(substring(coalesce(text, ''), 1, 20)) AS h, source AS src, count(*) AS cnt
+  SELECT md5(substring(coalesce(text, ''), 1, 20)) AS h,
+         coalesce(source, '(null)') AS src, count(*) AS cnt
   FROM documents GROUP BY 1, 2
 ), j AS (
   SELECT a.src AS source_a, b.src AS source_b,

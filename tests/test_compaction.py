@@ -119,6 +119,97 @@ def test_refuses_existing_target(spark, tmp_path):
         compact_parquet(spark, src, src)
 
 
+def test_compact_hive_partitioned_source_keeps_partition_columns(spark, tmp_path):
+    # ADVICE r3 (high): reading pinned leaf files WITHOUT basePath drops
+    # Hive partition-value columns, so compacting a partitionBy-written
+    # source silently republished a table missing its partition columns
+    # (with a passing checksum — both sides derived from the same
+    # column-less frame). Pin: the columns survive end-to-end.
+    src, dst = str(tmp_path / "hivesrc"), str(tmp_path / "hivedst")
+    (
+        spark.range(4000)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("text-"), F.col("id")).alias("text"),
+            (F.col("id") % 3).cast("string").alias("source"),
+        )
+        .repartition(12)
+        .write.partitionBy("source")
+        .parquet(src)
+    )
+    result = compact_parquet(
+        spark, src, dst, target_bytes=1 << 30, partition_by=["source"]
+    )
+    assert result["verified"] is True
+    got = spark.read.parquet(dst)
+    assert set(got.columns) == {"doc_id", "text", "source"}
+    assert got.count() == 4000
+    # partition values round-trip exactly as a plain spark.read.parquet(src)
+    # reader sees them (Hive partition-value inference types 'source=0'
+    # dirs as int in BOTH reads — compaction is faithful to Spark's own
+    # view of the table, dir names included)
+    assert {r["source"] for r in got.select("source").distinct().collect()} == {
+        r["source"]
+        for r in spark.read.parquet(src).select("source").distinct().collect()
+    }
+    parts = {os.path.basename(p) for p in glob.glob(os.path.join(dst, "source=*"))}
+    assert parts == {"source=0", "source=1", "source=2"}
+    # full content equality including the partition column values
+    src_rows = {tuple(r) for r in spark.read.parquet(src).collect()}
+    dst_rows = {tuple(r) for r in got.collect()}
+    assert src_rows == dst_rows
+    # planned_files reports the per-partition plan and matches reality
+    assert result["after"]["n_files"] == result["planned_files"] == 3
+
+
+def test_compact_hive_source_sizes_partitions_by_exact_bytes(spark, tmp_path):
+    # one partition's rows are ~40x wider than the others': row-share
+    # sizing would under-provision it (ADVICE r3 low). With listing-dir
+    # exact bytes the wide partition gets multiple slots while the
+    # narrow one stays at a single file.
+    src, dst = str(tmp_path / "wsrc"), str(tmp_path / "wdst")
+    (
+        spark.range(3000)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 2 == 0, F.repeat(F.lit("wide-payload-"), 40))
+            .otherwise(F.lit("tiny"))
+            .alias("text"),
+            F.when(F.col("id") % 2 == 0, "wide").otherwise("narrow").alias("source"),
+        )
+        .repartition(10)
+        .write.partitionBy("source")
+        .parquet(src)
+    )
+    wide_bytes = sum(
+        os.path.getsize(f) for f in _data_files(os.path.join(src, "source=wide"))
+    )
+    result = compact_parquet(
+        spark, src, dst, target_bytes=max(1, wide_bytes // 3),
+        partition_by=["source"],
+    )
+    assert result["verified"] is True
+    n_wide = len(_data_files(os.path.join(dst, "source=wide")))
+    n_narrow = len(_data_files(os.path.join(dst, "source=narrow")))
+    assert n_wide >= 3  # provisioned for its true bytes
+    assert n_narrow <= 2  # not shattered by the wide partition's slots
+    assert result["after"]["n_files"] == result["planned_files"]
+
+
+def test_partitioned_planned_files_matches_actual(spark, tmp_path):
+    # ADVICE r3 (low): planned_files must report the per-partition slot
+    # sum in partition_by mode, not the global bin count
+    src, dst = str(tmp_path / "ppsrc"), str(tmp_path / "ppdst")
+    _fragmented(spark, src, n_rows=2000, n_files=8)
+    result = compact_parquet(
+        spark, src, dst, target_bytes=1 << 30, partition_by=["source"]
+    )
+    assert result["verified"] is True
+    # 4 sources x 1 slot each under a huge target
+    assert result["planned_files"] == 4
+    assert result["after"]["n_files"] == 4
+
+
 def test_checksum_is_order_insensitive_and_duplicate_sensitive(spark):
     a = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "t"])
     b = spark.createDataFrame([(2, "y"), (1, "x")], ["id", "t"])
