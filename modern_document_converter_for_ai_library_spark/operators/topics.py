@@ -15,14 +15,21 @@ surface the Spark rebuild adds on top.
 - The TF-IDF stage is map-only + one bounded dim-row reduce
   (vectorize.py docstring).
 - Seeds and all refined centroids are DRIVER-side values (K x dim
-  bigints, bounded by construction), so nearest-centroid assignment
-  re-enters the plan as LITERAL arrays: per row, K zip_with/aggregate
-  folds + array_position — pure codegen, ZERO Exchange. This is strictly
-  narrower than the broadcast-crossJoin + min_by shape ``similarity.py``
-  uses (there the centroids are a runtime DataFrame; here each Lloyd
-  round has already collected them).
-- Per Lloyd round the only shuffle is the centroid update: posexplode to
-  (cell, pos, val) partial-aggregates map-side down to K x dim rows.
+  bigints, bounded by construction); nearest-centroid assignment is a
+  map-only VECTORIZED Arrow UDF (numpy int64 broadcast einsum per Arrow
+  batch) with the centroids in the UDF closure — ZERO corpus-side
+  Exchange and ZERO centroid-dependent JVM codegen, so the per-round
+  aggregate's generated source is identical across Lloyd rounds and
+  compiles exactly once (see ``_cell_udf`` for why both JVM expression
+  shapes — literal unroll and broadcast-parameterized unroll — were
+  measured and rejected). This is still far narrower than the
+  crossJoin + min_by shape ``similarity.py`` uses (there the centroids
+  are a runtime DataFrame; here each Lloyd round has already collected
+  them).
+- Per Lloyd round the only shuffle is the centroid update: the fused
+  Arrow pass emits <= K x (dim+1) slim partial rows per PARTITION, and
+  a trivial (cell, pos) groupBy reduces them to K x (dim+1) — the
+  shuffle volume is bounded by partition count, never corpus size.
 - Centroid means are exact bigint floor-divisions — associative integer
   sums, so cells are bit-identical across engines and partitionings
   (the determinism contract every oracle in this repo leans on;
@@ -47,38 +54,94 @@ from .vectorize import tfidf_vectors
 WEIGHT_CAP = 1 << 24
 
 
-def _lit_vec(vec: list[int]):
-    return F.array(*[F.lit(int(w)).cast("bigint") for w in vec])
+def _cell_udf(centroids: list[list[int]]):
+    """1-based nearest-centroid cell as a VECTORIZED Arrow UDF — squared
+    Euclidean over int64 components, first-minimum tie-break (= lowest
+    cell, numpy argmin's first-occurrence rule). Exact integer math:
+    magnitudes under the WEIGHT_CAP clamp keep every squared diff < 2^48
+    and the 64-dim sum < 2^54, inside int64 — bit-identical to the
+    DuckDB oracle's bigint arithmetic.
+
+    Why a pandas UDF and not codegen SQL (the history matters — both
+    JVM shapes were measured and rejected):
+
+    - centroid LITERALS unrolled into SQL (round 3) land verbatim in the
+      generated Java source, so every Lloyd round (new centroids) forced
+      a fresh ~5 s whole-stage compile of the 65-buffer round aggregate
+      — ~10 of q_topic_clusters' 12.35 s was compile latency (VERDICT
+      r3 item 4);
+    - parameterizing the centroids through a one-row broadcast
+      ``_cents`` array column keeps the source stable, but the 512
+      ``element_at`` expansions push the single grouping-key method past
+      janino's 64 KB limit — codegen FAILS to compile and the whole
+      stage falls back to interpreted eval (~19 s/run, measured).
+
+    The Arrow UDF sidesteps both: zero JVM codegen of centroid-dependent
+    code (the per-round aggregate's generated source is centroid-free,
+    so it compiles ONCE and the codegen cache serves every later round),
+    and the distance kernel is one numpy broadcast einsum per Arrow
+    batch (~10k x 8 x 64 int64 ops — nanoseconds/row). Per-batch scratch
+    is batch x K x dim x 8 B ≈ 40 MB at the default 10k Arrow batch —
+    bounded. This is the documented fast Python path (Arrow-batched,
+    never row-at-a-time); the plan shows ArrowEvalPython, which the
+    suite-wide audit permits (BatchEvalPython remains banned)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.int64)  # K x dim
+
+    def assign(vecs):
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        V = np.vstack(vecs.to_numpy()).astype(np.int64, copy=False)
+        d = V[:, None, :] - C[None, :, :]
+        dist = np.einsum("nkd,nkd->nk", d, d)  # exact int64 under the clamp
+        return pd.Series((dist.argmin(axis=1) + 1).astype("int32"))
+
+    # real annotation objects: the module's `from __future__ import
+    # annotations` would stringify inline hints, which pandas_udf's
+    # type-hint inference cannot resolve for a locally-imported pd
+    assign.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return pandas_udf("int")(assign)
 
 
-def _sqdist_sql(vec_col: str, c: list[int]) -> str:
-    """Squared distance against ONE literal centroid, UNROLLED into plain
-    SQL arithmetic: higher-order folds are interpreted row-at-a-time, the
-    unroll stays in whole-stage codegen (the ``pq._sv_sqdist`` finding).
-    Built as a parsed SQL STRING, not a Column tree — K x dim x ~6 py4j
-    calls per rebuild measured ~4-5 s of pure driver latency per Lloyd
-    round (the simhash64 finding, operators/dedup.py); one F.expr parse
-    is ~0."""
-    terms = [
-        "(element_at({v}, {i}) - {w}L) * (element_at({v}, {i}) - {w}L)".format(
-            v=vec_col, i=i, w=int(w)
-        )
-        for i, w in enumerate(c, start=1)
-    ]
-    return "(" + " + ".join(terms) + ")"
+def _round_partials(
+    vecs: DataFrame, centroids: list[list[int]], dim: int
+) -> DataFrame:
+    """One fused Lloyd-round pass: assign every vector to its nearest
+    centroid AND scatter-add per-partition partial sums, inside a single
+    mapInPandas generator. Emits <= K x (dim+1) slim rows per partition:
+    (cell, pos, s) with ``pos`` in 0..dim-1 carrying the element sum and
+    ``pos = -1`` carrying the cell's row count. Distance math is the
+    exact int64 kernel of ``_cell_udf`` (same tie-break: numpy argmin =
+    first minimum = lowest cell)."""
+    import numpy as np
+    import pandas as pd
 
+    C = np.asarray(centroids, dtype=np.int64)
 
-def _cell_expr(vec_col: str, centroids: list[list[int]]):
-    """1-based nearest-centroid cell from LITERAL centroids — squared
-    Euclidean over bigint components, first-minimum tie-break (= lowest
-    cell). Magnitudes under the WEIGHT_CAP clamp: components <= 2^24,
-    squared diffs < 2^48, x dim(64) < 2^54 — no bigint overflow, even
-    under ANSI mode. Codegen CSE dedups the two ``array(...)``
-    references inside one projection."""
-    arr = "array(%s)" % ", ".join(_sqdist_sql(vec_col, c) for c in centroids)
-    return F.expr(
-        "CAST(array_position({a}, array_min({a})) AS INT)".format(a=arr)
-    )
+    def gen(batches):
+        K = C.shape[0]
+        cnt = np.zeros(K, dtype=np.int64)
+        sums = np.zeros((K, dim), dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(pdf["vec"].to_numpy()).astype(np.int64, copy=False)
+            d = V[:, None, :] - C[None, :, :]
+            cells = np.einsum("nkd,nkd->nk", d, d).argmin(axis=1)
+            np.add.at(cnt, cells, 1)
+            np.add.at(sums, cells, V)
+        rows = []
+        for k in range(K):
+            if cnt[k] == 0:
+                continue
+            rows.append((k + 1, -1, int(cnt[k])))
+            rows.extend((k + 1, p, int(sums[k, p])) for p in range(dim))
+        yield pd.DataFrame(rows, columns=["cell", "pos", "s"])
+
+    return vecs.select("vec").mapInPandas(gen, "cell int, pos int, s long")
 
 
 def topic_clusters(
@@ -138,32 +201,44 @@ def topic_clusters(
     if not centroids:
         return vecs.withColumn("cell", F.lit(None).cast("int")), []
 
-    # centroid update: dim columnar SUM aggregates + a count per cell — no
-    # posexplode (the exploded form shuffles dim rows per doc and measured
-    # ~6 s/round at sf0.1 vs ~1.5 s for this shape; the aggregate output
-    # is K rows either way). All dim+1 buffers partial-aggregate map-side.
-    aggs = [F.count("*").alias("c")] + [
-        F.sum(F.element_at("vec", i).cast("decimal(38,0)")).alias(f"s{i}")
-        for i in range(1, dim + 1)
-    ]
+    # centroid update: ONE fused Arrow pass per round — assignment AND
+    # per-partition partial sums in the same mapInPandas generator
+    # (numpy scatter-add), emitting <= K x (dim+1) slim (cell, pos, s)
+    # rows per partition. The JVM side then reduces those with a
+    # TWO-column groupBy + one decimal sum — trivial, centroid-free
+    # generated code that the codegen cache serves on every later round.
+    # The previous shape (groupBy over a 65-buffer decimal aggregate)
+    # spent ~3 s/suite-run compiling that aggregate (VERDICT r3 item 4);
+    # the exploded per-doc form before it shuffled dim rows per doc
+    # (~6 s/round). This one shuffles only partition-bounded partials.
+    # Exactness: per-partition sums accumulate in int64 — safe below
+    # 2^39 rows per PARTITION under the 2^24 clamp (maxPartitionBytes
+    # caps real partitions far below that); the cross-partition reduce
+    # sums in DECIMAL(38,0) (associative integer adds — bit-identical
+    # across partitionings, the content_checksum precedent).
     for _ in range(lloyd_iterations):
-        cell = _cell_expr("vec", centroids)
-        rows = vecs.groupBy(cell.alias("cell")).agg(*aggs).collect()
-        by_cell = {
-            int(r["cell"]): (
-                int(r["c"]),
-                [int(r[f"s{i}"]) for i in range(1, dim + 1)],
-            )
-            for r in rows
-        }
+        partials = _round_partials(vecs, centroids, dim)
+        rows = (
+            partials.groupBy("cell", "pos")
+            .agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("s"))
+            .collect()
+        )
+        counts: dict[int, int] = {}
+        sums: dict[int, list[int]] = {}
+        for r in rows:
+            k, p, s = int(r["cell"]), int(r["pos"]), int(r["s"])
+            if p < 0:
+                counts[k] = s
+            else:
+                sums.setdefault(k, [0] * dim)[p] = s
         centroids = [
-            [s // by_cell[k + 1][0] for s in by_cell[k + 1][1]]
-            if (k + 1) in by_cell
+            [s // counts[k + 1] for s in sums[k + 1]]
+            if counts.get(k + 1)
             else prev
             for k, prev in enumerate(centroids)
         ]
 
-    assigned = vecs.withColumn("cell", _cell_expr("vec", centroids))
+    assigned = vecs.withColumn("cell", _cell_udf(centroids)(F.col("vec")))
     return assigned, centroids
 
 

@@ -157,8 +157,10 @@ def test_assignment_plan_is_map_only(spark):
     df = spark.createDataFrame(ROWS, ["doc_id", "text"])
     assigned, _ = topic_clusters(df, n_topics=3, dim=DIM)
     plan = assigned._jdf.queryExecution().executedPlan().toString()
-    # literal centroids: no Exchange, no Join, no Python in the
-    # corpus-side assignment
+    # closure centroids + Arrow UDF assignment: map-only — no Exchange,
+    # no Join; the only Python is the VECTORIZED ArrowEvalPython stage
+    # (row-at-a-time BatchEvalPython stays banned)
     assert "Exchange" not in plan
     assert "Join" not in plan
+    assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
