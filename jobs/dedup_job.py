@@ -245,9 +245,18 @@ def main(argv: list[str] | None = None) -> int:
         write_documents(survivors, args.output, mode="overwrite")
         if args.tier == "incremental" and args.band_index:
             # band_index was imported by the tier branch above (the
-            # validation at parse time guarantees tier == incremental here)
+            # validation at parse time guarantees tier == incremental here).
+            # Band the survivors from the file JUST WRITTEN (args.output),
+            # not from `marked`'s lineage: that lineage reads the CURRENT
+            # index (base_bands), so appending to the same index from a
+            # plan that can recompute (cache eviction, executor loss)
+            # would be a self-referential write — the in-place
+            # read-while-write hazard the compaction module bans. The
+            # read-back severs the lineage at a durable file.
             new_rows = band_index(
-                survivors.select(args.id_col, args.text_col),
+                read_documents(spark, args.output).select(
+                    args.id_col, args.text_col
+                ),
                 text_col=args.text_col,
                 id_col=args.id_col,
             )

@@ -3213,8 +3213,21 @@ def near_dedup_family_fronts(
     plan — the bench warm-sharing protocol from VERDICT r3 item 5
     (semantics unchanged: it is the same deterministic frame, computed
     once instead of four times). Returns [(verified, pairs), ...]; the
-    caller owns both lifetimes."""
-    from .operators.dedup import near_dup_verified_pairs
+    caller owns both lifetimes.
+
+    Also returns the production-width (128-perm) front shared by
+    q_minhash128 / q_minhash128_pairs / q_near_dedup_wide: the per-doc
+    minima frame (q_minhash128's scan; the banding inside the other two
+    reads it from cache) and the wide candidate-pair frame (identical
+    construction in q_minhash128_pairs and near_dedup's wide tier —
+    defaults 128/16 match the queries' explicit constants, pinned by
+    tests/test_bench_fronts.py)."""
+    from .operators.dedup import (
+        minhash_wide_bands,
+        minhash_wide_minima,
+        minhash_wide_pairs,
+        near_dup_verified_pairs,
+    )
 
     docs = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("bigint").alias("doc_id"), "text"
@@ -3223,6 +3236,10 @@ def near_dedup_family_fronts(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         _chain_text_col().alias("text"),
     )
+    minima = minhash_wide_minima(docs, n_perms=_MINHASH_WIDE_PERMS)
+    wide_pairs = minhash_wide_pairs(
+        minhash_wide_bands(docs), n_bands=_MINHASH_WIDE_BANDS
+    )
     return [
         near_dup_verified_pairs(
             docs, threshold_micros=500_000, n_bands=1, band_rows=2
@@ -3230,6 +3247,8 @@ def near_dedup_family_fronts(
         near_dup_verified_pairs(
             chain_docs, threshold_micros=_CHAIN_THR, n_bands=2, band_rows=2
         ),
+        (minima, None),
+        (wide_pairs, None),
     ]
 
 

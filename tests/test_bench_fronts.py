@@ -1,0 +1,95 @@
+"""Pins the bench warm-sharing contract (VERDICT r3 item 5): the frames
+``near_dedup_family_fronts`` persists must stay CANONICAL-PLAN-EQUAL to
+the fragments the family queries build internally — that equality is what
+makes Spark's CacheManager substitute the cached data automatically. If a
+query's construction drifts (different args, different column prep), the
+warm becomes a silent no-op; ``sameSemantics`` catches the drift at plan
+level without running anything."""
+
+from pyspark.sql import functions as F
+
+from modern_document_converter_for_ai_library_spark.queries import (
+    _CHAIN_THR,
+    _MINHASH_WIDE_BANDS,
+    _MINHASH_WIDE_PERMS,
+    _chain_text_col,
+    _docs,
+    near_dedup_family_fronts,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _family_docs(spark):
+    return _docs(spark, SF_DIR).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+
+
+def test_narrow_fronts_match_family_query_construction(spark):
+    from modern_document_converter_for_ai_library_spark.operators.dedup import (
+        near_dup_verified_pairs,
+    )
+
+    fronts = near_dedup_family_fronts(spark, SF_DIR)
+    (v_narrow, p_narrow), (v_chain, p_chain) = fronts[0], fronts[1]
+    try:
+        # exactly how spark_near_dedup / _star / _best build their front
+        docs = _family_docs(spark)
+        v_q, p_q = near_dup_verified_pairs(
+            docs, threshold_micros=500_000, n_bands=1, band_rows=2
+        )
+        assert v_narrow.sameSemantics(v_q)
+        # exactly how spark_near_dedup_chain builds its front
+        chain_docs = _docs(spark, SF_DIR).select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            _chain_text_col().alias("text"),
+        )
+        v_cq, p_cq = near_dup_verified_pairs(
+            chain_docs, threshold_micros=_CHAIN_THR, n_bands=2, band_rows=2
+        )
+        assert v_chain.sameSemantics(v_cq)
+        for p in (p_q, p_cq):
+            p.unpersist()
+    finally:
+        for _v, p in fronts[:2]:
+            if p is not None:
+                p.unpersist()
+
+
+def test_wide_fronts_match_minhash128_and_near_dedup_wide(spark):
+    from modern_document_converter_for_ai_library_spark.operators.dedup import (
+        minhash_wide_bands,
+        minhash_wide_minima,
+        minhash_wide_pairs,
+    )
+
+    fronts = near_dedup_family_fronts(spark, SF_DIR)
+    try:
+        minima, _ = fronts[2]
+        wide_pairs, _ = fronts[3]
+        docs = _family_docs(spark)
+        # q_minhash128's minima frame
+        assert minima.sameSemantics(
+            minhash_wide_minima(docs, n_perms=_MINHASH_WIDE_PERMS)
+        )
+        # q_minhash128_pairs' candidate-pair frame (explicit constants)
+        q_pairs = minhash_wide_pairs(
+            minhash_wide_bands(
+                docs, n_perms=_MINHASH_WIDE_PERMS, n_bands=_MINHASH_WIDE_BANDS
+            ),
+            n_bands=_MINHASH_WIDE_BANDS,
+        )
+        assert wide_pairs.sameSemantics(q_pairs)
+        # near_dedup(candidate_tier="wide")'s internal pair frame
+        # (default args path)
+        nd_pairs = minhash_wide_pairs(
+            minhash_wide_bands(docs, "text", "doc_id", shingle_width=3),
+            "doc_id",
+            max_bucket_size=None,
+        )
+        assert wide_pairs.sameSemantics(nd_pairs)
+    finally:
+        for _v, p in fronts[:2]:
+            if p is not None:
+                p.unpersist()
