@@ -42,7 +42,12 @@ Design:
   SURVIVE the leaf-file read — without it Spark silently drops them
   and a compaction of a partitioned source would republish a table
   missing its partition columns (with a passing checksum, since both
-  sides would derive from the same column-less frame).
+  sides would derive from the same column-less frame). Slot groups map
+  to shuffle partitions through a murmur3-residue BIJECTION
+  (``_bijective_task_values``), not plain hash partitioning on the
+  group columns: hash combos birthday-collide, and a collision merged
+  two slots into one writer task — a file up to 2x target_bytes and a
+  written file count undershooting ``planned_files``.
 - ``content_checksum`` is the cheap exact row checksum (sum of 60-bit
   row-JSON md5 in DECIMAL(38,0) — order-insensitive,
   duplicate-sensitive, overflow-safe to ~10^19 rows) used to assert
@@ -99,6 +104,37 @@ def _hive_layout_matches(
             if not seg.startswith(col + "="):
                 return False
     return True
+
+
+def _bijective_task_values(spark: SparkSession, n_part: int) -> list[int]:
+    """Integers v_0..v_{n_part-1} with pmod(hash(v_i), n_part) == i under
+    Spark's murmur3 hash partitioning — so ``repartition(n_part, task)``
+    with these values as the task key places EXACTLY one slot group per
+    shuffle partition. Plain ``repartition(n, group_cols)`` hashes group
+    combos into partitions with birthday collisions: two slots of one
+    Hive partition merging costs a file up to 2x target_bytes and makes
+    the written file count undershoot the plan (observed 5 files for a
+    6-slot plan at test scale). One bounded probe job (64x oversample;
+    coupon-collector needs ~n ln n) finds the representatives; the int
+    cast matters — murmur3 of int32 and int64 differ."""
+    probe = (
+        spark.range(64 * n_part)
+        .select(
+            F.col("id").cast("int").alias("v"),
+            F.pmod(F.hash(F.col("id").cast("int")), F.lit(n_part)).alias("r"),
+        )
+        .groupBy("r")
+        .agg(F.min("v").alias("v"))
+        .collect()
+    )
+    got = {int(r["r"]): int(r["v"]) for r in probe}
+    missing = [i for i in range(n_part) if i not in got]
+    if missing:  # astronomically unlikely at 64x oversample
+        raise RuntimeError(
+            "hash-residue probe left %d/%d shuffle partitions unmapped; "
+            "rerun with a larger probe range" % (len(missing), n_part)
+        )
+    return [got[i] for i in range(n_part)]
 
 
 def _digest(sizes: list[int], target_bytes: int) -> dict:
@@ -214,8 +250,12 @@ def compact_parquet(
                 for d, b in part_bytes.items()
             }
             n_part = sum(slots_by_dir.values())
+            rows, off = [], 0
+            for d in sorted(slots_by_dir):
+                rows.append((d, slots_by_dir[d], off))
+                off += slots_by_dir[d]
             slots_df = spark.createDataFrame(
-                list(slots_by_dir.items()), "_pdir string, _slots int"
+                rows, "_pdir string, _slots int, _off int"
             )
             row_pdir = F.regexp_replace(
                 F.regexp_replace(
@@ -234,8 +274,7 @@ def compact_parquet(
                     "_slot",
                     F.pmod(row_hash, F.coalesce(F.col("_slots"), F.lit(1))),
                 )
-                .repartition(n_part, "_pdir", "_slot")
-                .drop("_pdir", "_slot", "_slots")
+                .drop("_pdir", "_slots")
             )
         else:
             # Flat (or differently-partitioned) source being RE-laid-out
@@ -248,28 +287,32 @@ def compact_parquet(
             counts = df.groupBy(*partition_by).agg(F.count("*").alias("_rows"))
             rows = counts.collect()
             total_rows = sum(int(r["_rows"]) for r in rows) or 1
-            slot_rows = [
-                tuple(r[c] for c in partition_by)
-                + (
-                    max(
-                        1,
-                        math.ceil(
-                            int(r["_rows"])
-                            * before["total_bytes"]
-                            / total_rows
-                            / target_bytes
-                        ),
+            slot_rows, off = [], 0
+            for r in sorted(rows, key=lambda r: tuple(
+                (v is None, v) for v in (r[c] for c in partition_by)
+            )):
+                n_slots = max(
+                    1,
+                    math.ceil(
+                        int(r["_rows"])
+                        * before["total_bytes"]
+                        / total_rows
+                        / target_bytes
                     ),
                 )
-                for r in rows
-            ]
+                slot_rows.append(
+                    tuple(r[c] for c in partition_by) + (n_slots, off)
+                )
+                off += n_slots
             from pyspark.sql.types import IntegerType
 
             slots_df = spark.createDataFrame(
                 slot_rows,
-                counts.select(*partition_by).schema.add("_slots", IntegerType()),
+                counts.select(*partition_by)
+                .schema.add("_slots", IntegerType())
+                .add("_off", IntegerType()),
             )
-            n_part = max(1, sum(s[-1] for s in slot_rows))
+            n_part = max(1, off)
             out = (
                 df.join(F.broadcast(slots_df), partition_by, "left")
                 # left join + coalesce: an inner join would DROP rows
@@ -279,9 +322,28 @@ def compact_parquet(
                     "_slot",
                     F.pmod(row_hash, F.coalesce(F.col("_slots"), F.lit(1))),
                 )
-                .repartition(n_part, *(partition_by + ["_slot"]))
-                .drop("_slot", "_slots")
+                .drop("_slots")
             )
+        # one shuffle partition per slot group, EXACTLY: map each group's
+        # dense index (_off + _slot) to a task value whose murmur3
+        # residue is that index, so repartition can't birthday-collide
+        # two groups into one writer task (which merged their files —
+        # up to 2x target_bytes — and made n_files undershoot the plan)
+        task_map = spark.createDataFrame(
+            list(enumerate(_bijective_task_values(spark, n_part))),
+            "_idx int, _task int",
+        )
+        out = (
+            out.withColumn(
+                "_idx",
+                (F.coalesce(F.col("_off"), F.lit(0)) + F.col("_slot")).cast(
+                    "int"
+                ),
+            )
+            .join(F.broadcast(task_map), "_idx", "left")
+            .repartition(n_part, "_task")
+            .drop("_idx", "_task", "_slot", "_off")
+        )
         out.write.partitionBy(*partition_by).parquet(dst)
     else:
         df.repartition(n_out).write.parquet(dst)
