@@ -65,9 +65,15 @@ def main() -> None:
     )
 
     t0 = time.perf_counter()
-    fronts = near_dedup_family_fronts(spark, SF_DIR)
-    for verified, _pairs in fronts:
-        verified.persist().count()
+    fronts = []
+    try:
+        fronts = near_dedup_family_fronts(spark, SF_DIR)
+        for verified, _pairs in fronts:
+            verified.persist().count()
+    except Exception as exc:  # pragma: no cover - defensive
+        # a failed warm must never fail the driver bench: the family
+        # queries are self-contained and simply run unwarmed
+        print(f"front warm failed ({exc}); running unwarmed", file=sys.stderr)
     warm_sec = round(time.perf_counter() - t0, 4)
 
     for name in sorted(SPARK_QUERIES):
