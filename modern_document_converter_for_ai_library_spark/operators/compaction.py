@@ -198,6 +198,13 @@ def compact_parquet(
     existing ``dst`` raises. The source file set is pinned by one
     listing; everything (bin count, rewrite, verify) operates on exactly
     that snapshot.
+
+    Known bound: in ``partition_by`` mode, rows whose partition value is
+    NULL cannot equi-match the slot map (null keys never join); they
+    fall into slot group 0 and the writer emits them under Hive's
+    ``__HIVE_DEFAULT_PARTITION__`` directory — content is preserved
+    (the left join + verify guarantee that), but the written file count
+    exceeds ``planned_files`` by that one extra directory's files.
     """
     jvm = spark._jvm
     jdst = jvm.org.apache.hadoop.fs.Path(dst)
