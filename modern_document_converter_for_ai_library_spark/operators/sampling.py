@@ -456,6 +456,62 @@ def group_split(
     return df.withColumn("group_hash_micros", hm).withColumn("split", expr)
 
 
+def corpus_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: adds ``shuffle_rank``
+    — the document's 0-based position in the seeded pseudorandom
+    permutation ordered by ``(hash_micros(id, salt), id)``, the repo's
+    canonical deterministic order (the same priority order the mixing
+    samplers and ``shard_assign`` use, so a shuffled corpus streams to
+    the trainer in exactly the order the budget samplers reasoned
+    about). Every LLM pipeline shuffles before sharding (per-shard
+    source runs otherwise correlate adjacent training batches); doing
+    it with a seeded hash instead of ``rand()`` makes the permutation a
+    pure function of (corpus, salt) — reproducible across engines,
+    partitionings, and re-runs, and a different ``salt`` is a fresh
+    epoch-level permutation.
+
+    Scale shape — exact global rank with NO corpus-wide window: the
+    bucket (leading hash bits, so bucket order IS hash order) gives a
+    two-phase decomposition: per-bucket counts reduce to ``n_buckets``
+    rows whose prefix-sum offsets come from one BOUNDED window (<=
+    n_buckets rows — the ivf seed-ranking class, not a corpus reducer);
+    the within-bucket rank is a row_number window partitioned by
+    bucket. A 10^12-doc corpus spreads its ranking over ``n_buckets``
+    partitions; raise ``n_buckets`` to spread further.
+    """
+    from pyspark.sql import Window
+
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    base = df.withColumn("_hm", hash_micros_col(id_col, salt)).withColumn(
+        "_bucket", (F.col("_hm") * n_buckets / MICRO).cast("bigint")
+    )
+    per_bucket = base.groupBy("_bucket").agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_bucket.select(
+        "_bucket",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_offset"),
+    )
+    w_local = Window.partitionBy("_bucket").orderBy("_hm", id_col)
+    return (
+        base.join(F.broadcast(offsets), "_bucket", "left")
+        .withColumn(
+            "shuffle_rank",
+            (F.col("_offset") + F.row_number().over(w_local) - 1).cast(
+                "bigint"
+            ),
+        )
+        .drop("_hm", "_bucket", "_offset")
+    )
+
+
 def shard_assign(
     df: DataFrame,
     shard_tokens: int,

@@ -1228,6 +1228,41 @@ WHERE (u.epoch < n_full OR (cum_tokens <= rem AND rem > 0)) AND budget > 0
 
 
 # ---------------------------------------------------------------------------
+# q_corpus_shuffle — deterministic global training-order shuffle
+# (operators/sampling.py:corpus_shuffle): shuffle_rank = 0-based position
+# in the seeded hash permutation ordered by (hash_micros, doc_id). Exact
+# global rank with no corpus-wide window: two-phase bucketed rank (bucket
+# = leading hash bits, per-bucket count offsets over a bounded <=
+# n_buckets-row window, within-bucket row_number partitioned by bucket).
+# The oracle is the single-window form DuckDB can afford at sf scale.
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_SALT = "r4"
+
+
+def spark_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import corpus_shuffle
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id")
+    )
+    return corpus_shuffle(docs, salt=_SHUFFLE_SALT).select(
+        "doc_id", "shuffle_rank"
+    )
+
+
+_CORPUS_SHUFFLE_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(row_number() OVER (
+         ORDER BY ('0x' || substring(md5(CAST(CAST(doc_id AS BIGINT) AS VARCHAR)
+                                        || '%s'), 1, 8))::BIGINT %% 1000000,
+                  CAST(doc_id AS BIGINT)
+       ) - 1 AS BIGINT) AS shuffle_rank
+FROM documents
+""" % _SHUFFLE_SALT
+
+
+# ---------------------------------------------------------------------------
 # q_shard_assign / q_shard_manifest — deterministic fixed-token-mass shard
 # layout (operators/sampling.py:shard_assign): every document assigned by
 # its START offset in the canonical (hash_micros, doc_id) layout —
@@ -7103,6 +7138,7 @@ SPARK_QUERIES = {
     "q_temperature_mix": spark_temperature_mix,
     "q_group_split": spark_group_split,
     "q_token_budget_mix": spark_token_budget_mix,
+    "q_corpus_shuffle": spark_corpus_shuffle,
     "q_shard_assign": spark_shard_assign,
     "q_shard_manifest": spark_shard_manifest,
     "q_epoch_mix": spark_epoch_mix,
@@ -7213,6 +7249,7 @@ ORACLE_SQL = {
     "q_temperature_mix": _TEMPERATURE_MIX_SQL,
     "q_group_split": _GROUP_SPLIT_SQL,
     "q_token_budget_mix": _TOKEN_BUDGET_SQL,
+    "q_corpus_shuffle": _CORPUS_SHUFFLE_SQL,
     "q_shard_assign": _SHARD_SQL,
     "q_shard_manifest": _SHARD_MANIFEST_SQL,
     "q_epoch_mix": _EPOCH_MIX_SQL,

@@ -43,6 +43,7 @@ _DOCS_NEEDED = {
     "q_minhash": {"doc_id", "text"},
     "q_line_ops": {"doc_id", "text"},
     "q_code_assign": {"doc_id"},
+    "q_corpus_shuffle": {"doc_id"},
     "q_court_lookup": {"doc_id"},
     "q_source_stats": {"source", "n_chars", "doc_id"},
     "q_boilerplate": {"doc_id", "text"},
@@ -70,6 +71,10 @@ _WINDOW_OK = {
     "q_ivf_topk",
     "q_semantic_dedup",
     "q_ivfpq_topk",
+    # corpus_shuffle's bucket-offset prefix sum runs over <= n_buckets
+    # aggregated rows (same bounded-input class); the corpus-side rank
+    # window is partitioned by bucket.
+    "q_corpus_shuffle",
 }
 
 
