@@ -1046,7 +1046,9 @@ def spark_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "rate_micros", "hash_micros", "sampled")
 
 
-_TEMPERATURE_MIX_SQL = r"""
+# shared by q_temperature_mix and q_training_layout (single source of
+# truth for the exact-integer temperature-rate derivation)
+_TEMPERATURE_CTE = r"""
 WITH m AS (
   SELECT source, CAST(COUNT(*) AS BIGINT) AS mass FROM documents GROUP BY source
 ), seed AS (
@@ -1068,7 +1070,9 @@ WITH m AS (
                     // (CAST(w_total AS HUGEINT) * mass) AS BIGINT))
            AS rate_micros
   FROM w, t
-)
+)"""
+
+_TEMPERATURE_MIX_SQL = _TEMPERATURE_CTE + r"""
 SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source, r.rate_micros,
        CAST(CAST(concat('0x', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
             % 1000000 AS BIGINT) AS hash_micros,
@@ -1260,6 +1264,63 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        ) - 1 AS BIGINT) AS shuffle_rank
 FROM documents
 """ % _SHUFFLE_SALT
+
+
+# ---------------------------------------------------------------------------
+# q_training_layout — the composed terminal training-data layout:
+# temperature-mix (alpha=1/2) -> seeded global shuffle -> fixed-doc-count
+# shards. One contract query pins the INTEGRATION of the three stages the
+# pipeline story ends with (each stage is also oracled alone:
+# q_temperature_mix, q_corpus_shuffle, q_shard_assign); the oracle chains
+# the shared temperature CTE, the single-window rank, and an integer div.
+# ---------------------------------------------------------------------------
+
+_LAYOUT_SHARD_DOCS = 32
+
+
+def spark_training_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import corpus_shuffle, temperature_sample
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source"
+    )
+    mixed = (
+        temperature_sample(docs, alpha="1/2", target_total=200)
+        .filter("sampled")
+        .select("doc_id", "source")
+    )
+    laid = corpus_shuffle(mixed, salt=_SHUFFLE_SALT)
+    return laid.select(
+        "doc_id",
+        "source",
+        "shuffle_rank",
+        F.expr(
+            "CAST(shuffle_rank div %d AS BIGINT)" % _LAYOUT_SHARD_DOCS
+        ).alias("shard_id"),
+    )
+
+
+_TRAINING_LAYOUT_SQL = _TEMPERATURE_CTE + r"""
+, sampled_docs AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source
+  FROM documents d JOIN r USING (source)
+  WHERE CAST(concat('0x', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        % 1000000 < r.rate_micros
+), ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '__SALT__'), 1, 8))::BIGINT
+                    % 1000000,
+                    doc_id
+         ) - 1 AS shuffle_rank
+  FROM sampled_docs
+)
+SELECT doc_id, source, CAST(shuffle_rank AS BIGINT) AS shuffle_rank,
+       CAST(shuffle_rank // __SHARD__ AS BIGINT) AS shard_id
+FROM ranked
+""".replace("__SALT__", _SHUFFLE_SALT).replace(
+    "__SHARD__", str(_LAYOUT_SHARD_DOCS)
+)
 
 
 # ---------------------------------------------------------------------------
@@ -7139,6 +7200,7 @@ SPARK_QUERIES = {
     "q_group_split": spark_group_split,
     "q_token_budget_mix": spark_token_budget_mix,
     "q_corpus_shuffle": spark_corpus_shuffle,
+    "q_training_layout": spark_training_layout,
     "q_shard_assign": spark_shard_assign,
     "q_shard_manifest": spark_shard_manifest,
     "q_epoch_mix": spark_epoch_mix,
@@ -7250,6 +7312,7 @@ ORACLE_SQL = {
     "q_group_split": _GROUP_SPLIT_SQL,
     "q_token_budget_mix": _TOKEN_BUDGET_SQL,
     "q_corpus_shuffle": _CORPUS_SHUFFLE_SQL,
+    "q_training_layout": _TRAINING_LAYOUT_SQL,
     "q_shard_assign": _SHARD_SQL,
     "q_shard_manifest": _SHARD_MANIFEST_SQL,
     "q_epoch_mix": _EPOCH_MIX_SQL,

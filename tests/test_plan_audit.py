@@ -29,6 +29,9 @@ CARTESIAN_OK = {
     "q_ivf_topk",
     "q_semantic_dedup",
     "q_temperature_mix",
+    # composes temperature_sample, whose 1-row w_total total joins the
+    # bounded per-source weight table — the same tiny cross as above
+    "q_training_layout",
     # the IVF coarse-probe tier broadcasts the 16-centroid table against
     # the 1-row query — the intended tiny-build-side plan
     "q_ivfpq_topk",
@@ -44,6 +47,7 @@ _DOCS_NEEDED = {
     "q_line_ops": {"doc_id", "text"},
     "q_code_assign": {"doc_id"},
     "q_corpus_shuffle": {"doc_id"},
+    "q_training_layout": {"doc_id", "source"},
     "q_court_lookup": {"doc_id"},
     "q_source_stats": {"source", "n_chars", "doc_id"},
     "q_boilerplate": {"doc_id", "text"},
@@ -75,6 +79,7 @@ _WINDOW_OK = {
     # aggregated rows (same bounded-input class); the corpus-side rank
     # window is partitioned by bucket.
     "q_corpus_shuffle",
+    "q_training_layout",
 }
 
 
