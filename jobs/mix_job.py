@@ -23,6 +23,11 @@ Modes (operators/sampling.py — all deterministic pure functions of
             --target-total docs, --mass docs|tokens): rare sources are
             upweighted toward uniform as alpha drops; no --spec needed —
             rates derive from the corpus itself (exact integer roots)
+    shuffle deterministic global training-order shuffle: graft a
+            `shuffle_rank` column (exact 0-based position in the seeded
+            (hash, id) permutation — operators/sampling.py:corpus_shuffle);
+            --salt picks the permutation (a new salt = a new epoch order);
+            a pre-existing shuffle_rank column is replaced
     shard   terminal storage layout: assign every document to a fixed-
             token-mass shard (--shard-tokens) by start offset in the
             canonical hash-priority order and write the corpus
@@ -60,7 +65,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--output", required=True, help="the mixed corpus")
     p.add_argument("--mode",
                    choices=["rate", "budget", "epochs", "shard",
-                            "temperature"],
+                            "temperature", "shuffle"],
                    default="budget")
     p.add_argument("--alpha", choices=["1", "1/2", "1/4"], default="1/2",
                    help="temperature mode: share exponent")
@@ -113,6 +118,28 @@ def main(argv: list[str] | None = None) -> int:
         common = dict(
             key_col=args.key_col, id_col=args.id_col, salt=args.salt
         )
+        if args.mode == "shuffle":
+            from modern_document_converter_for_ai_library_spark.operators.sampling import (
+                corpus_shuffle,
+            )
+
+            shuffled = corpus_shuffle(
+                docs.drop("shuffle_rank"), id_col=args.id_col, salt=args.salt
+            ).persist()
+            write_documents(shuffled, args.output, mode="overwrite")
+            n = shuffled.count()
+            print(
+                json.dumps(
+                    {
+                        "mode": "shuffle",
+                        "n_docs": n,
+                        "salt": args.salt,
+                        "max_rank": n - 1,
+                    }
+                )
+            )
+            shuffled.unpersist()
+            return 0
         if args.mode == "shard":
             if args.shard_tokens <= 0:
                 raise SystemExit("--mode shard requires --shard-tokens > 0")

@@ -156,7 +156,7 @@ def _write_chunk(args: tuple) -> int:
             {"doc_id": [r[0] for r in rows], "html": [r[1] for r in rows]},
             schema=pa.schema([("doc_id", pa.string()), ("html", pa.string())]),
         )
-    elif job in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr", "perceptron", "cdc"):
+    elif job in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr", "perceptron", "cdc", "shuffle"):
         from modern_document_converter_for_ai_library_spark.sources.synth import (
             _make_html_doc,
         )
@@ -326,6 +326,15 @@ def run_job(d, balance=None):
         # largest single document (the suite-wide per-doc-window caveat).
         from modern_document_converter_for_ai_library_spark.operators.chunking import cdc_dup_stats
         return cdc_dup_stats(d, text_col="html")
+    if "{job}" == "shuffle":
+        # window-family probe: deterministic global training-order
+        # shuffle (corpus_shuffle) — exact global rank via the two-phase
+        # bucketed form. Corpus-side work: one partial-aggregated
+        # groupBy(bucket) count, one broadcast offsets join, one
+        # bucket-partitioned row_number window; the only unpartitioned
+        # window is the <= n_buckets offsets prefix sum.
+        from modern_document_converter_for_ai_library_spark.operators.sampling import corpus_shuffle
+        return corpus_shuffle(d.select("doc_id"), salt="probe")
     if "{job}" == "pq":
         # PQ codebook train + full-corpus encode (d IS the embedding
         # table): one Lloyd round = quantize + subvector explode (m rows
@@ -454,7 +463,7 @@ def main() -> None:
     ap.add_argument("--md", default=None, help="write/refresh this markdown report")
     ap.add_argument(
         "--job",
-        choices=["convert", "html", "warc", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr", "substr_sparse", "substr_bloom", "substr_sparse_bloom", "perceptron", "pagerank", "pq", "cdc"],
+        choices=["convert", "html", "warc", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr", "substr_sparse", "substr_bloom", "substr_sparse_bloom", "perceptron", "pagerank", "pq", "cdc", "shuffle"],
         default="convert",
         help="which end-to-end kernel job to measure (html = "
         "strip_boilerplate_html over the synthetic web-page corpus; warc = "
@@ -478,9 +487,9 @@ def main() -> None:
         legacy = os.path.join(args.corpus, f".complete_{args.docs}")
         if os.path.exists(legacy):
             marker = legacy
-    if args.job in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr", "substr_bloom", "perceptron", "cdc") and not os.path.exists(marker):
+    if args.job in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr", "substr_bloom", "perceptron", "cdc", "shuffle") and not os.path.exists(marker):
         # these jobs share identical corpus content — reuse any sibling
-        for sib in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr", "substr_bloom", "perceptron", "cdc"):
+        for sib in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr", "substr_bloom", "perceptron", "cdc", "shuffle"):
             sib_marker = os.path.join(args.corpus, f".complete_{sib}_{args.docs}")
             if os.path.exists(sib_marker):
                 marker = sib_marker

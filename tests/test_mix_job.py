@@ -159,6 +159,39 @@ def test_mix_job_shard_reshard_idempotent(spark, corpus, tmp_path, capsys):
     assert got.select("shard_id").distinct().count() <= narrow
 
 
+def test_mix_job_shuffle(spark, corpus, tmp_path, capsys):
+    from modern_document_converter_for_ai_library_spark.operators.sampling import (
+        corpus_shuffle,
+    )
+
+    df, path = corpus
+    out = str(tmp_path / "shuffle_out")
+    stats = _run(capsys, [
+        "--input", path, "--output", out, "--mode", "shuffle",
+        "--salt", "e1",
+    ])
+    got = spark.read.parquet(out)
+    assert stats["n_docs"] == got.count() == 200
+    assert stats["max_rank"] == 199
+    # ranks are the exact permutation the operator computes
+    ranks = {r["doc_id"]: r["shuffle_rank"] for r in got.collect()}
+    exp = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in corpus_shuffle(df, salt="e1").collect()
+    }
+    assert ranks == exp
+    assert sorted(ranks.values()) == list(range(200))
+    # re-shuffling an already-shuffled corpus replaces the rank column
+    out2 = str(tmp_path / "shuffle_out2")
+    stats2 = _run(capsys, [
+        "--input", out, "--output", out2, "--mode", "shuffle",
+        "--salt", "e2",
+    ])
+    got2 = spark.read.parquet(out2)
+    assert stats2["n_docs"] == got2.count() == 200
+    assert [c for c in got2.columns].count("shuffle_rank") == 1
+
+
 def test_mix_job_temperature(spark, tmp_path, capsys):
     # skewed corpus: 160 docs of 'big', 40 of 'rare' — alpha=1/2 gives
     # rare a higher acceptance rate than proportional sampling would
