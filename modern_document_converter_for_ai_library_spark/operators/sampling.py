@@ -483,6 +483,12 @@ def corpus_shuffle(
     the within-bucket rank is a row_number window partitioned by
     bucket. A 10^12-doc corpus spreads its ranking over ``n_buckets``
     partitions; raise ``n_buckets`` to spread further.
+
+    Precondition: ``id_col`` values are unique (the corpus contract
+    everywhere in this package). The permutation tie-breaks equal hash
+    values by id; duplicate ids would share BOTH keys and their relative
+    ranks would fall to row_number's arbitrary order — nondeterministic
+    across partitionings. Run exact_dedup/assign ids upstream first.
     """
     from pyspark.sql import Window
 
