@@ -43,16 +43,30 @@ MANIFEST_COLS = [
 
 
 def with_input_hash(df: DataFrame, spans_col: str = "spans") -> DataFrame:
-    """Content identity of the input span sequence — pure column expr."""
+    """Content identity of the input span sequence — pure column expr.
+
+    Fields are LENGTH-PREFIXED before concatenation (the snapshot_diff
+    framing convention, operators/diff.py): separator-based framing is
+    ambiguous whenever a field can CONTAIN the separator — with the old
+    \x1e separators, (text="a\x1eb", media_ref="c") and (text="a",
+    media_ref="b\x1ec") hashed identically, and a doc modified exactly
+    that way would be misread as UNCHANGED by ``resume_pending``,
+    silently keeping stale output. Length prefixes make the framing
+    injective for every possible byte content.
+    """
+
+    def _framed(c):
+        v = F.coalesce(c, F.lit(""))
+        return F.concat(F.length(v).cast("string"), F.lit(":"), v)
+
     canon = F.concat_ws(
-        "",
+        "",
         F.transform(
             F.col(spans_col),
-            lambda s: F.concat_ws(
-                "",
-                F.coalesce(s["kind"], F.lit("")),
-                F.coalesce(s["text"], F.lit("")),
-                F.coalesce(s["media_ref"], F.lit("")),
+            lambda s: F.concat(
+                _framed(s["kind"]),
+                _framed(s["text"]),
+                _framed(s["media_ref"]),
             ),
         ),
     )

@@ -84,3 +84,27 @@ def test_manifest_metrics(spark, corpus, tmp_path):
     assert all(r["run_id"] for r in rows)
     total_spans = sum(r["n_spans"] for r in rows)
     assert total_spans > 0
+
+
+def test_input_hash_framing_is_injective(spark):
+    # regression: separator framing collided when a field CONTAINED the
+    # separator — (text="a\x1eb", media_ref="c") vs (text="a",
+    # media_ref="b\x1ec") hashed identically, so that exact modification
+    # was skipped as UNCHANGED on resume. Length-prefix framing keeps
+    # every field-boundary shift a distinct identity.
+    rows = [
+        ("d", [("text", "a\x1eb", "c", 0)]),
+        ("d", [("text", "a", "b\x1ec", 0)]),
+        ("d", [("text", "ab", "", 0)]),
+        ("d", [("text", "a", "b", 0)]),
+        ("d", [("text", "", "ab", 0)]),
+        ("d", [("text", "1:a", "", 0)]),
+        ("d", [("text", "", "1:a", 0)]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    hashes = [r["input_hash"] for r in with_input_hash(df).collect()]
+    assert len(set(hashes)) == len(hashes)
