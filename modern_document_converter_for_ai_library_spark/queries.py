@@ -1234,11 +1234,14 @@ WHERE (u.epoch < n_full OR (cum_tokens <= rem AND rem > 0)) AND budget > 0
 # ---------------------------------------------------------------------------
 # q_corpus_shuffle — deterministic global training-order shuffle
 # (operators/sampling.py:corpus_shuffle): shuffle_rank = 0-based position
-# in the seeded hash permutation ordered by (hash_micros, doc_id). Exact
-# global rank with no corpus-wide window: two-phase bucketed rank (bucket
-# = leading hash bits, per-bucket count offsets over a bounded <=
-# n_buckets-row window, within-bucket row_number partitioned by bucket).
-# The oracle is the single-window form DuckDB can afford at sf scale.
+# in the seeded hash permutation ordered by (shuffle_key, doc_id), where
+# shuffle_key is the 60-bit truncated-md5 BIGINT (sampling.shuffle_key_col
+# — widened from hash_micros in r5 per VERDICT r4: the mod-1e6 key left
+# ~10^4-doc id-sorted tie runs at 10^10 docs). Exact global rank with no
+# corpus-wide window: two-phase bucketed rank (bucket = leading key bits,
+# per-bucket count offsets over a bounded <= n_buckets-row window,
+# within-bucket row_number partitioned by bucket). The oracle is the
+# single-window form DuckDB can afford at sf scale.
 # ---------------------------------------------------------------------------
 
 _SHUFFLE_SALT = "r4"
@@ -1259,7 +1262,7 @@ _CORPUS_SHUFFLE_SQL = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(row_number() OVER (
          ORDER BY ('0x' || substring(md5(CAST(CAST(doc_id AS BIGINT) AS VARCHAR)
-                                        || '%s'), 1, 8))::BIGINT %% 1000000,
+                                        || '%s'), 1, 15))::BIGINT,
                   CAST(doc_id AS BIGINT)
        ) - 1 AS BIGINT) AS shuffle_rank
 FROM documents
@@ -1309,8 +1312,7 @@ _TRAINING_LAYOUT_SQL = _TEMPERATURE_CTE + r"""
 ), ranked AS (
   SELECT doc_id, source,
          row_number() OVER (
-           ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '__SALT__'), 1, 8))::BIGINT
-                    % 1000000,
+           ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '__SALT__'), 1, 15))::BIGINT,
                     doc_id
          ) - 1 AS shuffle_rank
   FROM sampled_docs

@@ -1,7 +1,9 @@
 """Deterministic global training-order shuffle
 (operators/sampling.py:corpus_shuffle): exact 0-based rank in the seeded
-(hash_micros, id) permutation via the two-phase bucketed form — python
-twin, permutation validity, partitioning invariance, salt independence,
+(shuffle_key, id) permutation — 60-bit truncated-md5 key (VERDICT r4:
+the old mod-1e6 hash_micros key degenerated into id-sorted tie runs at
+corpus scale) — via the two-phase bucketed form: python twin, permutation
+validity, partitioning invariance, salt independence, tie-run scatter,
 and the no-global-window plan shape."""
 
 import hashlib
@@ -17,12 +19,19 @@ N = 500
 
 
 def _hm(doc_id, salt=""):
+    """The OLD mod-1e6 rank key (still the samplers' threshold key)."""
     h = hashlib.md5((str(doc_id) + salt).encode()).hexdigest()
     return int(h[:8], 16) % 1_000_000
 
 
+def _hk60(doc_id, salt=""):
+    """The shuffle's 60-bit rank key (sampling.shuffle_key_col)."""
+    h = hashlib.md5((str(doc_id) + salt).encode()).hexdigest()
+    return int(h[:15], 16)
+
+
 def _expected_ranks(ids, salt=""):
-    order = sorted(ids, key=lambda i: (_hm(i, salt), i))
+    order = sorted(ids, key=lambda i: (_hk60(i, salt), i))
     return {i: r for r, i in enumerate(order)}
 
 
@@ -77,6 +86,61 @@ def test_salt_changes_permutation(spark, docs):
 def test_invalid_buckets_raise(spark, docs):
     with pytest.raises(ValueError, match="n_buckets"):
         corpus_shuffle(docs, n_buckets=0)
+
+
+def test_micro_key_tie_runs_scatter(spark):
+    """The VERDICT r4 regression pin: plant id-adjacent docs that COLLIDE
+    under the old mod-1e6 key (forced ties — at corpus scale every micro
+    value carries ~n/1e6 such docs) and assert the shuffle scatters them
+    instead of emitting them as consecutive id-sorted runs."""
+    pool = 6000
+    by_micro: dict[int, list[int]] = {}
+    for i in range(pool):
+        by_micro.setdefault(_hm(i, "tie"), []).append(i)
+    groups = [g for g in by_micro.values() if len(g) >= 2]
+    assert len(groups) >= 5  # birthday bound: ~18 expected collisions
+    docs = spark.range(pool).select(F.col("id").alias("doc_id"))
+    ranks = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in corpus_shuffle(docs, salt="tie").collect()
+    }
+    assert ranks == _expected_ranks(range(pool), "tie")
+    # under the old key every group occupied consecutive ranks in id
+    # order; under the 60-bit key each member lands at an independent
+    # position — no group may sit in one contiguous id-ordered run
+    contiguous_id_runs = sum(
+        1
+        for g in groups
+        if max(ranks[i] for i in g) - min(ranks[i] for i in g)
+        == len(g) - 1
+        and [ranks[i] for i in sorted(g)]
+        == sorted(ranks[i] for i in g)
+    )
+    assert contiguous_id_runs == 0
+    # and the typical group spans a macroscopic slice of the permutation
+    spreads = [
+        max(ranks[i] for i in g) - min(ranks[i] for i in g) for g in groups
+    ]
+    assert max(spreads) > pool // 4
+
+
+def test_auto_bucket_sizing(spark, docs):
+    """n_buckets=None derives ceil(n / 4e6) clamped to [32, 2^20] from a
+    corpus count; the permutation is identical to any explicit choice."""
+    from modern_document_converter_for_ai_library_spark.operators import (
+        sampling as S,
+    )
+
+    assert max(32, min(1 << 20, -(-10**12 // S._SHUFFLE_ROWS_PER_BUCKET))) == 250000
+    auto = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in corpus_shuffle(docs, salt="x").collect()
+    }
+    explicit = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in corpus_shuffle(docs, salt="x", n_buckets=512).collect()
+    }
+    assert auto == explicit
 
 
 def test_plan_has_no_corpus_wide_window(spark, docs):
