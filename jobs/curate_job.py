@@ -16,8 +16,18 @@ in the canonical order a DataComp/RefinedWeb-style pipeline runs them:
                  given (dedup.py:decontaminate)
     mix          token-budget mixing when --mix-spec is given
                  (sampling.py:budget_sample)
+    shuffle      seeded global training-order shuffle when
+                 --shuffle-salt is given (sampling.py:corpus_shuffle) —
+                 without it, shard interiors are single-source
+                 sampler-order runs: correlated adjacent training
+                 batches. With sharding enabled the shuffle and the
+                 token cumsum fuse into ONE bucketed pass
+                 (sampling.py:shuffled_shard_assign) and shards become
+                 prefixes of the shuffled order
     shard        fixed-token-mass training-shard layout + manifest when
-                 --shard-tokens > 0 (sampling.py:shard_assign/manifest)
+                 --shard-tokens > 0 (sampling.py:shard_assign/manifest;
+                 shuffled_shard_assign/manifest when --shuffle-salt is
+                 also given)
 
 Every stage is deterministic (pure function of row values + salt), so
 the whole funnel is reproducible on any cluster size or partitioning.
@@ -91,6 +101,14 @@ def main(argv: list[str] | None = None) -> int:
                         "stage (values are per-source token budgets)")
     p.add_argument("--mix-default", type=int, default=0,
                    help="budget for sources absent from --mix-spec")
+    p.add_argument("--shuffle-salt", default=None,
+                   help="enable the seeded global training-order "
+                        "shuffle between mix and shard (the salt seeds "
+                        "the permutation; '' is a valid salt). Output "
+                        "rows carry shuffle_rank; with --shard-tokens "
+                        "the shards are token-mass prefixes of the "
+                        "shuffled order instead of per-source "
+                        "sampler-order runs")
     p.add_argument("--shard-tokens", type=int, default=0,
                    help="target token mass per training shard "
                         "(0 = plain unpartitioned write)")
@@ -352,7 +370,39 @@ def main(argv: list[str] | None = None) -> int:
             advance("mix", nxt)
 
         manifest_target = None
-        if args.shard_tokens > 0:
+        if args.shard_tokens > 0 and args.shuffle_salt is not None:
+            from modern_document_converter_for_ai_library_spark.operators.sampling import (  # noqa: E501
+                shuffled_shard_assign,
+                shuffled_shard_manifest,
+            )
+
+            assigned = shuffled_shard_assign(
+                cur,
+                args.shard_tokens,
+                id_col=id_col,
+                text_col=text_col,
+                salt=args.shuffle_salt,
+            ).persist()
+            sharded = cur.drop("shard_id", "shuffle_rank").join(
+                assigned.select(id_col, "shuffle_rank", "shard_id"),
+                on=id_col,
+                how="inner",
+            )
+            write_documents(
+                sharded, args.output, mode="overwrite",
+                partition_by=["shard_id"],
+            )
+            man = shuffled_shard_manifest(assigned)
+            manifest_target = args.manifest or (args.output + "_manifest")
+            write_documents(man, manifest_target, mode="overwrite")
+            stages["shuffle_shard"] = {
+                "n_in": n_cur,
+                "n_out": n_cur,
+                "n_shards": man.count(),
+                "shuffle_salt": args.shuffle_salt,
+            }
+            assigned.unpersist()
+        elif args.shard_tokens > 0:
             assigned = shard_assign(
                 cur,
                 args.shard_tokens,
@@ -377,6 +427,22 @@ def main(argv: list[str] | None = None) -> int:
                 "n_shards": man.count(),
             }
             assigned.unpersist()
+        elif args.shuffle_salt is not None:
+            from modern_document_converter_for_ai_library_spark.operators.sampling import (  # noqa: E501
+                corpus_shuffle,
+            )
+
+            shuffled = corpus_shuffle(
+                cur.drop("shuffle_rank"),
+                id_col=id_col,
+                salt=args.shuffle_salt,
+            )
+            write_documents(shuffled, args.output, mode="overwrite")
+            stages["shuffle"] = {
+                "n_in": n_cur,
+                "n_out": n_cur,
+                "shuffle_salt": args.shuffle_salt,
+            }
         else:
             write_documents(cur, args.output, mode="overwrite")
 

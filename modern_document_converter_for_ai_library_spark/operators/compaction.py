@@ -77,13 +77,22 @@ def _file_listing(spark: SparkSession, path: str) -> DataFrame:
     return df.filter(~name.startswith("_") & ~name.startswith("."))
 
 
+_URI_AUTHORITY_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*"
+_URI_SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/"
+
+
 def _norm_uri(p: str) -> str:
-    """Scheme-stripped absolute path: 'file:/x', 'file:///x', 'hdfs://nn/x'
-    all normalize to a '/'-rooted path, so listing paths (binaryFile URIs)
-    and input_file_name() URIs compare equal regardless of scheme form."""
+    """Scheme-AND-authority-stripped absolute path: 'file:/x',
+    'file:///x', 'hdfs://nn:8020/x' all normalize to '/x'. The old
+    single-pattern form collapsed '//' and kept the authority as a path
+    segment ('hdfs://nn/x' -> '/nn/x', contrary to this docstring —
+    ADVICE r4), which compared fine only while BOTH the pinned listing
+    and input_file_name() carried the identical authority form. Applied
+    identically on the row side (same two regexes in regexp_replace) so
+    the slot join always compares like with like."""
     import re as _re
 
-    return _re.sub(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+", "/", p)
+    return _re.sub(_URI_SCHEME_RE, "/", _re.sub(_URI_AUTHORITY_RE, "", p))
 
 
 def _hive_layout_matches(
@@ -266,7 +275,11 @@ def compact_parquet(
             )
             row_pdir = F.regexp_replace(
                 F.regexp_replace(
-                    F.input_file_name(), r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+", "/"
+                    F.regexp_replace(
+                        F.input_file_name(), _URI_AUTHORITY_RE, ""
+                    ),
+                    _URI_SCHEME_RE,
+                    "/",
                 ),
                 r"/[^/]*$",
                 "",
@@ -274,12 +287,31 @@ def compact_parquet(
             out = (
                 df.withColumn("_pdir", row_pdir)
                 .join(F.broadcast(slots_df), "_pdir", "left")
-                # left join + coalesce: an inner join would DROP rows
-                # whose file fell outside the listing map, and silent
-                # row loss is exactly what the verify pass prevents
+                # left join + LOUD unmatched guard: an inner join would
+                # DROP rows whose file fell outside the listing map; the
+                # old silent coalesce-to-1 fallback instead dumped such
+                # rows into slot 0 — content stayed correct via verify,
+                # but sizing and the n_files==planned_files invariant
+                # broke with no signal (ADVICE r4). raise_error keeps
+                # the guard lazy (no extra pass over the data).
                 .withColumn(
                     "_slot",
-                    F.pmod(row_hash, F.coalesce(F.col("_slots"), F.lit(1))),
+                    F.when(
+                        F.col("_slots").isNotNull(),
+                        F.pmod(row_hash, F.col("_slots")),
+                    ).otherwise(
+                        F.raise_error(
+                            F.concat(
+                                F.lit(
+                                    "compact_table: row file dir not in "
+                                    "the pinned listing (URI-form "
+                                    "mismatch between input_file_name "
+                                    "and the listing?): "
+                                ),
+                                F.col("_pdir"),
+                            )
+                        ).cast("int")
+                    ),
                 )
                 .drop("_pdir", "_slots")
             )

@@ -670,7 +670,16 @@ def near_dup_verified_pairs(
     item 5 — split-leakage-style audits, custom CC variants) build the
     EXACT same logical plan ``near_dedup`` builds internally: persisting
     this frame lets Spark's CacheManager substitute the canonical-equal
-    fragment inside every downstream family query automatically."""
+    fragment inside every downstream family query automatically.
+
+    Tier envelopes: ``bands``/``wide`` are the corpus-scale paths (pair
+    candidates stay bucket-local, the skew guard bounds degenerate
+    buckets). ``fused`` verifies candidates against per-doc SHINGLE
+    ARRAYS materialized through the join — the right trade only when the
+    candidate set is small relative to the corpus and docs are short
+    (benchmark/eval-set dedup, unit-scale studies); at 100 TB the array
+    materialization is the blowup the bands tiers exist to avoid, which
+    is why an invalid tier raises instead of falling through."""
     if candidate_tier not in ("bands", "wide", "fused"):
         # fail loudly: silently falling through to the fused tier would
         # materialize per-doc shingle arrays for the WHOLE corpus — the

@@ -21,6 +21,17 @@ The distributed re-expression:
 On a cluster both tables are Iceberg and the output append + manifest append
 commit under write-audit-publish; with plain parquet in this sandbox the
 append is directory-level and idempotence comes from the anti-join.
+
+MIGRATION (hash framing v1 -> v2, round 4): the input_hash framing changed
+from \x1e separators to length prefixes (the old framing was not injective
+— see with_input_hash). Every v1 hash differs from its v2 hash, so the
+FIRST resume_pending run against an output written under v1 classifies
+every document as MODIFIED: a full recompute, and because old rows are
+never removed, an APPEND of a duplicate row per doc. Before resuming onto
+a pre-change output, either rebuild it once from scratch or stamp new
+writes with ``with_input_hash(..., stamp_version=True)`` — resume_pending
+then refuses loudly when it meets rows hashed under a different framing
+version instead of silently duplicating the corpus.
 """
 
 from __future__ import annotations
@@ -30,6 +41,11 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# input_hash framing versions: 1 = \x1e-separator framing (rounds <= 3,
+# non-injective), 2 = length-prefix framing (round 4+). Bump on ANY change
+# to with_input_hash's canonical serialization.
+INPUT_HASH_VERSION = 2
 
 MANIFEST_COLS = [
     "run_id",
@@ -42,7 +58,9 @@ MANIFEST_COLS = [
 ]
 
 
-def with_input_hash(df: DataFrame, spans_col: str = "spans") -> DataFrame:
+def with_input_hash(
+    df: DataFrame, spans_col: str = "spans", stamp_version: bool = False
+) -> DataFrame:
     """Content identity of the input span sequence — pure column expr.
 
     Fields are LENGTH-PREFIXED before concatenation (the snapshot_diff
@@ -53,6 +71,12 @@ def with_input_hash(df: DataFrame, spans_col: str = "spans") -> DataFrame:
     that way would be misread as UNCHANGED by ``resume_pending``,
     silently keeping stale output. Length prefixes make the framing
     injective for every possible byte content.
+
+    ``stamp_version=True`` additionally stamps ``input_hash_ver`` =
+    :data:`INPUT_HASH_VERSION`, letting ``resume_pending`` distinguish
+    "this doc changed" from "the framing changed" on later upgrades
+    (see the module-docstring migration note) at one tiny constant
+    column's cost. Off by default for output-schema stability.
     """
 
     def _framed(c):
@@ -70,13 +94,25 @@ def with_input_hash(df: DataFrame, spans_col: str = "spans") -> DataFrame:
             ),
         ),
     )
-    return df.withColumn("input_hash", F.sha2(canon, 256))
+    out = df.withColumn("input_hash", F.sha2(canon, 256))
+    if stamp_version:
+        out = out.withColumn(
+            "input_hash_ver", F.lit(INPUT_HASH_VERSION).cast("int")
+        )
+    return out
 
 
 def resume_pending(input_df: DataFrame, output_path: str) -> DataFrame:
     """Rows of ``input_df`` not yet present in the output (NEW or MODIFIED).
 
     ``input_df`` must already carry ``input_hash`` (see with_input_hash).
+
+    If the output was stamped with ``input_hash_ver`` (see
+    with_input_hash), rows hashed under a DIFFERENT framing version make
+    this raise instead of classifying the whole corpus as modified and
+    appending a duplicate of every row — the loud form of the migration
+    hazard in the module docstring. One bounded aggregate (distinct over
+    a <= handful-of-versions column) pays for the guard.
     """
     from pyspark.errors import AnalysisException
 
@@ -84,7 +120,8 @@ def resume_pending(input_df: DataFrame, output_path: str) -> DataFrame:
 
     spark = input_df.sparkSession
     try:
-        done = read_documents(spark, output_path).select("doc_id", "input_hash")
+        out = read_documents(spark, output_path)
+        done = out.select("doc_id", "input_hash")
     except AnalysisException as e:
         # Only a genuinely-missing target means "everything pending".
         # Catalog misconfiguration (RuntimeError from the adapter) and
@@ -93,6 +130,20 @@ def resume_pending(input_df: DataFrame, output_path: str) -> DataFrame:
         if is_missing_target_error(e):
             return input_df  # no output yet -> everything pending
         raise
+    if "input_hash_ver" in out.columns:
+        stale = [
+            r[0]
+            for r in out.select("input_hash_ver").distinct().collect()
+            if r[0] is not None and r[0] != INPUT_HASH_VERSION
+        ]
+        if stale:
+            raise ValueError(
+                f"output at {output_path!r} carries input_hash framing "
+                f"version(s) {sorted(stale)} but this build computes "
+                f"version {INPUT_HASH_VERSION}: resuming would re-append "
+                "every row. Rebuild the output once from scratch (see "
+                "operators/manifest.py migration note)."
+            )
     return input_df.join(done, on=["doc_id", "input_hash"], how="left_anti")
 
 

@@ -605,6 +605,103 @@ def shard_assign(
     )
 
 
+def shuffled_shard_assign(
+    df: DataFrame,
+    shard_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """The composed terminal training layout in ONE bucketed pass:
+    global seeded shuffle + fixed-token-mass shards that are PREFIXES of
+    the shuffled order. Adds ``n_tokens``, ``shuffle_rank`` (exactly
+    :func:`corpus_shuffle`'s rank — same 60-bit key, same tie-break),
+    ``cum_tokens`` (running token sum in shuffle order), and
+
+        shard_id = (cum_tokens - n_tokens) div shard_tokens
+
+    (start-offset assignment, the :func:`shard_assign` convention: docs
+    are never split; ids are monotone in shuffle order).
+
+    This is what a one-command curation funnel should end with: plain
+    ``shard_assign`` lays docs out per-source in sampler-priority order,
+    so each shard's interior is a single-source run — fine for storage
+    accounting, wrong as a training stream. Composing corpus_shuffle
+    THEN a second cumsum pass would shuffle the slim rank frame twice;
+    here both the rank and the token cumsum come off the same
+    (bucket-count, bucket-token) reduction: one corpus Exchange on
+    ``_bucket``, one bounded (<= n_buckets rows) offsets window, one
+    bucket-partitioned window computing row_number and the running sum
+    together. ``n_buckets=None`` auto-sizes from a corpus count exactly
+    like :func:`corpus_shuffle`.
+    """
+    from pyspark.sql import Window
+
+    from .quality import _tokens
+
+    if shard_tokens <= 0:
+        raise ValueError(f"shard_tokens must be positive, got {shard_tokens}")
+    if n_buckets is None:
+        n = df.count()
+        n_buckets = max(32, min(1 << 20, -(-n // _SHUFFLE_ROWS_PER_BUCKET)))
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    bucket_width = -(-SHUFFLE_KEY_SPACE // n_buckets)
+    base = df.withColumn(
+        "n_tokens", F.size(_tokens(text_col)).cast("bigint")
+    ).withColumn("_hm", shuffle_key_col(id_col, salt)).withColumn(
+        "_bucket", F.expr(f"_hm div CAST({bucket_width} AS BIGINT)")
+    )
+    per_bucket = base.groupBy("_bucket").agg(
+        F.count("*").alias("_n"), F.sum("n_tokens").alias("_t")
+    )
+    w_off = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_bucket.select(
+        "_bucket",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_roff"),
+        F.coalesce(F.sum("_t").over(w_off), F.lit(0)).alias("_toff"),
+    )
+    w_local = Window.partitionBy("_bucket").orderBy("_hm", id_col)
+    w_run = w_local.rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.col("_toff") + F.sum("n_tokens").over(w_run)
+    return (
+        base.join(F.broadcast(offsets), "_bucket", "left")
+        .withColumn(
+            "shuffle_rank",
+            (F.col("_roff") + F.row_number().over(w_local) - 1).cast(
+                "bigint"
+            ),
+        )
+        .withColumn("cum_tokens", cum.cast("bigint"))
+        .withColumn(
+            "shard_id",
+            F.expr(
+                "(cum_tokens - n_tokens) div CAST(%d AS BIGINT)"
+                % shard_tokens
+            ).cast("bigint"),
+        )
+        .drop("_hm", "_bucket", "_roff", "_toff")
+    )
+
+
+def shuffled_shard_manifest(assigned: DataFrame) -> DataFrame:
+    """Per-shard audit record over :func:`shuffled_shard_assign` output:
+    (shard_id, n_docs, shard_token_count, min_rank, max_rank). Shards
+    are rank-contiguous by construction — max_rank - min_rank + 1 ==
+    n_docs on every row (asserted in tests) — so the manifest doubles as
+    a layout-integrity check. One partial-aggregated groupBy; output
+    bounded by total_tokens / shard_tokens rows."""
+    return assigned.groupBy("shard_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("shard_token_count"),
+        F.min("shuffle_rank").cast("bigint").alias("min_rank"),
+        F.max("shuffle_rank").cast("bigint").alias("max_rank"),
+    )
+
+
 def shard_manifest(
     assigned: DataFrame, key_col: str = "source"
 ) -> DataFrame:

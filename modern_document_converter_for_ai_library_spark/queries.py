@@ -1389,6 +1389,79 @@ _SHARD_MANIFEST_SQL = (
 
 
 # ---------------------------------------------------------------------------
+# q_shuffled_shards / q_shuffled_shard_manifest — the fused terminal
+# training layout (operators/sampling.py:shuffled_shard_assign): global
+# 60-bit seeded shuffle + token-mass shards that are PREFIXES of the
+# shuffled order, both computed off ONE bucketed reduction (curate_job's
+# --shuffle-salt terminal stage; the shard_assign layout keeps per-source
+# sampler order — correct for storage accounting, correlated as a
+# training stream). Oracle: single-window rank + running sum in
+# (shuffle_key, doc_id) order.
+# ---------------------------------------------------------------------------
+
+_SHUF_SHARD_TOKENS = 400
+
+
+def spark_shuffled_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import shuffled_shard_assign
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    return shuffled_shard_assign(
+        docs, _SHUF_SHARD_TOKENS, salt=_SHUFFLE_SALT
+    ).select("doc_id", "n_tokens", "shuffle_rank", "cum_tokens", "shard_id")
+
+
+def spark_shuffled_shard_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.sampling import (
+        shuffled_shard_assign,
+        shuffled_shard_manifest,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    return shuffled_shard_manifest(
+        shuffled_shard_assign(docs, _SHUF_SHARD_TOKENS, salt=_SHUFFLE_SALT)
+    )
+
+
+_SHUF_SHARD_BASE_SQL = r"""
+WITH st AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+         ('0x' || substring(md5(CAST(CAST(doc_id AS BIGINT) AS VARCHAR) || '__SALT__'), 1, 15))::BIGINT AS hk
+  FROM documents
+), sc AS (
+  SELECT doc_id, n_tokens,
+         CAST(row_number() OVER w - 1 AS BIGINT) AS shuffle_rank,
+         CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens
+  FROM st
+  WINDOW w AS (ORDER BY hk, doc_id)
+)
+SELECT doc_id, n_tokens, shuffle_rank, cum_tokens,
+       CAST((cum_tokens - n_tokens) // __TOKENS__ AS BIGINT) AS shard_id
+FROM sc
+""".replace("__SALT__", _SHUFFLE_SALT).replace(
+    "__TOKENS__", str(_SHUF_SHARD_TOKENS)
+)
+
+_SHUF_SHARDS_SQL = _SHUF_SHARD_BASE_SQL
+
+_SHUF_SHARD_MANIFEST_SQL = (
+    "WITH sa AS (" + _SHUF_SHARD_BASE_SQL + ")\n"
+    "SELECT shard_id, COUNT(*)::BIGINT AS n_docs,\n"
+    "       SUM(n_tokens)::BIGINT AS shard_token_count,\n"
+    "       MIN(shuffle_rank)::BIGINT AS min_rank,\n"
+    "       MAX(shuffle_rank)::BIGINT AS max_rank\n"
+    "FROM sa GROUP BY shard_id"
+)
+
+
+# ---------------------------------------------------------------------------
 # q_quality_funnel — the composed keep/reject decision a real pipeline
 # makes: Gopher quality AND repetition AND language gates, with
 # FIRST-FAILED-RULE attribution in fixed priority order (gopher →
@@ -3299,8 +3372,46 @@ def _chain_text_col():
     return F.array_join(toks, " ")
 
 
-def near_dedup_family_fronts(
+def ann_family_fronts(
     spark: SparkSession, sf_dir: str
+) -> list[DataFrame]:
+    """Build the IVF (assigned, centroids) and PQ (encoded, codebook)
+    artifacts ONCE with the exact parameters the q_ivf_topk / q_pq_topk /
+    q_ivfpq_topk contract queries use, register them in the ANN front
+    registry (the query functions then reuse them instead of re-running
+    the eager Lloyd builds), and return the corpus-scale frames worth
+    persisting — [assigned, encoded]. The caller owns persist/unpersist
+    lifetime and MUST call :func:`clear_ann_fronts` when done (bench.py
+    does both in its warm phase; the warm cost is reported, not hidden).
+    Determinism makes registered-vs-fresh results bit-identical
+    (tests/test_bench_fronts.py pins outputs and sameSemantics)."""
+    from .operators.pq import pq_build
+    from .operators.similarity import ivf_build
+
+    emb = _embeddings(spark, sf_dir)
+    assigned, centroids = ivf_build(
+        emb,
+        n_centroids=_IVF_K,
+        lloyd_iterations=_IVF_LLOYD,
+        lloyd_sample_mod=_IVF_SAMPLE_MOD,
+    )
+    encoded, codebook = pq_build(
+        emb, m=_PQ_M, n_codes=_PQ_CODES, lloyd_iterations=_PQ_LLOYD
+    )
+    _ANN_FRONTS[_ann_key(spark, sf_dir, "ivf")] = (assigned, centroids)
+    _ANN_FRONTS[_ann_key(spark, sf_dir, "pq")] = (encoded, codebook)
+    return [assigned, encoded]
+
+
+def clear_ann_fronts() -> None:
+    """Drop every registered ANN front (bench teardown; frames already
+    unpersisted by the caller). Safe to call when nothing is registered."""
+    _ANN_FRONTS.clear()
+
+
+def near_dedup_family_fronts(
+    spark: SparkSession, sf_dir: str,
+    sink: list | None = None,
 ) -> list[tuple[DataFrame, DataFrame]]:
     """The deterministic LSH -> verify front ends shared by the
     q_near_dedup family (q_near_dedup / q_near_dedup_star /
@@ -3311,7 +3422,11 @@ def near_dedup_family_fronts(
     plan — the bench warm-sharing protocol from VERDICT r3 item 5
     (semantics unchanged: it is the same deterministic frame, computed
     once instead of four times). Returns [(verified, pairs), ...]; the
-    caller owns both lifetimes.
+    caller owns both lifetimes. Pass a caller-owned list as ``sink`` and
+    each tuple is ALSO appended there as soon as it is constructed —
+    near_dup_verified_pairs registers its ``pairs`` frame with the
+    CacheManager at construction, so on a mid-build failure the sink
+    still names every frame needing unpersist (ADVICE r4).
 
     Also returns the production-width (128-perm) front shared by
     q_minhash128 / q_minhash128_pairs / q_near_dedup_wide: the per-doc
@@ -3334,20 +3449,27 @@ def near_dedup_family_fronts(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         _chain_text_col().alias("text"),
     )
-    minima = minhash_wide_minima(docs, n_perms=_MINHASH_WIDE_PERMS)
-    wide_pairs = minhash_wide_pairs(
-        minhash_wide_bands(docs), n_bands=_MINHASH_WIDE_BANDS
-    )
-    return [
+    out = sink if sink is not None else []
+    out.append(
         near_dup_verified_pairs(
             docs, threshold_micros=500_000, n_bands=1, band_rows=2
-        ),
+        )
+    )
+    out.append(
         near_dup_verified_pairs(
             chain_docs, threshold_micros=_CHAIN_THR, n_bands=2, band_rows=2
-        ),
-        (minima, None),
-        (wide_pairs, None),
-    ]
+        )
+    )
+    out.append((minhash_wide_minima(docs, n_perms=_MINHASH_WIDE_PERMS), None))
+    out.append(
+        (
+            minhash_wide_pairs(
+                minhash_wide_bands(docs), n_bands=_MINHASH_WIDE_BANDS
+            ),
+            None,
+        )
+    )
+    return out
 
 
 def spark_near_dedup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3433,16 +3555,42 @@ _IVF_LLOYD = 2
 _IVF_SAMPLE_MOD = 5
 
 
-def spark_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import ivf_build, ivf_search
+# --- shared ANN build artifacts (bench warm-sharing, VERDICT r4 item 4) ---
+# q_ivf_topk / q_pq_topk / q_ivfpq_topk each rebuild the SAME deterministic
+# codebooks/centroids (the Lloyd rounds run EAGERLY inside the builders —
+# bounded collects — so CacheManager plan-substitution alone cannot dedupe
+# them). ann_family_fronts() builds each artifact once and registers it
+# here, keyed by (spark appId, sf_dir); the query functions consult the
+# registry and fall back to a fresh build when nothing is registered
+# (driver correctness runs, tests). Determinism makes the two paths
+# bit-identical (pinned by tests/test_bench_fronts.py).
 
-    emb = _embeddings(spark, sf_dir)
-    assigned, centroids = ivf_build(
-        emb,
+_ANN_FRONTS: dict[tuple, tuple] = {}
+
+
+def _ann_key(spark: SparkSession, sf_dir: str, kind: str) -> tuple:
+    return (spark.sparkContext.applicationId, sf_dir, kind)
+
+
+def _ivf_artifacts(spark: SparkSession, sf_dir: str):
+    got = _ANN_FRONTS.get(_ann_key(spark, sf_dir, "ivf"))
+    if got is not None:
+        return got
+    from .operators.similarity import ivf_build
+
+    return ivf_build(
+        _embeddings(spark, sf_dir),
         n_centroids=_IVF_K,
         lloyd_iterations=_IVF_LLOYD,
         lloyd_sample_mod=_IVF_SAMPLE_MOD,
     )
+
+
+def spark_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_search
+
+    emb = _embeddings(spark, sf_dir)
+    assigned, centroids = _ivf_artifacts(spark, sf_dir)
     q = emb.orderBy("vec_id").limit(1)
     out = ivf_search(assigned, centroids, q, k=10, n_probe=_IVF_PROBE)
     return out.select(
@@ -3582,16 +3730,25 @@ _PQ_LLOYD = 2
 _PQ_SHORTLIST = 100
 
 
-def spark_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.pq import pq_build, pq_search_rerank
+def _pq_artifacts(spark: SparkSession, sf_dir: str):
+    got = _ANN_FRONTS.get(_ann_key(spark, sf_dir, "pq"))
+    if got is not None:
+        return got
+    from .operators.pq import pq_build
 
-    emb = _embeddings(spark, sf_dir)
-    encoded, codebook = pq_build(
-        emb,
+    return pq_build(
+        _embeddings(spark, sf_dir),
         m=_PQ_M,
         n_codes=_PQ_CODES,
         lloyd_iterations=_PQ_LLOYD,
     )
+
+
+def spark_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pq import pq_search_rerank
+
+    emb = _embeddings(spark, sf_dir)
+    encoded, codebook = _pq_artifacts(spark, sf_dir)
     q = emb.orderBy("vec_id").limit(1)
     out = pq_search_rerank(
         encoded, codebook, emb, q, k=10, shortlist=_PQ_SHORTLIST, m=_PQ_M
@@ -3750,19 +3907,11 @@ _IVFPQ_SHORTLIST = 50
 
 
 def spark_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.pq import ivf_pq_search, pq_build
-    from .operators.similarity import ivf_build
+    from .operators.pq import ivf_pq_search
 
     emb = _embeddings(spark, sf_dir)
-    assigned, centroids = ivf_build(
-        emb,
-        n_centroids=_IVF_K,
-        lloyd_iterations=_IVF_LLOYD,
-        lloyd_sample_mod=_IVF_SAMPLE_MOD,
-    )
-    encoded, codebook = pq_build(
-        emb, m=_PQ_M, n_codes=_PQ_CODES, lloyd_iterations=_PQ_LLOYD
-    )
+    assigned, centroids = _ivf_artifacts(spark, sf_dir)
+    encoded, codebook = _pq_artifacts(spark, sf_dir)
     q = emb.orderBy("vec_id").limit(1)
     out = ivf_pq_search(
         assigned, centroids, encoded, codebook, emb, q,
@@ -7204,6 +7353,8 @@ SPARK_QUERIES = {
     "q_corpus_shuffle": spark_corpus_shuffle,
     "q_training_layout": spark_training_layout,
     "q_shard_assign": spark_shard_assign,
+    "q_shuffled_shards": spark_shuffled_shards,
+    "q_shuffled_shard_manifest": spark_shuffled_shard_manifest,
     "q_shard_manifest": spark_shard_manifest,
     "q_epoch_mix": spark_epoch_mix,
     "q_decontaminate": spark_decontaminate,
@@ -7316,6 +7467,8 @@ ORACLE_SQL = {
     "q_corpus_shuffle": _CORPUS_SHUFFLE_SQL,
     "q_training_layout": _TRAINING_LAYOUT_SQL,
     "q_shard_assign": _SHARD_SQL,
+    "q_shuffled_shards": _SHUF_SHARDS_SQL,
+    "q_shuffled_shard_manifest": _SHUF_SHARD_MANIFEST_SQL,
     "q_shard_manifest": _SHARD_MANIFEST_SQL,
     "q_epoch_mix": _EPOCH_MIX_SQL,
     "q_decontaminate": _DECONTAMINATE_SQL,

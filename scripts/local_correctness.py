@@ -118,17 +118,33 @@ def main() -> int:
         ok = row["err"] is None and row.get("hash_match") in (True, None) and row["rows_match"]
         print(f"{'OK ' if ok else 'FAIL'} {name}", file=sys.stderr)
 
-    n_green = sum(
+    def _is_green(r):
+        return (
+            r["err"] is None
+            and r["rows_match"]
+            and r["schema_match"] in (True, None)
+            and r["hash_match"] in (True, None)
+        )
+
+    # Two gate strengths, reported separately (ADVICE r4): an oracle-less
+    # query can only fail by raising — its "green" is merely "ran" — so
+    # folding both into one count overstates verification strength.
+    n_green = sum(1 for r in results.values() if _is_green(r))
+    n_oracle = sum(
         1
         for r in results.values()
-        if r["err"] is None
-        and r["rows_match"]
-        and r["schema_match"] in (True, None)
-        and r["hash_match"] in (True, None)
+        if _is_green(r) and r["hash_match"] is True
+    )
+    n_ran_only = sum(
+        1
+        for r in results.values()
+        if _is_green(r) and r["hash_match"] is None
     )
     summary = {
         "total": len(results),
         "green": n_green,
+        "green_oracle": n_oracle,
+        "ran_only": n_ran_only,
         "sf_dir": args.sf_dir,
         "wall_sec": round(time.time() - t_start, 1),
     }

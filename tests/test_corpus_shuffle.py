@@ -143,6 +143,120 @@ def test_auto_bucket_sizing(spark, docs):
     assert auto == explicit
 
 
+def _twin_shuffled_shards(rows, shard_tokens, salt=""):
+    """Python twin of shuffled_shard_assign: rows = [(doc_id, text)]."""
+    order = sorted(rows, key=lambda r: (_hk60(r[0], salt), r[0]))
+    out, cum = {}, 0
+    for rank, (i, text) in enumerate(order):
+        n = len([t for t in text.split(" ") if t])
+        cum += n
+        out[i] = (n, rank, cum, (cum - n) // shard_tokens)
+    return out
+
+
+@pytest.fixture(scope="module")
+def token_docs(spark):
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(1 + i % 7))) for i in range(N)]
+    return rows, spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_shuffled_shards_match_python_twin(spark, token_docs):
+    from modern_document_converter_for_ai_library_spark.operators.sampling import (
+        shuffled_shard_assign,
+    )
+
+    rows, df = token_docs
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["shuffle_rank"],
+            r["cum_tokens"],
+            r["shard_id"],
+        )
+        for r in shuffled_shard_assign(df, 40, salt="s").collect()
+    }
+    assert got == _twin_shuffled_shards(rows, 40, "s")
+
+
+def test_shuffled_shards_compose_corpus_shuffle(spark, token_docs):
+    """shuffle_rank from the fused pass IS corpus_shuffle's rank, and
+    shards are rank-contiguous prefixes of the shuffled order."""
+    from modern_document_converter_for_ai_library_spark.operators.sampling import (
+        shuffled_shard_assign,
+        shuffled_shard_manifest,
+    )
+
+    rows, df = token_docs
+    fused = shuffled_shard_assign(df, 40, salt="s", n_buckets=16)
+    ranks = {
+        r["doc_id"]: r["shuffle_rank"] for r in fused.collect()
+    }
+    standalone = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in corpus_shuffle(
+            df.select("doc_id"), salt="s", n_buckets=64
+        ).collect()
+    }
+    assert ranks == standalone
+    man = shuffled_shard_manifest(fused).collect()
+    for r in man:
+        assert r["max_rank"] - r["min_rank"] + 1 == r["n_docs"]
+    spans = sorted((r["min_rank"], r["max_rank"]) for r in man)
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert lo == hi + 1  # shards tile the permutation
+
+
+def test_shuffled_shards_partitioning_invariance(spark, token_docs):
+    from modern_document_converter_for_ai_library_spark.operators.sampling import (
+        shuffled_shard_assign,
+    )
+
+    rows, df = token_docs
+    a = {
+        tuple(r)
+        for r in shuffled_shard_assign(
+            df.repartition(7), 40, salt="s", n_buckets=8
+        ).collect()
+    }
+    b = {
+        tuple(r)
+        for r in shuffled_shard_assign(
+            df.repartition(3), 40, salt="s", n_buckets=128
+        ).collect()
+    }
+    assert a == b
+
+
+def test_shuffled_shards_invalid_args(spark, token_docs):
+    from modern_document_converter_for_ai_library_spark.operators.sampling import (
+        shuffled_shard_assign,
+    )
+
+    _, df = token_docs
+    with pytest.raises(ValueError, match="shard_tokens"):
+        shuffled_shard_assign(df, 0)
+    with pytest.raises(ValueError, match="n_buckets"):
+        shuffled_shard_assign(df, 40, n_buckets=-1)
+
+
+def test_shuffled_shards_plan_shape(spark, token_docs):
+    """Same no-corpus-wide-window contract as corpus_shuffle: the only
+    unpartitioned window is the bounded per-bucket offsets prefix sum."""
+    from test_plan_audit import _unpartitioned_windows
+
+    from modern_document_converter_for_ai_library_spark.operators.sampling import (
+        shuffled_shard_assign,
+    )
+
+    _, df = token_docs
+    out = shuffled_shard_assign(df, 40, n_buckets=16)
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in phys
+    bad = _unpartitioned_windows(out)
+    assert len(bad) == 1
+    assert "_bucket" in bad[0]
+
+
 def test_plan_has_no_corpus_wide_window(spark, docs):
     # the ONLY unpartitioned window is the bucket-offset prefix sum over
     # the bounded per-bucket aggregate (<= n_buckets rows); the

@@ -112,6 +112,107 @@ def test_curate_job_full_funnel(spark, planted, tmp_path, capsys):
     assert len(got[5].split(" ")) == 60
 
 
+def test_curate_job_shuffled_shards(spark, planted, tmp_path, capsys):
+    """--shuffle-salt turns the terminal layout into the q_training_layout
+    shape: shard contents equal the composed corpus_shuffle +
+    token-cumsum result (VERDICT r4 item 2), with the accounting line."""
+    import jobs.curate_job as job
+    from modern_document_converter_for_ai_library_spark.operators.sampling import (
+        shuffled_shard_assign,
+    )
+
+    inp, bench, shared = planted
+    out = str(tmp_path / "train_shuf")
+    rc = job.main(
+        [
+            "--input", inp, "--output", out,
+            "--benchmark", bench,
+            "--substr-n", "20",
+            "--mix-spec", "a=1000000000",
+            "--shard-tokens", "100",
+            "--shuffle-salt", "ep0",
+        ]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    st = rep["stages"]
+    assert list(st) == [
+        "quality", "exact", "near", "substr", "decontaminate", "mix",
+        "shuffle_shard",
+    ]
+    assert st["shuffle_shard"]["shuffle_salt"] == "ep0"
+    assert rep["n_output"] == 4
+
+    got = duckdb.sql(
+        f"SELECT doc_id, shuffle_rank, shard_id "
+        f"FROM read_parquet('{out}/**/*.parquet', hive_partitioning=1)"
+    ).fetchall()
+    layout = {int(r[0]): (int(r[1]), int(r[2])) for r in got}
+    # physical layout is partitioned by shard_id only (global layout,
+    # not per-source)
+    assert any(d.startswith("shard_id=") for d in os.listdir(out))
+    assert not any(d.startswith("source=") for d in os.listdir(out))
+
+    # the composed-operators result on the surviving docs
+    survivors = spark.createDataFrame(
+        duckdb.sql(
+            f"SELECT doc_id, text "
+            f"FROM read_parquet('{out}/**/*.parquet', hive_partitioning=1)"
+        ).fetchall(),
+        ["doc_id", "text"],
+    )
+    exp = {
+        r["doc_id"]: (r["shuffle_rank"], r["shard_id"])
+        for r in shuffled_shard_assign(survivors, 100, salt="ep0").collect()
+    }
+    assert layout == exp
+    assert sorted(r[0] for r in layout.values()) == list(range(4))
+
+    # manifest: rank-contiguous shards covering all docs
+    man = duckdb.sql(
+        f"SELECT shard_id, n_docs, shard_token_count, min_rank, max_rank "
+        f"FROM read_parquet('{rep['manifest']}/*.parquet') ORDER BY shard_id"
+    ).fetchall()
+    assert sum(int(r[1]) for r in man) == 4
+    assert sum(int(r[2]) for r in man) == rep["tokens_out"] == 265
+    for r in man:
+        assert int(r[4]) - int(r[3]) + 1 == int(r[1])
+
+
+def test_curate_job_shuffle_without_shards(spark, tmp_path, capsys):
+    """--shuffle-salt with no sharding appends shuffle_rank to the plain
+    write — the mix_job --mode shuffle semantics inside the funnel."""
+    import jobs.curate_job as job
+    from modern_document_converter_for_ai_library_spark.operators.sampling import (
+        corpus_shuffle,
+    )
+
+    rows = [(i, "a", f"tok{i} tok{i}b") for i in range(20)]
+    inp = str(tmp_path / "raw_s")
+    out = str(tmp_path / "out_s")
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    df.write.parquet(inp)
+    rc = job.main(
+        ["--input", inp, "--output", out, "--skip-quality",
+         "--skip-exact", "--skip-near", "--shuffle-salt", ""]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert list(rep["stages"]) == ["shuffle"]
+    assert rep["stages"]["shuffle"]["shuffle_salt"] == ""
+    got = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            f"SELECT doc_id, shuffle_rank FROM read_parquet('{out}/*.parquet')"
+        ).fetchall()
+    }
+    exp = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in corpus_shuffle(df.select("doc_id"), salt="").collect()
+    }
+    assert got == exp
+
+
 def test_curate_job_single_stage(spark, tmp_path, capsys):
     import jobs.curate_job as job
 

@@ -108,3 +108,36 @@ def test_input_hash_framing_is_injective(spark):
     )
     hashes = [r["input_hash"] for r in with_input_hash(df).collect()]
     assert len(set(hashes)) == len(hashes)
+
+
+def test_hash_version_stamp_and_guard(spark, corpus, tmp_path):
+    """Version-stamped outputs turn the framing-migration hazard loud:
+    resume against a DIFFERENT input_hash_ver raises instead of
+    re-appending the whole corpus (manifest.py migration note)."""
+    from pyspark.sql import functions as F
+
+    from modern_document_converter_for_ai_library_spark.operators.manifest import (
+        INPUT_HASH_VERSION,
+    )
+
+    out = str(tmp_path / "ver_run")
+    stamped = with_input_hash(corpus, stamp_version=True)
+    assert stamped.select("input_hash_ver").distinct().collect()[0][0] == (
+        INPUT_HASH_VERSION
+    )
+    stamped.write.parquet(out)
+
+    # same-version output: resume proceeds, nothing pending
+    pending = resume_pending(with_input_hash(corpus), out)
+    assert pending.count() == 0
+
+    # un-stamped output (no version column): legacy behavior, no guard
+    out_plain = str(tmp_path / "plain_run")
+    with_input_hash(corpus).write.parquet(out_plain)
+    assert resume_pending(with_input_hash(corpus), out_plain).count() == 0
+
+    # stale-version output: loud refusal, not a silent full re-append
+    out_stale = str(tmp_path / "stale_run")
+    stamped.withColumn("input_hash_ver", F.lit(1)).write.parquet(out_stale)
+    with pytest.raises(ValueError, match="framing"):
+        resume_pending(with_input_hash(corpus), out_stale)

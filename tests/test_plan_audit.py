@@ -80,6 +80,11 @@ _WINDOW_OK = {
     # window is partitioned by bucket.
     "q_corpus_shuffle",
     "q_training_layout",
+    # shuffled_shard_assign shares the same decomposition: one <=
+    # n_buckets-row offsets window (now carrying both the count and the
+    # token prefix sums); rank + cumsum windows are bucket-partitioned.
+    "q_shuffled_shards",
+    "q_shuffled_shard_manifest",
 }
 
 
