@@ -56,8 +56,9 @@ SHOWCASE = [
     ("q_snapshot_diff", "cross-snapshot CDC: map-side codegen hashes, ONE full-outer equi-join of two slim (id, hash) projections"),
     ("q_corpus_audit", "one-pass corpus audit: every health metric in ONE aggregate over ONE pruned scan — zero joins, zero Python, count-distinct folded into the same scan"),
     ("q_topic_clusters", "integer-exact k-means topics: MAP-ONLY Arrow-UDF assignment (closure centroids, zero centroid-dependent codegen), Lloyd rounds fused into one mapInPandas partial-sum pass + a trivial centroid-free (cell, pos) reduce"),
-    ("q_corpus_shuffle", "deterministic global training-order shuffle: exact two-phase rank — bounded bucket-offset window + bucket-partitioned row_number, no corpus-wide window"),
+    ("q_corpus_shuffle", "deterministic global training-order shuffle: exact two-phase rank over the 60-bit key — bounded bucket-offset window + bucket-partitioned row_number, no corpus-wide window"),
     ("q_training_layout", "composed mix->shuffle->shard terminal layout: temperature rates (bounded cross), seeded global rank, integer-div shard ids"),
+    ("q_shuffled_shards", "fused terminal layout: rank + token cumsum off ONE bucketed reduction — one corpus Exchange, the (count, tokens) offsets share one bounded window, shards are prefixes of the shuffled order"),
     ("q_cdc_chunks", "content-defined chunking: one doc-id shuffle feeds both per-doc windows, partial-aggregated chunk frequency join (no count-over-window by hash)"),
     ("q_fix_mojibake", "codec-table mojibake repair: one map-only 50-replace codegen chain"),
     ("q_dup_source_matrix", "cross-source dup matrix: (hash, source) collapse BEFORE the per-group self-join — degenerate groups fan out n_sources^2, not group_size^2"),

@@ -156,6 +156,62 @@ def _write_chunk(args: tuple) -> int:
             {"doc_id": [r[0] for r in rows], "html": [r[1] for r in rows]},
             schema=pa.schema([("doc_id", pa.string()), ("html", pa.string())]),
         )
+    elif job == "curate":
+        # corpus for the COMPOSED funnel probe: realistic quality
+        # pass-rates and dup densities so every stage does
+        # production-shaped work — 8 zipf-ish-skewed sources (the mix
+        # stage must bind: big sources capped, small kept whole), 25%
+        # stopwords + unique fillers (passes Gopher), 2% exact dups of
+        # the previous page, 2% near dups (2 tokens changed), 20% embed
+        # a shared 30-token boilerplate paragraph (LSH candidate mass +
+        # degenerate-bucket pressure for the skew guard), 3% junk pages
+        # the quality gate rejects.
+        stop = ["the", "of", "and", "to", "in"]
+        boiler = [
+            " ".join(f"bl{p}w{j}" for j in range(30)) for p in range(100)
+        ]
+        p_src = [0.35, 0.2, 0.15, 0.1, 0.08, 0.06, 0.04, 0.02]
+        rows = []
+        prev = None
+        for i in range(start, end):
+            src = f"src{rng.choice(8, p=p_src)}"
+            n_tok = 120 + int(rng.randint(180))
+            toks = [
+                stop[(j // 4) % 5] if j % 4 == 0 else f"d{i}w{j}"
+                for j in range(n_tok)
+            ]
+            r = rng.rand()
+            long_prev = prev is not None and prev.count(" ") > 20
+            if long_prev and r < 0.02:
+                text = prev
+            elif long_prev and r < 0.04:
+                ptoks = prev.split(" ")
+                ptoks[5], ptoks[-5] = f"n{i}a", f"n{i}b"
+                text = " ".join(ptoks)
+            elif r < 0.07:
+                text = "@@ ## !! zz"  # quality-gate victim
+            else:
+                if rng.rand() < 0.2:
+                    para = boiler[rng.randint(100)].split(" ")
+                    ins = int(rng.randint(n_tok))
+                    toks[ins:ins] = para
+                text = " ".join(toks)
+            prev = text
+            rows.append((f"doc_{i:08d}", src, text))
+        table = pa.Table.from_pydict(
+            {
+                "doc_id": [r[0] for r in rows],
+                "source": [r[1] for r in rows],
+                "text": [r[2] for r in rows],
+            },
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.string()),
+                    ("source", pa.string()),
+                    ("text", pa.string()),
+                ]
+            ),
+        )
     elif job in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr", "perceptron", "cdc", "shuffle"):
         from modern_document_converter_for_ai_library_spark.sources.synth import (
             _make_html_doc,
@@ -326,6 +382,44 @@ def run_job(d, balance=None):
         # largest single document (the suite-wide per-doc-window caveat).
         from modern_document_converter_for_ai_library_spark.operators.chunking import cdc_dup_stats
         return cdc_dup_stats(d, text_col="html")
+    if "{job}" == "curate":
+        # the COMPOSED end-to-end funnel (VERDICT r4 item 5): quality ->
+        # exact -> near -> token-budget mix -> fused shuffle+shard — the
+        # curate_job --shuffle-salt chain minus the parquet sinks (noop
+        # isolates compute). Stage frames persist/unpersist exactly like
+        # the job (peak executor storage = two adjacent stages); every
+        # stage's actions run INSIDE the timed region, so the reported
+        # docs/sec is the whole-funnel number. The skew guard is on (the
+        # boilerplate paragraphs degenerate LSH buckets by design).
+        from pyspark.sql import functions as F
+        from modern_document_converter_for_ai_library_spark.operators.quality import quality_funnel
+        from modern_document_converter_for_ai_library_spark.queries import STOPWORDS
+        from modern_document_converter_for_ai_library_spark.operators.dedup import exact_dedup, near_dedup
+        from modern_document_converter_for_ai_library_spark.operators.sampling import budget_sample, shuffled_shard_assign
+        sp = d.sparkSession
+        sp.catalog.clearCache()
+        keep = quality_funnel(d, STOPWORDS, text_col="text").filter("keep").select("doc_id")
+        cur = d.join(keep, "doc_id", "left_semi").persist()
+        cur.count()
+        nxt = exact_dedup(cur, text_col="text").filter(~F.col("is_duplicate")).select(cur.columns).persist()
+        nxt.count(); cur.unpersist(); cur = nxt
+        nd = near_dedup(cur, text_col="text", max_bucket_size=64)
+        nxt = nd.filter(F.col("canonical_doc_id") == F.col("doc_id")).select(cur.columns).persist()
+        nxt.count(); cur.unpersist(); cur = nxt
+        # flat per-source token budget: the skewed big sources get capped
+        # (~1/3 of src0 survives), the small ones keep everything — a
+        # BINDING mixture, not a pass-through. budget_sample returns the
+        # slim accounting frame; survivors join back left_semi (the
+        # curate_job shape)
+        mix_keep = budget_sample(
+            cur, dict(), default_budget=n * 25).filter("kept").select("doc_id")
+        mixed = cur.join(mix_keep, "doc_id", "left_semi")
+        final = shuffled_shard_assign(
+            mixed.select("doc_id", "source", "text"), 100000, salt="probe")
+        out = final.select("doc_id", "source", "shuffle_rank", "shard_id")
+        # materialize THROUGH cur's lifetime, then release it for the
+        # next rep (the noop write below is the timed action)
+        return out
     if "{job}" == "shuffle":
         # window-family probe: deterministic global training-order
         # shuffle (corpus_shuffle) — exact global rank via the two-phase
@@ -463,7 +557,7 @@ def main() -> None:
     ap.add_argument("--md", default=None, help="write/refresh this markdown report")
     ap.add_argument(
         "--job",
-        choices=["convert", "html", "warc", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr", "substr_sparse", "substr_bloom", "substr_sparse_bloom", "perceptron", "pagerank", "pq", "cdc", "shuffle"],
+        choices=["convert", "html", "warc", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr", "substr_sparse", "substr_bloom", "substr_sparse_bloom", "perceptron", "pagerank", "pq", "cdc", "shuffle", "curate"],
         default="convert",
         help="which end-to-end kernel job to measure (html = "
         "strip_boilerplate_html over the synthetic web-page corpus; warc = "
