@@ -25,7 +25,8 @@ Modes (operators/sampling.py — all deterministic pure functions of
             rates derive from the corpus itself (exact integer roots)
     shuffle deterministic global training-order shuffle: graft a
             `shuffle_rank` column (exact 0-based position in the seeded
-            (hash, id) permutation — operators/sampling.py:corpus_shuffle);
+            (60-bit hash, id) permutation —
+            operators/sampling.py:corpus_shuffle);
             --salt picks the permutation (a new salt = a new epoch order);
             a pre-existing shuffle_rank column is replaced
     shard   terminal storage layout: assign every document to a fixed-
