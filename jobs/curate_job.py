@@ -181,8 +181,16 @@ def main(argv: list[str] | None = None) -> int:
             cur, n_cur = nxt, n_out
 
         if not args.skip_quality:
+            # carry the corpus columns THROUGH the one-scan funnel so
+            # survivors are a map-only filter of the same scan — the
+            # old join-back on id_col was a full-corpus-payload
+            # Exchange that dominated the stage at scale (curate probe)
             verdicts = quality_funnel(
-                cur, STOPWORDS, text_col=text_col, id_col=id_col
+                cur,
+                STOPWORDS,
+                text_col=text_col,
+                id_col=id_col,
+                carry=[c for c in cur.columns if c != id_col],
             ).persist()
             fails = {
                 r["first_failed_rule"]: r["n"]
@@ -191,11 +199,7 @@ def main(argv: list[str] | None = None) -> int:
                 .agg(F.count("*").alias("n"))
                 .collect()
             }
-            kept = cur.join(
-                verdicts.filter(F.col("keep")).select(id_col),
-                on=id_col,
-                how="left_semi",
-            )
+            kept = verdicts.filter(F.col("keep")).select(cur.columns)
             advance("quality", kept, {"failed_by_rule": fails})
             verdicts.unpersist()
 
@@ -382,6 +386,7 @@ def main(argv: list[str] | None = None) -> int:
                 id_col=id_col,
                 text_col=text_col,
                 salt=args.shuffle_salt,
+                n_rows=n_cur,  # the stage accounting just counted cur
             ).persist()
             sharded = cur.drop("shard_id", "shuffle_rank").join(
                 assigned.select(id_col, "shuffle_rank", "shard_id"),
@@ -436,6 +441,7 @@ def main(argv: list[str] | None = None) -> int:
                 cur.drop("shuffle_rank"),
                 id_col=id_col,
                 salt=args.shuffle_salt,
+                n_rows=n_cur,
             )
             write_documents(shuffled, args.output, mode="overwrite")
             stages["shuffle"] = {

@@ -318,6 +318,7 @@ def quality_funnel(
     text_col: str = "text",
     id_col: str = "doc_id",
     langid_min_ratio_micros: int = 80_000,
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """The composed keep/reject decision — Gopher AND repetition AND
     language gates with first-failed-rule attribution (priority order
@@ -329,6 +330,15 @@ def quality_funnel(
     stopword list (queries.py:STOPWORDS for the oracled query); a zero
     token count makes the stopword ratio null => not-English, matching
     the standalone langid query's 'unknown' bucket.
+
+    ``carry`` names input columns to pass through alongside the verdict
+    columns, so a funnel consumer can take survivors with
+    ``.filter("keep").select(...)`` as a MAP-ONLY continuation of the
+    same scan. Without it the caller must join the verdict frame back to
+    the corpus on ``id_col`` — a full-corpus-payload Exchange that
+    dwarfs the funnel itself at scale (measured in the curate probe:
+    the join-back quality stage scaled ~2.4x at 4x cores because the
+    shuffle, not the map work, was the marginal cost).
     """
     base = df.withColumn("_toks", _tokens(text_col)).withColumn(
         "_rep", repetition_struct_udf()(F.col(text_col))
@@ -346,13 +356,16 @@ def quality_funnel(
     lang_en = F.coalesce(
         ratio_micros >= langid_min_ratio_micros, F.lit(False)
     )
+    carry_cols = [c for c in (carry or []) if c != id_col]
     return base.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         gopher_pass.alias("gopher_pass"),
         rep_pass.alias("repetition_pass"),
         lang_en.alias("lang_en"),
     ).select(
         id_col,
+        *carry_cols,
         "gopher_pass",
         "repetition_pass",
         "lang_en",

@@ -474,11 +474,21 @@ def shuffle_key_col(id_col: str = "doc_id", salt: str = "") -> F.Column:
     return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
 
 
+def _auto_buckets(df: DataFrame, n_rows: int | None) -> int:
+    """ceil(n / 4e6) clamped to [32, 2^20]; counts the frame only when
+    the caller didn't already know ``n_rows`` (a funnel that just
+    counted its stage frame should pass it — the count here is a full
+    pass over ``df``'s lineage when nothing upstream is persisted)."""
+    n = df.count() if n_rows is None else n_rows
+    return max(32, min(1 << 20, -(-n // _SHUFFLE_ROWS_PER_BUCKET)))
+
+
 def corpus_shuffle(
     df: DataFrame,
     id_col: str = "doc_id",
     salt: str = "",
     n_buckets: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Deterministic global training-order shuffle: adds ``shuffle_rank``
     — the document's 0-based position in the seeded pseudorandom
@@ -513,7 +523,10 @@ def corpus_shuffle(
     bucket partitions of ~4M rows each instead of silently funnelling
     10^7-row windows through a fixed default. Pass an explicit
     ``n_buckets`` to skip the count job (the permutation itself is
-    bucket-count-invariant — only the window partitioning changes).
+    bucket-count-invariant — only the window partitioning changes), or
+    ``n_rows`` when the caller just counted the frame (curate_job's
+    stage accounting does) — an upper bound is fine, bucket sizing only
+    needs the magnitude.
 
     Precondition: ``id_col`` values are unique (the corpus contract
     everywhere in this package). The permutation tie-breaks equal hash
@@ -524,8 +537,7 @@ def corpus_shuffle(
     from pyspark.sql import Window
 
     if n_buckets is None:
-        n = df.count()
-        n_buckets = max(32, min(1 << 20, -(-n // _SHUFFLE_ROWS_PER_BUCKET)))
+        n_buckets = _auto_buckets(df, n_rows)
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
     bucket_width = -(-SHUFFLE_KEY_SPACE // n_buckets)  # ceil: bucket < n_buckets
@@ -612,6 +624,7 @@ def shuffled_shard_assign(
     text_col: str = "text",
     salt: str = "",
     n_buckets: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """The composed terminal training layout in ONE bucketed pass:
     global seeded shuffle + fixed-token-mass shards that are PREFIXES of
@@ -634,7 +647,8 @@ def shuffled_shard_assign(
     ``_bucket``, one bounded (<= n_buckets rows) offsets window, one
     bucket-partitioned window computing row_number and the running sum
     together. ``n_buckets=None`` auto-sizes from a corpus count exactly
-    like :func:`corpus_shuffle`.
+    like :func:`corpus_shuffle` (same ``n_rows`` caller-knows-the-count
+    shortcut).
     """
     from pyspark.sql import Window
 
@@ -643,8 +657,7 @@ def shuffled_shard_assign(
     if shard_tokens <= 0:
         raise ValueError(f"shard_tokens must be positive, got {shard_tokens}")
     if n_buckets is None:
-        n = df.count()
-        n_buckets = max(32, min(1 << 20, -(-n // _SHUFFLE_ROWS_PER_BUCKET)))
+        n_buckets = _auto_buckets(df, n_rows)
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
     bucket_width = -(-SHUFFLE_KEY_SPACE // n_buckets)

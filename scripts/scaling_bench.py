@@ -156,7 +156,7 @@ def _write_chunk(args: tuple) -> int:
             {"doc_id": [r[0] for r in rows], "html": [r[1] for r in rows]},
             schema=pa.schema([("doc_id", pa.string()), ("html", pa.string())]),
         )
-    elif job == "curate":
+    elif job in ("curate", "near"):
         # corpus for the COMPOSED funnel probe: realistic quality
         # pass-rates and dup densities so every stage does
         # production-shaped work — 8 zipf-ish-skewed sources (the mix
@@ -288,6 +288,8 @@ from modern_document_converter_for_ai_library_spark.plans import get_spark
 from modern_document_converter_for_ai_library_spark.operators import convert_documents
 from modern_document_converter_for_ai_library_spark.operators.boilerplate import strip_boilerplate_html
 
+STAGE_WALLS = {{}}  # curate probe: last rep's per-stage attribution
+
 def run_job(d, balance=None):
     if "{job}" == "html":
         return strip_boilerplate_html(d)
@@ -382,6 +384,32 @@ def run_job(d, balance=None):
         # largest single document (the suite-wide per-doc-window caveat).
         from modern_document_converter_for_ai_library_spark.operators.chunking import cdc_dup_stats
         return cdc_dup_stats(d, text_col="html")
+    if "{job}" == "near":
+        # ISOLATED full near-dedup tier on the curate corpus (candidate
+        # generation + exact-Jaccard verify + CC + canonical join) — the
+        # curate attribution showed this stage owns the composed
+        # funnel's scaling loss; this probe separates its two halves
+        from pyspark.sql import functions as F
+        from modern_document_converter_for_ai_library_spark.operators.dedup import near_dedup, near_dup_verified_pairs
+        sp = d.sparkSession
+        sp.catalog.clearCache()
+        STAGE_WALLS.clear()
+        STAGE_WALLS["_t"] = time.perf_counter()
+        verified, pairs = near_dup_verified_pairs(d, text_col="text", max_bucket_size=64)
+        vn = verified.persist().count()
+        now = time.perf_counter()
+        STAGE_WALLS["front_verified_pairs"] = round(now - STAGE_WALLS["_t"], 2)
+        STAGE_WALLS["_t"] = now
+        STAGE_WALLS["n_verified_pairs"] = vn
+        out = near_dedup(d, text_col="text", max_bucket_size=64)
+        n_out = out.filter(F.col("canonical_doc_id") == F.col("doc_id")).count()
+        now = time.perf_counter()
+        STAGE_WALLS["full_near_dedup"] = round(now - STAGE_WALLS["_t"], 2)
+        STAGE_WALLS["n_canonical"] = n_out
+        verified.unpersist()
+        if pairs is not None:
+            pairs.unpersist()
+        return d.sparkSession.range(1)
     if "{job}" == "curate":
         # the COMPOSED end-to-end funnel (VERDICT r4 item 5): quality ->
         # exact -> near -> token-budget mix -> fused shuffle+shard — the
@@ -398,14 +426,23 @@ def run_job(d, balance=None):
         from modern_document_converter_for_ai_library_spark.operators.sampling import budget_sample, shuffled_shard_assign
         sp = d.sparkSession
         sp.catalog.clearCache()
-        keep = quality_funnel(d, STOPWORDS, text_col="text").filter("keep").select("doc_id")
-        cur = d.join(keep, "doc_id", "left_semi").persist()
-        cur.count()
+        STAGE_WALLS.clear()  # report the LAST rep's per-stage walls
+        STAGE_WALLS["_t"] = time.perf_counter()
+        def _mark(stage):
+            now = time.perf_counter()
+            STAGE_WALLS[stage] = round(now - STAGE_WALLS["_t"], 2)
+            STAGE_WALLS["_t"] = now
+        # carry-through funnel: survivors are a map-only filter of the
+        # funnel's own scan — no join-back Exchange (quality.py)
+        cur = quality_funnel(
+            d, STOPWORDS, text_col="text", carry=["source", "text"]
+        ).filter("keep").select("doc_id", "source", "text").persist()
+        cur.count(); _mark("quality")
         nxt = exact_dedup(cur, text_col="text").filter(~F.col("is_duplicate")).select(cur.columns).persist()
-        nxt.count(); cur.unpersist(); cur = nxt
+        nxt.count(); cur.unpersist(); cur = nxt; _mark("exact")
         nd = near_dedup(cur, text_col="text", max_bucket_size=64)
         nxt = nd.filter(F.col("canonical_doc_id") == F.col("doc_id")).select(cur.columns).persist()
-        nxt.count(); cur.unpersist(); cur = nxt
+        nxt.count(); cur.unpersist(); cur = nxt; _mark("near")
         # flat per-source token budget: the skewed big sources get capped
         # (~1/3 of src0 survives), the small ones keep everything — a
         # BINDING mixture, not a pass-through. budget_sample returns the
@@ -415,10 +452,11 @@ def run_job(d, balance=None):
             cur, dict(), default_budget=n * 25).filter("kept").select("doc_id")
         mixed = cur.join(mix_keep, "doc_id", "left_semi")
         final = shuffled_shard_assign(
-            mixed.select("doc_id", "source", "text"), 100000, salt="probe")
+            mixed.select("doc_id", "source", "text"), 100000, salt="probe",
+            n_rows=n)  # upper bound: skips a full re-pass of the mix join
         out = final.select("doc_id", "source", "shuffle_rank", "shard_id")
-        # materialize THROUGH cur's lifetime, then release it for the
-        # next rep (the noop write below is the timed action)
+        # the mix + shuffle+shard stages materialize in the outer timed
+        # noop write; their wall = rep total - sum(front stages)
         return out
     if "{job}" == "shuffle":
         # window-family probe: deterministic global training-order
@@ -520,9 +558,18 @@ for _ in range({reps}):  # best-of-N: the sandbox VM shows 20-30% host noise
     run_job(df, balance).write.format("noop").mode("overwrite").save()
     times.append(time.perf_counter() - t0)
 dt = min(times)
-print(json.dumps({{"cpus": {cpus}, "n_docs": n, "balance": {balance}, "sec": round(dt, 3),
-                   "docs_per_sec": round(n / dt, 2),
-                   "all_runs_sec": [round(t, 2) for t in times]}}))
+rep = {{"cpus": {cpus}, "n_docs": n, "balance": {balance}, "sec": round(dt, 3),
+       "docs_per_sec": round(n / dt, 2),
+       "all_runs_sec": [round(t, 2) for t in times]}}
+if STAGE_WALLS:
+    walls = {{k: v for k, v in STAGE_WALLS.items() if k != "_t"}}
+    if "{job}" == "curate":
+        # only wall-clock keys participate in the residual (counts are
+        # reported alongside but are not seconds)
+        secs = {{k: v for k, v in walls.items() if not k.startswith("n_")}}
+        walls["mix_shuffle_shard"] = round(times[-1] - sum(secs.values()), 2)
+    rep["last_rep_stage_walls"] = walls
+print(json.dumps(rep))
 spark.stop()
 """
     out = subprocess.run(
@@ -557,7 +604,7 @@ def main() -> None:
     ap.add_argument("--md", default=None, help="write/refresh this markdown report")
     ap.add_argument(
         "--job",
-        choices=["convert", "html", "warc", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr", "substr_sparse", "substr_bloom", "substr_sparse_bloom", "perceptron", "pagerank", "pq", "cdc", "shuffle", "curate"],
+        choices=["convert", "html", "warc", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr", "substr_sparse", "substr_bloom", "substr_sparse_bloom", "perceptron", "pagerank", "pq", "cdc", "shuffle", "curate", "near"],
         default="convert",
         help="which end-to-end kernel job to measure (html = "
         "strip_boilerplate_html over the synthetic web-page corpus; warc = "
@@ -584,6 +631,12 @@ def main() -> None:
     if args.job in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr", "substr_bloom", "perceptron", "cdc", "shuffle") and not os.path.exists(marker):
         # these jobs share identical corpus content — reuse any sibling
         for sib in ("html", "dedup", "minhash", "minhash_fast", "minhash_wide", "lm", "quality", "substr", "substr_bloom", "perceptron", "cdc", "shuffle"):
+            sib_marker = os.path.join(args.corpus, f".complete_{sib}_{args.docs}")
+            if os.path.exists(sib_marker):
+                marker = sib_marker
+                break
+    if args.job in ("curate", "near") and not os.path.exists(marker):
+        for sib in ("curate", "near"):
             sib_marker = os.path.join(args.corpus, f".complete_{sib}_{args.docs}")
             if os.path.exists(sib_marker):
                 marker = sib_marker

@@ -270,3 +270,21 @@ def test_plan_has_no_corpus_wide_window(spark, docs):
     bad = _unpartitioned_windows(out)
     assert len(bad) == 1  # exactly the bounded offsets window
     assert "_bucket" in bad[0] and "_n" in bad[0].replace("#", " ")
+
+
+def test_n_rows_hint_equivalent_to_auto(spark, docs):
+    """The caller-knows-the-count shortcut changes only bucket sizing,
+    never the permutation (and an upper bound is acceptable)."""
+    auto = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in corpus_shuffle(docs, salt="x").collect()
+    }
+    hinted = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in corpus_shuffle(docs, salt="x", n_rows=N).collect()
+    }
+    upper = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in corpus_shuffle(docs, salt="x", n_rows=10**9).collect()
+    }
+    assert auto == hinted == upper

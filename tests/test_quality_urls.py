@@ -608,3 +608,34 @@ def test_epoch_budget_exact_multiple_no_zero_token_extra_copy(spark):
         per_doc = collections.Counter(r["doc_id"] for r in out)
         assert per_doc == {1: n_epochs, 2: n_epochs, 3: n_epochs}
         assert {r["epoch"] for r in out} == set(range(n_epochs))
+
+
+def test_quality_funnel_carry_is_map_only(spark):
+    """carry= passes input columns through the one-scan funnel so
+    survivor selection needs no join-back Exchange; verdict values are
+    identical with and without carry."""
+    from modern_document_converter_for_ai_library_spark.operators.quality import (
+        quality_funnel,
+    )
+    from modern_document_converter_for_ai_library_spark.queries import STOPWORDS
+
+    rows = [
+        (1, "a", "the quick brown fox of the barn and some to words in here "
+                 "the quick brown fox of the barn and some to words in here"),
+        (2, "b", "@@ ##"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    plain = {
+        r["doc_id"]: (r["keep"], r["first_failed_rule"])
+        for r in quality_funnel(df, STOPWORDS).collect()
+    }
+    carried = quality_funnel(df, STOPWORDS, carry=["source", "text"])
+    got = carried.collect()
+    assert {r["doc_id"]: (r["keep"], r["first_failed_rule"]) for r in got} == plain
+    assert {r["doc_id"]: r["source"] for r in got} == {1: "a", 2: "b"}
+    # map-only: no Exchange anywhere in the survivor-selection plan
+    survivors = carried.filter("keep").select("doc_id", "source", "text")
+    phys = survivors._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in phys
+    # carry=[id_col] duplicates nothing
+    assert quality_funnel(df, STOPWORDS, carry=["doc_id"]).columns.count("doc_id") == 1
